@@ -1,0 +1,117 @@
+"""Deterministic hashing kernels: stable 64-bit hashes, MinHash, SimHash,
+rolling-hash fingerprints, shingling.
+
+Python's builtin ``hash`` is salted per process, so every hash that crosses a
+task boundary (partition keys, dedup keys, LSH bands) uses these explicit
+kernels instead. All are seedable and process-stable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MASK64 = (1 << 64) - 1
+_MERSENNE = (1 << 61) - 1
+
+
+def hash64(s: str | bytes, seed: int = 0) -> int:
+    """Stable 64-bit hash (blake2b with seed-derived key)."""
+    if isinstance(s, str):
+        s = s.encode("utf-8")
+    h = hashlib.blake2b(s, digest_size=8, key=seed.to_bytes(8, "little"))
+    return int.from_bytes(h.digest(), "little")
+
+
+def hash64_np(values, seed: int = 0) -> np.ndarray:
+    """Vector of stable 64-bit hashes for an iterable of strings."""
+    return np.fromiter(
+        (hash64(v, seed) for v in values), dtype=np.uint64, count=len(values)
+    )
+
+
+def content_hash(s: str) -> str:
+    """Hex content hash used for exact dedup keys and manifests."""
+    return hashlib.blake2b(s.encode("utf-8"), digest_size=16).hexdigest()
+
+
+def shingles(tokens: list[str], k: int = 3) -> set[str]:
+    """k-token shingles of a token list (short docs → one shingle of all)."""
+    if len(tokens) <= k:
+        return {" ".join(tokens)} if tokens else set()
+    return {" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)}
+
+
+class MinHasher:
+    """num_perm-permutation MinHash via the standard (a·x + b) mod p family,
+    seeded — identical signatures across processes."""
+
+    def __init__(self, num_perm: int = 128, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.num_perm = num_perm
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+
+    def signature(self, shingle_set: set[str]) -> np.ndarray:
+        """(num_perm,) uint64 signature; empty set → all-max sentinel."""
+        if not shingle_set:
+            return np.full(self.num_perm, _MASK64, dtype=np.uint64)
+        base = np.fromiter(
+            (hash64(s) for s in shingle_set), dtype=np.uint64, count=len(shingle_set)
+        ) % _MERSENNE
+        # (n_shingles, num_perm) — fine for document-sized sets
+        vals = (base[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+        return vals.min(axis=0)
+
+    def bands(self, sig: np.ndarray, num_bands: int = 16) -> list[int]:
+        """Hash each band of the signature → LSH bucket keys."""
+        rows = self.num_perm // num_bands
+        out = []
+        for b in range(num_bands):
+            band = sig[b * rows : (b + 1) * rows]
+            out.append(hash64(band.tobytes(), seed=b))
+        return out
+
+
+def simhash(tokens: list[str], bits: int = 64) -> int:
+    """Classic SimHash over token hashes (unweighted)."""
+    if not tokens:
+        return 0
+    acc = np.zeros(bits, dtype=np.int64)
+    for t in tokens:
+        h = hash64(t)
+        for i in range(bits):
+            acc[i] += 1 if (h >> i) & 1 else -1
+    out = 0
+    for i in range(bits):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & _MASK64).count("1")
+
+
+def rolling_fingerprints(text: str, window: int = 16, mod_bits: int = 6) -> list[int]:
+    """Winnowing-style document fingerprint: Rabin-Karp rolling hashes of
+    byte windows, keeping hashes ≡ 0 mod 2**mod_bits (deterministic sparse
+    selection). Returns sorted distinct selected hashes."""
+    data = text.encode("utf-8")
+    if len(data) < window:
+        return [hash64(data)] if data else []
+    B, M = 257, _MERSENNE
+    power = pow(B, window - 1, M)
+    h = 0
+    for c in data[:window]:
+        h = (h * B + c) % M
+    keep_mask = (1 << mod_bits) - 1
+    out = set()
+    if h & keep_mask == 0:
+        out.add(h)
+    for i in range(window, len(data)):
+        h = ((h - data[i - window] * power) * B + data[i]) % M
+        if h & keep_mask == 0:
+            out.add(h)
+    return sorted(out)

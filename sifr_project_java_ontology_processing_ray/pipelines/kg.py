@@ -1,0 +1,317 @@
+"""Flagship pipeline: Common-Crawl-style pages → knowledge-graph triples.
+
+Lifecycle (SURVEY §3.4, north rule):
+    read pages Parquet
+      → extract (HTML→text, byte-identical per url; skip if populated)
+      → mention extraction (dictionary longest-match; ≙ per-class attribute
+        extraction M1-M6)
+      → fused candidate-gen + entity-link scoring (actor pool; cascade order
+        preserved, ≙ J2/J4/M6 + ST2 top-1 K1)
+      → canonicalization (distinct-edge combiner + union-find; ≙ CUI
+        assignment/reconciliation)
+      → triple emission + exact dedup on (subj,pred,obj)
+      → partitioned Parquet + per-partition manifests + metrics (≙ S2+S9+S10)
+
+Scale notes:
+- ``html`` (the wide binary column) is dropped in the first map_batches.
+- page-level triples come from a SEPARATE pruned read (url/warc_ts/lang
+  only) — no second pass over html/text.
+- the linked-mentions dataset is materialized once and fanned out to the
+  four consumers (edges, mention/label triples, cooccurrence, unmatched
+  side output); it is orders of magnitude smaller than the input.
+- per-mention top-1 is fused into the scoring actor (no groupby(mention_id)
+  shuffle); the only all-to-alls are the per-url cooccurrence groupby (high
+  cardinality, no hot keys) and the final dedup groupby on the triple hash
+  (pre-deduped per batch by a combiner first).
+- provenance travels as flat columns (prov_url, prov_ts, prov_rule) and is
+  packed into the schema's struct only at the very end (struct columns
+  aggregate poorly; flat columns stay zero-copy).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions.hashing import content_hash
+from ..stages.canonicalize import ApplyCanonical, build_canonical_maps
+from ..stages.extract import extract_text_batch, non_empty_text
+from ..stages.link import CandidateScorer, build_link_tables
+from ..stages.mentions import MentionExtractor
+from ..state import manifest as mf
+from ..state.broadcast import Broadcast
+
+PRED_TYPE = "rdf:type"
+PRED_LANG = "dc:language"
+PRED_MENTIONS = "sifr:mentions"
+PRED_COOCCURS = "sifr:cooccursWith"
+PRED_PREFLABEL = "skos:prefLabel"
+PRED_CUI = "umls:cui"
+PRED_TUI = "umls:tui"
+OBJ_PAGE = "web:Page"
+
+_FLAT_COLS = ["subj", "pred", "obj", "obj_lang", "obj_is_literal", "prov_url", "prov_ts", "prov_rule"]
+
+
+def _flat_triples(subj, pred, obj, obj_lang, obj_is_literal, prov_url, prov_ts, rule) -> pa.Table:
+    n = len(subj)
+    return pa.table(
+        {
+            "subj": pa.array(subj, pa.string()),
+            "pred": pa.array([pred] * n, pa.string()) if isinstance(pred, str) else pa.array(pred, pa.string()),
+            "obj": pa.array(obj, pa.string()),
+            "obj_lang": pa.array(obj_lang, pa.string()),
+            "obj_is_literal": pa.array([obj_is_literal] * n, pa.bool_()) if isinstance(obj_is_literal, bool) else pa.array(obj_is_literal, pa.bool_()),
+            "prov_url": pa.array(prov_url, pa.string()),
+            "prov_ts": pa.array(prov_ts, pa.timestamp("us")),
+            "prov_rule": pa.array([rule] * n, pa.string()),
+        }
+    )
+
+
+def pack_provenance(batch: pa.Table) -> pa.Table:
+    """Flat prov columns → the TRIPLES schema's provenance struct."""
+    prov = pa.StructArray.from_arrays(
+        [
+            batch["prov_url"].combine_chunks(),
+            batch["prov_ts"].combine_chunks().cast(pa.timestamp("us")),
+            batch["prov_rule"].combine_chunks(),
+        ],
+        names=["url", "warc_ts", "rule"],
+    )
+    out = batch.drop_columns(["prov_url", "prov_ts", "prov_rule"])
+    return out.append_column("provenance", prov)
+
+
+def _page_triples(batch: pa.Table) -> pa.Table:
+    """(url, rdf:type, web:Page) + (url, dc:language, lang) per page."""
+    urls = batch["url"].to_pylist()
+    tss = batch["warc_ts"].to_pylist()
+    langs = batch["lang"].to_pylist()
+    s, p, o, lit, pu, pt = [], [], [], [], [], []
+    for url, ts, lang in zip(urls, tss, langs):
+        s.append(url); p.append(PRED_TYPE); o.append(OBJ_PAGE)
+        lit.append(False); pu.append(url); pt.append(ts)
+        if lang:
+            s.append(url); p.append(PRED_LANG); o.append(lang)
+            lit.append(True); pu.append(url); pt.append(ts)
+    return _flat_triples(s, p, o, [None] * len(s), lit, pu, pt, "page")
+
+
+def _mention_triples(batch: pa.Table) -> pa.Table:
+    """(url, sifr:mentions, entity_uri) — deduped within batch."""
+    tbl = (
+        batch.select(["url", "entity_uri", "warc_ts"])
+        .group_by(["url", "entity_uri"])
+        .aggregate([("warc_ts", "min")])
+    )
+    n = tbl.num_rows
+    return _flat_triples(
+        tbl["url"].to_pylist(), PRED_MENTIONS, tbl["entity_uri"].to_pylist(),
+        [None] * n, False, tbl["url"].to_pylist(), tbl["warc_ts_min"].to_pylist(),
+        "mention",
+    )
+
+
+def _label_triples(batch: pa.Table) -> pa.Table:
+    """(entity_uri, skos:prefLabel, surface) — deduped within batch."""
+    tbl = (
+        batch.select(["entity_uri", "surface", "url", "warc_ts"])
+        .group_by(["entity_uri", "surface"])
+        .aggregate([("url", "min"), ("warc_ts", "min")])
+    )
+    n = tbl.num_rows
+    return _flat_triples(
+        tbl["entity_uri"].to_pylist(), PRED_PREFLABEL, tbl["surface"].to_pylist(),
+        [None] * n, True, tbl["url_min"].to_pylist(), tbl["warc_ts_min"].to_pylist(),
+        "label",
+    )
+
+
+def _cooccur_triples(group: pa.Table) -> pa.Table:
+    """Per-url group: adjacent-mention co-occurrence edges, subj<obj."""
+    order = pc.sort_indices(group["position"])
+    uris = group["entity_uri"].take(order).to_pylist()
+    urls = group["url"].take(order).to_pylist()
+    tss = group["warc_ts"].take(order).to_pylist()
+    s, o, pu, pt = [], [], [], []
+    for i in range(len(uris) - 1):
+        a, b = uris[i], uris[i + 1]
+        if a == b:
+            continue
+        if b < a:
+            a, b = b, a
+        s.append(a); o.append(b); pu.append(urls[i]); pt.append(tss[i])
+    return _flat_triples(s, PRED_COOCCURS, o, [None] * len(s), False, pu, pt, "cooccur")
+
+
+def _umls_triples(cui_map: dict[str, str], mrsty: pa.Table) -> pa.Table:
+    """Driver-side tiny table: (uri, umls:cui, cui) + (uri, umls:tui, tui)
+    for every CUI observed in the corpus (≙ updateCUIs/updateTUIs,
+    OntologyCUIProcessor.java:304-349)."""
+    s, p, o = [], [], []
+    for cui, uri in sorted(cui_map.items()):
+        s.append(uri); p.append(PRED_CUI); o.append(cui)
+    for cui, tui in sorted(zip(mrsty["cui"].to_pylist(), mrsty["tui"].to_pylist())):
+        uri = cui_map.get(cui)
+        if uri is not None:
+            s.append(uri); p.append(PRED_TUI); o.append(tui)
+    n = len(s)
+    return _flat_triples(
+        s, p, o, [None] * n, True, ["urn:sifr:dictionary"] * n, [None] * n, "umls"
+    )
+
+
+def _add_dedup_key(batch: pa.Table) -> pa.Table:
+    keys = [
+        content_hash(f"{s}\x00{p}\x00{o}")
+        for s, p, o in zip(
+            batch["subj"].to_pylist(), batch["pred"].to_pylist(), batch["obj"].to_pylist()
+        )
+    ]
+    return batch.append_column("tkey", pa.array(keys, pa.string()))
+
+
+def _first_per_key(tbl: pa.Table, key: str = "tkey") -> pa.Table:
+    """Deterministic first-row-per-key: sort by (key, prov_url) then keep
+    first occurrences. Arrow-native, vectorized."""
+    if tbl.num_rows == 0:
+        return tbl
+    tbl = tbl.sort_by([(key, "ascending"), ("prov_url", "ascending")])
+    k = np.asarray(tbl[key])
+    mask = np.concatenate([[True], k[1:] != k[:-1]])
+    return tbl.filter(pa.array(mask))
+
+
+def _dedup_batch(batch: pa.Table) -> pa.Table:
+    return _first_per_key(batch)
+
+
+def _dedup_group(group: pa.Table) -> pa.Table:
+    return _first_per_key(group)
+
+
+def build_kg(
+    pages_path: str,
+    mrconso: pa.Table,
+    mrsty: pa.Table,
+    *,
+    out_dir: str | None = None,
+    num_parts: int = 16,
+    concurrency: int | tuple[int, int] | None = None,
+    actor_num_cpus: float = 0.5,
+    extract_batch_size: int = 512,
+    link_batch_size: int = 4096,
+    read_blocks: int | None = None,
+    pack_struct: bool = True,
+) -> "rd.Dataset":
+    """Run the flagship KG-construction pipeline; returns the triples
+    Dataset (also written partitioned+manifested when ``out_dir`` given)."""
+    if concurrency is None:
+        import ray
+
+        # half the logical CPUs per pool at 0.5 CPU each: two chained pools
+        # co-exist with the stateless read/write tasks without starving them
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(2, ncpu // 2)
+
+    tables = build_link_tables(mrconso)
+    alias_terms = sorted(tables["term"].keys())
+    alias_bc = Broadcast.put(alias_terms)
+    tables_bc = Broadcast.put(tables)
+
+    pages = rd.read_parquet(pages_path, override_num_blocks=read_blocks)
+    pages_text = pages.map_batches(
+        extract_text_batch, batch_format="pyarrow", batch_size=extract_batch_size
+    ).map_batches(non_empty_text, batch_format="pyarrow")
+
+    mentions = pages_text.map_batches(
+        MentionExtractor,
+        fn_constructor_args=(alias_bc,),
+        batch_format="pyarrow",
+        batch_size=extract_batch_size,
+        concurrency=concurrency,
+        num_cpus=actor_num_cpus,
+    )
+    linked_all = mentions.map_batches(
+        CandidateScorer,
+        fn_constructor_args=(tables_bc,),
+        batch_format="pyarrow",
+        batch_size=link_batch_size,
+        concurrency=concurrency,
+        num_cpus=actor_num_cpus,
+    ).materialize()  # fanned out to 4 consumers; far smaller than input
+
+    linked = linked_all.map_batches(
+        lambda b: b.filter(pc.is_valid(b["cui"])), batch_format="pyarrow"
+    )
+    unmatched = linked_all.map_batches(
+        lambda b: b.filter(pc.is_null(b["cui"])).drop_columns(["cui", "term", "score"]),
+        batch_format="pyarrow",
+    )
+
+    # --- canonicalization: distinct edges → union-find → broadcast maps ---
+    edge_keys = (
+        linked.map_batches(
+            lambda b: b.select(["surface", "cui"]).group_by(["surface", "cui"]).aggregate([]),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {"edge_key": pc.binary_join_element_wise(b["surface"], b["cui"], "\x00")}
+            ),
+            batch_format="pyarrow",
+        )
+        .unique("edge_key")
+    )
+    edges = [tuple(k.split("\x00", 1)) for k in edge_keys]
+    maps = build_canonical_maps(edges)
+    maps_bc = Broadcast.put(maps)
+
+    entities = linked.map_batches(
+        ApplyCanonical,
+        fn_constructor_args=(maps_bc,),
+        batch_format="pyarrow",
+        batch_size=link_batch_size,
+        concurrency=concurrency,
+        num_cpus=actor_num_cpus,
+    )
+
+    # --- triple emission -------------------------------------------------
+    page_meta = rd.read_parquet(pages_path, columns=["url", "warc_ts", "lang"])
+    t_pages = page_meta.map_batches(_page_triples, batch_format="pyarrow")
+    t_mentions = entities.map_batches(_mention_triples, batch_format="pyarrow")
+    t_labels = entities.map_batches(_label_triples, batch_format="pyarrow")
+    t_cooccur = (
+        entities.select_columns(["url", "warc_ts", "position", "entity_uri"])
+        .groupby("url")
+        .map_groups(_cooccur_triples, batch_format="pyarrow")
+    )
+    t_umls = rd.from_arrow(_umls_triples(maps["cui"], mrsty))
+
+    triples = (
+        t_pages.union(t_mentions, t_labels, t_cooccur, t_umls)
+        .map_batches(_add_dedup_key, batch_format="pyarrow")
+        .map_batches(_dedup_batch, batch_format="pyarrow")
+        .groupby("tkey")
+        .map_groups(_dedup_group, batch_format="pyarrow")
+        .drop_columns(["tkey"])
+    )
+    if pack_struct:
+        triples = triples.map_batches(pack_provenance, batch_format="pyarrow")
+
+    if out_dir is not None:
+        written = mf.write_partitioned(triples, out_dir, key_col="subj", num_parts=num_parts)
+        unmatched.write_parquet(out_dir + "/_unmatched")
+        mf.write_metrics(
+            out_dir,
+            {
+                "partitions_written": sorted(written),
+                "num_edges": len(edges),
+                "num_entities": len(set(maps["surface"].values()) | set(maps["cui"].values())),
+            },
+        )
+        return mf.read_output(out_dir)
+    return triples

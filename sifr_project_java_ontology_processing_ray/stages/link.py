@@ -1,0 +1,197 @@
+"""Candidate generation + entity-link scoring (north rule stages 3-4).
+
+Candidate cascade preserves the reference's lookup ORDER — the order is
+semantics (OntologyCUIProcessor.java:141-156):
+  1. own-id: the surface itself is a CUI (≙ altLabel regex mining, M6)
+  2. exact alias lookup term→CUIs (≙ UMLS term join, J6)
+  3. code-pattern lookup code→CUIs (≙ UMLS-by-code, J4)
+Later rungs run only when earlier rungs produced nothing.
+
+Scoring: Tverski top-1 per mention on an actor pool (≙ ST2
+TverskiTermSimilarityRanker + K1 top-1), with the CUI's merged semantic
+signature (≙ appendToSignature, SQLUMLSDelegate.java:225-228) scored against
+the mention context as a tie-breaking secondary component.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.codes import RE_CUI
+from ..functions.similarity import tverski
+from ..state.broadcast import Broadcast
+
+import re
+
+_RE_CODEISH = re.compile(r"^[A-Z][0-9]{2}(\.[0-9]{1,2}|[0-9]{1,2})?$")
+
+SURFACE_WEIGHT = 0.8
+CONTEXT_WEIGHT = 0.2
+
+
+def build_link_tables(mrconso: pa.Table, lang: str = "ENG") -> dict:
+    """Driver-side build of the broadcast lookup tables from the dictionary.
+
+    Returns term→[cui], code→[cui], cui→canonical term, cui→signature.
+    Lists are sorted (TreeSet determinism, K4/K5)."""
+    cuis = mrconso["cui"].to_pylist()
+    lats = mrconso["lat"].to_pylist()
+    strs = mrconso["str"].to_pylist()
+    codes = mrconso["code"].to_pylist()
+    term_to_cuis: dict[str, set[str]] = {}
+    code_to_cuis: dict[str, set[str]] = {}
+    cui_term: dict[str, str] = {}
+    cui_sig: dict[str, list[str]] = {}
+    for cui, lat, s, code in zip(cuis, lats, strs, codes):
+        if lat == lang:
+            term_to_cuis.setdefault(s.lower(), set()).add(cui)
+            # canonical term per CUI: lexicographically smallest (K4)
+            if cui not in cui_term or s < cui_term[cui]:
+                cui_term[cui] = s
+        if code:
+            code_to_cuis.setdefault(code, set()).add(cui)
+        cui_sig.setdefault(cui, []).append(s)
+    return {
+        "term": {k: sorted(v) for k, v in term_to_cuis.items()},
+        "code": {k: sorted(v) for k, v in code_to_cuis.items()},
+        "cui_term": cui_term,
+        "cui_sig": {k: " ".join(sorted(set(v))) for k, v in cui_sig.items()},
+    }
+
+
+class CandidateGenerator:
+    """map_batches actor: mentions → candidate rows (one per mention×CUI)."""
+
+    def __init__(self, tables_bc: Broadcast):
+        t = tables_bc.value
+        self.term = t["term"]
+        self.code = t["code"]
+        self.cui_term = t["cui_term"]
+
+    def candidates_for(self, surface: str) -> list[str]:
+        s = surface.strip()
+        if RE_CUI.match(s):
+            return [s]  # rung 1: own-id
+        hit = self.term.get(s.lower())
+        if hit:
+            return hit  # rung 2: exact alias
+        if _RE_CODEISH.match(s):
+            hit = self.code.get(s)
+            if hit:
+                return hit  # rung 3: code join
+        return []
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mention_ids = batch["mention_id"].to_pylist()
+        surfaces = batch["surface"].to_pylist()
+        contexts = batch["context"].to_pylist()
+        o_mid, o_surface, o_ctx, o_cui, o_term = [], [], [], [], []
+        for mid, surface, ctx in zip(mention_ids, surfaces, contexts):
+            for cui in self.candidates_for(surface):
+                o_mid.append(mid)
+                o_surface.append(surface)
+                o_ctx.append(ctx)
+                o_cui.append(cui)
+                o_term.append(self.cui_term.get(cui, surface))
+        return pa.table(
+            {
+                "mention_id": pa.array(o_mid, pa.string()),
+                "surface": pa.array(o_surface, pa.string()),
+                "context": pa.array(o_ctx, pa.string()),
+                "cui": pa.array(o_cui, pa.string()),
+                "term": pa.array(o_term, pa.string()),
+            }
+        )
+
+
+class LinkScorer:
+    """Actor-pool scorer: per-mention Tverski top-1 (K1).
+
+    Candidates for one mention always live in one batch because the
+    candidate generator emits them contiguously and blocks split on row
+    boundaries between input rows — we nevertheless score per candidate and
+    reduce per mention WITHIN the batch, then a groupby-max upstream is
+    unnecessary: mention_ids never straddle batches only if the candidate
+    stage and scorer are fused. To stay partition-safe the pipeline instead
+    does: score every candidate here, then ``groupby(mention_id)`` argmax in
+    a map_groups — correctness does not depend on block boundaries.
+    """
+
+    def __init__(self, tables_bc: Broadcast):
+        t = tables_bc.value
+        self.cui_sig = t["cui_sig"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        surfaces = batch["surface"].to_pylist()
+        contexts = batch["context"].to_pylist()
+        cuis = batch["cui"].to_pylist()
+        terms = batch["term"].to_pylist()
+        scores = []
+        for surface, ctx, cui, term in zip(surfaces, contexts, cuis, terms):
+            s = SURFACE_WEIGHT * tverski(surface, term)
+            if CONTEXT_WEIGHT:
+                s += CONTEXT_WEIGHT * tverski(ctx, self.cui_sig.get(cui, term))
+            scores.append(s)
+        return batch.append_column("score", pa.array(scores, pa.float64()))
+
+
+class CandidateScorer:
+    """Fused candidate-generation + scoring + per-mention top-1.
+
+    The per-mention argmax is per-RECORD local work, so fusing the three
+    steps into one actor stage removes the ``groupby(mention_id)`` shuffle
+    entirely (the dominant all-to-all at scale). The unfused stages above
+    remain for unit tests and for pipelines that need the full candidate
+    table. Emits one row per mention; unmatched mentions keep ``cui=None``
+    (→ unmatched side output, S10)."""
+
+    def __init__(self, tables_bc: Broadcast):
+        self.gen = CandidateGenerator(tables_bc)
+        t = tables_bc.value
+        self.cui_term = t["cui_term"]
+        self.cui_sig = t["cui_sig"]
+
+    def _score(self, surface: str, ctx: str, cui: str) -> float:
+        term = self.cui_term.get(cui, surface)
+        s = SURFACE_WEIGHT * tverski(surface, term)
+        if CONTEXT_WEIGHT:
+            s += CONTEXT_WEIGHT * tverski(ctx, self.cui_sig.get(cui, term))
+        return s
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        surfaces = batch["surface"].to_pylist()
+        contexts = batch["context"].to_pylist()
+        cuis, terms, scores = [], [], []
+        for surface, ctx in zip(surfaces, contexts):
+            cands = self.gen.candidates_for(surface)
+            if not cands:
+                cuis.append(None)
+                terms.append(None)
+                scores.append(None)
+                continue
+            best_cui, best = None, -1.0
+            for cui in sorted(cands):  # sorted → ties break to smallest CUI
+                s = self._score(surface, ctx, cui)
+                if s > best:
+                    best_cui, best = cui, s
+            cuis.append(best_cui)
+            terms.append(self.cui_term.get(best_cui))
+            scores.append(best)
+        out = batch.drop_columns(["context"])
+        out = out.append_column("cui", pa.array(cuis, pa.string()))
+        out = out.append_column("term", pa.array(terms, pa.string()))
+        out = out.append_column("score", pa.array(scores, pa.float64()))
+        return out
+
+
+def top1_per_mention(batch: pa.Table) -> pa.Table:
+    """Partial per-batch argmax by mention_id (combiner before the final
+    groupby — the pre-aggregation pattern). Ties → smallest CUI."""
+    import pandas as pd
+
+    df = batch.to_pandas()
+    if df.empty:
+        return batch
+    df = df.sort_values(["mention_id", "score", "cui"], ascending=[True, False, True])
+    out = df.groupby("mention_id", as_index=False, sort=False).first()
+    return pa.Table.from_pandas(out[batch.column_names], preserve_index=False)

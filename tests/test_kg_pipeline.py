@@ -1,0 +1,103 @@
+"""End-to-end tests for the flagship KG pipeline at sf0.001."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from sifr_project_java_ontology_processing_ray import testgen
+from sifr_project_java_ontology_processing_ray.pipelines import kg
+
+
+@pytest.fixture(scope="module")
+def umls():
+    return testgen.umls_tables()
+
+
+@pytest.fixture(scope="module")
+def triples_df(ray_session, pages_small, umls):
+    mrconso, mrsty = umls
+    ds = kg.build_kg(pages_small, mrconso, mrsty, concurrency=2)
+    return ds.to_pandas()
+
+
+def test_extract_invariant(ray_session, pages_small, sf_small):
+    """Extracted text is byte-identical per url to the golden document text."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sifr_project_java_ontology_processing_ray.stages.extract import extract_text_batch
+
+    out = (
+        rd.read_parquet(pages_small)
+        .map_batches(extract_text_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    docs = pq.read_table(os.path.join(sf_small, "documents.parquet")).to_pandas()
+    docs["url"] = [
+        f"https://{s}.example/doc/{d}" for s, d in zip(docs["source"], docs["doc_id"])
+    ]
+    merged = out.merge(docs[["url", "text"]], on="url", suffixes=("_got", "_want"))
+    assert len(merged) == len(docs)
+    # malformed rows carry pre-populated golden text; all rows must match
+    mism = merged[merged.text_got != merged.text_want]
+    assert mism.empty, mism.head()
+
+
+def test_triples_shape(triples_df):
+    assert set(triples_df.columns) == {
+        "subj", "pred", "obj", "obj_lang", "obj_is_literal", "provenance"
+    }
+    assert len(triples_df) > 0
+    preds = set(triples_df["pred"])
+    assert {"rdf:type", "dc:language", "sifr:mentions", "skos:prefLabel",
+            "umls:cui", "umls:tui", "sifr:cooccursWith"} <= preds
+
+
+def test_triples_unique(triples_df):
+    assert not triples_df.duplicated(["subj", "pred", "obj"]).any()
+
+
+def test_page_triples_complete(triples_df, sf_small):
+    n_docs = pq.read_metadata(os.path.join(sf_small, "documents.parquet")).num_rows
+    type_rows = triples_df[(triples_df.pred == "rdf:type") & (triples_df.obj == "web:Page")]
+    assert len(type_rows) == n_docs
+
+
+def test_entity_linking_produces_umls(triples_df):
+    cuis = triples_df[triples_df.pred == "umls:cui"]
+    assert len(cuis) > 10
+    assert cuis["obj"].str.fullmatch(r"C\d{7}").all()
+    # canonical entity URIs for linked entities are umls-based
+    assert cuis["subj"].str.contains("umls").all()
+
+
+def test_determinism_across_runs(ray_session, pages_small, umls):
+    mrconso, mrsty = umls
+    def run():
+        df = kg.build_kg(pages_small, mrconso, mrsty, concurrency=2,
+                         pack_struct=False).to_pandas()
+        return df.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    a, b = run(), run()
+    assert a.equals(b)
+
+
+def test_write_and_resume(ray_session, pages_small, umls, tmp_path):
+    import shutil
+
+    mrconso, mrsty = umls
+    out = str(tmp_path / "kg_out")
+    ds1 = kg.build_kg(pages_small, mrconso, mrsty, concurrency=2, out_dir=out, num_parts=4)
+    total1 = ds1.count()
+    df1 = ds1.to_pandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    # simulate partial failure: remove one partition + its manifest
+    shutil.rmtree(os.path.join(out, "__part=2"))
+    os.remove(os.path.join(out, "_manifests", "part-2.json"))
+    ds2 = kg.build_kg(pages_small, mrconso, mrsty, concurrency=2, out_dir=out, num_parts=4)
+    assert ds2.count() == total1
+    df2 = ds2.to_pandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        df1.drop(columns=["provenance"]), df2.drop(columns=["provenance"])
+    )
