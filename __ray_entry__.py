@@ -1,44 +1,122 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()``: flagship KG-construction pipeline over pages derived from
+``/root/testdata/sf0.001/documents.parquet`` (schema per BASELINE.json
+input_hint); returns the triples Dataset.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()``: one entry per implemented operator family from SURVEY.md §2
+plus the added training-data operators; each callable takes ``sf_dir``.
+
+``oracle_sql()``: exact DuckDB equivalents for the SQL-expressible queries;
+non-SQL-expressible ops (KG pipeline, enrichment cascade, MinHash/SimHash
+near-dedup, language-ID/quality heuristics, IVF ANN) are rows-only checked.
+
+Ray is initialised by the driver — nothing here calls ray.init/shutdown.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sifr_project_java_ontology_processing_ray import testgen  # noqa: E402
+from sifr_project_java_ontology_processing_ray.pipelines import (  # noqa: E402
+    ann,
+    enrichment,
+    kg,
+    relational,
+    textops,
+)
 
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    sf_dir = "/root/testdata/sf0.001"
+    pages = testgen.pages_path_for(sf_dir)
+    mrconso, mrsty = testgen.umls_tables()
+    return kg.build_kg(pages, mrconso, mrsty, concurrency=2)
+
+
+def _q_kg(sf_dir: str):
+    pages = testgen.pages_path_for(sf_dir)
+    mrconso, mrsty = testgen.umls_tables()
+    ds = kg.build_kg(pages, mrconso, mrsty)
+    # project provenance struct away: stable scalar schema for the driver
+    return ds.map_batches(
+        lambda b: b.select(["subj", "pred", "obj"]), batch_format="pyarrow"
+    )
+
+
+def _q_enrichment(sf_dir: str):
+    fx = testgen.ontology_fixture()
+    mrconso, mrsty = testgen.umls_tables()
+    triples, _ = enrichment.enrich_ontology(
+        fx["source_triples"], mrconso, mrsty, fx["mappings"], fx["target_triples"]
+    )
+    return triples
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operator suite (SQL-checked)
+        "pricing_summary": relational.q_pricing_summary,
+        "collect_segments": relational.q_collect_segments,
+        "segment_nations": relational.q_segment_nations,
+        "mfc_priority": relational.q_mfc_priority,
+        "top_orders": relational.q_top_orders,
+        "customers_per_region": relational.q_customers_per_region,
+        "revenue_by_brand": relational.q_revenue_by_brand,
+        "orders_without_lineitems": relational.q_orders_without_lineitems,
+        "suppliers_in_customer_nations": relational.q_suppliers_in_customer_nations,
+        "events_value_buckets": relational.q_events_value_buckets,
+        "union_names": relational.q_union_names,
+        "distinct_flags": relational.q_distinct_flags,
+        "first_event": relational.q_first_event,
+        "lang_coalesce": relational.q_lang_coalesce,
+        "type_prefix": relational.q_type_prefix,
+        # text / training-data ops
+        "token_counts": textops.q_token_counts,
+        "exact_dedup": textops.q_exact_dedup,
+        "quality_filter": textops.q_quality_filter,
+        "langid": textops.q_langid,
+        "quality_scores": textops.q_quality_scores,
+        "bpeish_tokens": textops.q_bpeish_tokens,
+        "minhash_dedup": textops.q_minhash_dedup,
+        "simhash_dedup": textops.q_simhash_dedup,
+        "fingerprints": textops.q_fingerprints,
+        # similarity search
+        "knn_top10": ann.q_knn_top10,
+        "knn_multi": ann.q_knn_multi,
+        "knn_ivf": ann.q_knn_ivf,
+        # KG construction + enrichment cascade
+        "kg_triples": _q_kg,
+        "enrichment_cascade": _q_enrichment,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": relational.SQL_PRICING,
+        "collect_segments": relational.SQL_COLLECT_SEGMENTS,
+        "segment_nations": relational.SQL_SEGMENT_NATIONS,
+        "mfc_priority": relational.SQL_MFC_PRIORITY,
+        "top_orders": relational.SQL_TOP_ORDERS,
+        "customers_per_region": relational.SQL_CUSTOMERS_PER_REGION,
+        "revenue_by_brand": relational.SQL_REVENUE_BY_BRAND,
+        "orders_without_lineitems": relational.SQL_ORDERS_WITHOUT_LINEITEMS,
+        "suppliers_in_customer_nations": relational.SQL_SUPPLIERS_IN_CUSTOMER_NATIONS,
+        "events_value_buckets": relational.SQL_EVENTS_VALUE_BUCKETS,
+        "union_names": relational.SQL_UNION_NAMES,
+        "distinct_flags": relational.SQL_DISTINCT_FLAGS,
+        "first_event": relational.SQL_FIRST_EVENT,
+        "lang_coalesce": relational.SQL_LANG_COALESCE,
+        "type_prefix": relational.SQL_TYPE_PREFIX,
+        "token_counts": textops.SQL_TOKEN_COUNTS,
+        "exact_dedup": textops.SQL_EXACT_DEDUP,
+        "quality_filter": textops.SQL_QUALITY_FILTER,
+        "knn_top10": ann.SQL_KNN_TOP10,
+    }

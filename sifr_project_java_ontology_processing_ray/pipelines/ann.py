@@ -1,0 +1,176 @@
+"""Similarity search over the ``embeddings`` table.
+
+- brute-force cosine top-k: numpy matmul per batch against a broadcast
+  query matrix (the baseline; exact, SQL-checkable)
+- IVF-bucketed variant: seeded-sample centroids → assign via map_batches →
+  probe nearest ``nprobe`` centroid buckets only (the 100TB scale path:
+  the shuffle is a groupby on centroid id, queries touch a fraction of
+  the corpus)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+TOPK = 10
+
+
+def _emb_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "embeddings.parquet")
+
+
+def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    t = pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    idx = t["vec_id"].to_pylist().index(vec_id)
+    return np.asarray(t["embedding"][idx].as_py(), dtype=np.float64)
+
+
+def _batch_scores(batch: pa.Table, q: np.ndarray) -> pa.Table:
+    mat = np.vstack(
+        [np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()]
+    )
+    norms = np.linalg.norm(mat, axis=1) * np.linalg.norm(q)
+    norms = np.where(norms == 0, 1.0, norms)
+    cos = (mat @ q) / norms
+    return pa.table({"vec_id": batch["vec_id"], "cos": pa.array(cos, pa.float64())})
+
+
+def q_knn_top10(sf_dir: str):
+    """Exact cosine top-10 neighbours of vec_id=0 (incl. itself).
+    Per-batch local top-k combiner → tiny global sort."""
+    q = _query_vector(sf_dir, 0)
+    q_ref = ray.put(q)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        t = _batch_scores(batch, ray.get(q_ref))
+        order = np.lexsort((t["vec_id"].to_numpy(), -t["cos"].to_numpy()))[:TOPK]
+        return t.take(pa.array(order))
+
+    ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"]).map_batches(
+        local_topk, batch_format="pyarrow"
+    )
+    df = ds.to_pandas().sort_values(["cos", "vec_id"], ascending=[False, True]).head(TOPK)
+    df["cos"] = df["cos"].round(3)
+    return df.reset_index(drop=True)
+
+
+SQL_KNN_TOP10 = """
+SELECT e.vec_id,
+       round(CAST(list_cosine_similarity(e.embedding,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 3) AS cos
+FROM embeddings e
+ORDER BY list_cosine_similarity(e.embedding,
+         (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+def q_knn_multi(sf_dir: str, n_queries: int = 4, k: int = 5):
+    """Batched brute-force: top-k for the first ``n_queries`` vectors via one
+    matmul per batch against the broadcast query matrix (rows-only check)."""
+    t = pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()[:n_queries]
+    Q = np.vstack([np.asarray(v.as_py(), dtype=np.float64) for v in t["embedding"][:n_queries]])
+    Qn = Q / np.where(np.linalg.norm(Q, axis=1, keepdims=True) == 0, 1.0, np.linalg.norm(Q, axis=1, keepdims=True))
+    q_ref = ray.put((ids, Qn))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, Qn = ray.get(q_ref)
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()])
+        mn = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(mn == 0, 1.0, mn)
+        scores = Qn @ mat.T  # (n_queries, batch)
+        vids = batch["vec_id"].to_numpy()
+        out_q, out_v, out_c = [], [], []
+        for qi, qid in enumerate(qids):
+            row = scores[qi]
+            order = np.lexsort((vids, -row))[:k]
+            out_q.extend([qid] * len(order))
+            out_v.extend(vids[order])
+            out_c.extend(row[order])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(np.array(out_v, dtype=np.int64)),
+                "cos": pa.array(np.array(out_c, dtype=np.float64)),
+            }
+        )
+
+    ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"]).map_batches(
+        local_topk, batch_format="pyarrow"
+    )
+    df = ds.to_pandas()
+    df = (
+        df.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    df["cos"] = df["cos"].round(3)
+    return df
+
+
+def ivf_build_centroids(sf_dir: str, n_centroids: int = 16, seed: int = 42) -> np.ndarray:
+    """Deterministic 'training': sample rows with a seeded RNG and run a few
+    Lloyd iterations driver-side (the sample is dimension-sized; at 100TB
+    this trains on read_parquet().random_sample())."""
+    t = pq.read_table(_emb_path(sf_dir), columns=["embedding"])
+    mat = np.vstack([np.asarray(v.as_py(), dtype=np.float64) for v in t["embedding"]])
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(mat), size=min(n_centroids * 20, len(mat)), replace=False)
+    sample = mat[idx]
+    cent = sample[:n_centroids].copy()
+    for _ in range(5):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(0)
+    return cent
+
+
+def q_knn_ivf(sf_dir: str, k: int = TOPK, nprobe: int = 4):
+    """IVF approximate top-k for vec_id=0 + recall vs exact (rows-only).
+
+    Scale path: assignment is a map_batches matmul; the probe filters to
+    ``nprobe/n_centroids`` of the corpus before scoring."""
+    q = _query_vector(sf_dir, 0)
+    cent = ivf_build_centroids(sf_dir)
+    cn = np.linalg.norm(cent, axis=1, keepdims=True)
+    probe = np.argsort(((cent - q) ** 2).sum(1))[:nprobe]
+    state_ref = ray.put((q, cent, set(int(x) for x in probe)))
+
+    def probe_topk(batch: pa.Table) -> pa.Table:
+        q, cent, probe_set = ray.get(state_ref)
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()])
+        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        mask = np.array([int(a) in probe_set for a in assign])
+        if not mask.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()), "cos": pa.array([], pa.float64())})
+        sub = mat[mask]
+        vids = batch["vec_id"].to_numpy()[mask]
+        norms = np.linalg.norm(sub, axis=1) * np.linalg.norm(q)
+        norms = np.where(norms == 0, 1.0, norms)
+        cos = (sub @ q) / norms
+        order = np.lexsort((vids, -cos))[:k]
+        return pa.table({"vec_id": pa.array(vids[order]), "cos": pa.array(cos[order], pa.float64())})
+
+    ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"]).map_batches(
+        probe_topk, batch_format="pyarrow"
+    )
+    approx = ds.to_pandas().sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+    exact = q_knn_top10(sf_dir)
+    recall = len(set(approx["vec_id"]) & set(exact["vec_id"])) / max(1, len(exact))
+    approx = approx.reset_index(drop=True)
+    approx["cos"] = approx["cos"].round(3)
+    approx["recall_at_k"] = round(recall, 3)
+    return approx

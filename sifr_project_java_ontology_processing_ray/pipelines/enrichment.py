@@ -1,0 +1,415 @@
+"""Ontology CUI/TUI enrichment — the reference's flagship cascade
+(cli/enrichment/OntologyCUIProcessor.java) re-expressed as dataflow.
+
+Read phase (≙ processSourceClass :376-384):
+  triples → per-entity pivot (groupby subj) → enrichment map_batches with
+  broadcast dimension tables. Cascade ORDER is semantics
+  (OntologyCUIProcessor.java:141-156) and is preserved:
+    1. own ``umls:cui`` values (M5, ^^-cleaned M4)          — skip-enrich
+    2. altLabel regex mining ``C[0-9]{7}`` (M6 :195)        — marks purge set
+    3. mapping 2-hop: class → mapped targets → their CUIs (J2 :198-203)
+    4. UMLS by composite code (M15 + J4 :208)
+    5. ``match_missing``: global similarity top-1 (:149-152 → :249-263)
+  Ambiguity (>1 CUI) with ``disambiguate``: Tverski top-1 among candidate
+  terms vs the concept label (:154-156, K1).
+  TUIs (≙ processTUIs :273-297): own → via mappings → via UMLS CUI→TUI (J5).
+  NOTE the reference's J3 asymmetry (source vs target class at :280 vs :201)
+  is treated as a bug; we use target-class semantics for both (documented
+  divergence, SURVEY §2.4 J3).
+
+Mutation phase (≙ postProcess :395-417) becomes pure dataflow — delta
+datasets unioned/anti-joined with the base triples in the reference's
+strict order:
+  updateCUIs → purge mined CUIs from altLabels → updateTUIs (+hasSTY) →
+  re-add mappings → clean altLabels == prefLabel (M7) → code notes
+  (notation-if-absent, optional code→prefLabel rewrite M8) → write.
+
+The shared mutable OntModel + synchronized accumulator maps (:49-57,77-82)
+do not exist here: every "update" is a new triple row with a provenance
+rule, every "purge" an anti-join filter.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.codes import clean_xsd_type, composite_code, mine_cuis, normalize_code
+from ..functions.similarity import tverski_best
+from ..functions.text import parse_lang_literal
+from ..schema import MAPPING_PREDICATES
+from ..state.broadcast import Broadcast
+
+CHANGE_NOTE = (
+    "Le CUI de ce concept a été ajouté automatiquement par le système "
+    "d'enrichissement."
+)  # ≙ fixed French skos:changeNote, OntologyCUIProcessor.java:45,312-315 (M19)
+
+
+@dataclass
+class EnrichConfig:
+    """CLI-flag surface of the reference (CUIProcessorCommandlineHandler
+    .java:109-147): -dc, -mc, -cpl, -l."""
+
+    disambiguate: bool = True        # -dc
+    match_missing: bool = False      # -mc
+    code_to_pref_label: bool = False  # -cpl
+    language: str = "ENG"            # -l (UMLS 3-letter code)
+    add_change_note: bool = True     # -hn history note
+
+
+# --------------------------------------------------------------------------
+# entity pivot (M1/M2/M3: triples → one row per entity)
+# --------------------------------------------------------------------------
+
+_LIST_STR = pa.list_(pa.string())
+
+_PIVOT_SCHEMA = pa.schema(
+    [
+        ("entity_uri", pa.string()),
+        ("pref_label", pa.string()),
+        ("pref_lang", pa.string()),
+        ("alt_labels", _LIST_STR),
+        ("alt_langs", _LIST_STR),
+        ("notations", _LIST_STR),
+        ("icd_codes", _LIST_STR),
+        ("icpc_codes", _LIST_STR),
+        ("own_cuis", _LIST_STR),
+        ("own_tuis", _LIST_STR),
+        ("is_concept", pa.bool_()),
+    ]
+)
+
+
+def pivot_entities(group: pa.Table) -> pa.Table:
+    """groupby(subj) pivot: collect the property lists the cascade needs.
+    Sorted lists throughout (TreeSet determinism K4/K5). Explicit schema so
+    empty lists never degrade to list<null> across blocks."""
+    subj = group["subj"][0].as_py()
+    by_pred: dict[str, list[tuple[str, str | None]]] = {}
+    for pred, obj, lang in zip(
+        group["pred"].to_pylist(), group["obj"].to_pylist(), group["obj_lang"].to_pylist()
+    ):
+        by_pred.setdefault(pred, []).append((obj, lang))
+
+    def objs(pred: str) -> list[str]:
+        return sorted({o for o, _ in by_pred.get(pred, [])})
+
+    pref = by_pred.get("skos:prefLabel", [])
+    pref_label = sorted(pref)[0][0] if pref else ""
+    pref_lang = sorted(pref)[0][1] if pref else None
+    alt = sorted({(o, l if l is not None else "") for o, l in by_pred.get("skos:altLabel", [])})
+    return pa.table(
+        {
+            "entity_uri": [subj],
+            "pref_label": [pref_label],
+            "pref_lang": [pref_lang],
+            "alt_labels": [[a[0] for a in alt]],
+            "alt_langs": [[a[1] for a in alt]],
+            "notations": [objs("skos:notation")],
+            "icd_codes": [objs("icd:cdCode")],
+            "icpc_codes": [objs("icpc2p:ICPCCODE")],
+            "own_cuis": [sorted({clean_xsd_type(c) for c in objs("umls:cui")})],
+            "own_tuis": [sorted({clean_xsd_type(t) for t in objs("umls:tui")})],
+            "is_concept": [("skos:Concept" in objs("rdf:type")) or bool(pref)],
+        },
+        schema=_PIVOT_SCHEMA,
+    )
+
+
+# --------------------------------------------------------------------------
+# broadcast dimension tables
+# --------------------------------------------------------------------------
+
+def build_enrich_tables(
+    mrconso: pa.Table,
+    mrsty: pa.Table,
+    mappings: pa.Table,
+    target_triples: pa.Table,
+    language: str = "ENG",
+) -> dict:
+    """All lookups the cascade needs, precomputed driver-side (replaces the
+    MySQL/Redis service layer ST1/ST5 with plain data)."""
+    code_to_cuis: dict[str, set[str]] = {}
+    cui_terms: dict[str, list[str]] = {}
+    all_terms: list[tuple[str, str]] = []  # (term, cui) for match_missing
+    for cui, lat, s, code in zip(
+        mrconso["cui"].to_pylist(), mrconso["lat"].to_pylist(),
+        mrconso["str"].to_pylist(), mrconso["code"].to_pylist(),
+    ):
+        if code:
+            code_to_cuis.setdefault(code, set()).add(cui)
+        if lat == language:
+            cui_terms.setdefault(cui, []).append(s)
+            all_terms.append((s, cui))
+    cui_to_tuis: dict[str, set[str]] = {}
+    for cui, tui in zip(mrsty["cui"].to_pylist(), mrsty["tui"].to_pylist()):
+        cui_to_tuis.setdefault(cui, set()).add(tui)
+
+    src_to_targets: dict[str, list[tuple[str, str]]] = {}
+    for s, p, t in zip(
+        mappings["source_class"].to_pylist(), mappings["property"].to_pylist(),
+        mappings["target_class"].to_pylist(),
+    ):
+        if p in MAPPING_PREDICATES:
+            src_to_targets.setdefault(s, []).append((p, t))
+
+    tgt_cuis: dict[str, set[str]] = {}
+    tgt_tuis: dict[str, set[str]] = {}
+    for subj, pred, obj in zip(
+        target_triples["subj"].to_pylist(), target_triples["pred"].to_pylist(),
+        target_triples["obj"].to_pylist(),
+    ):
+        if pred == "umls:cui":
+            tgt_cuis.setdefault(subj, set()).add(clean_xsd_type(obj))
+        elif pred == "umls:tui":
+            tgt_tuis.setdefault(subj, set()).add(clean_xsd_type(obj))
+
+    return {
+        "code_to_cuis": {k: sorted(v) for k, v in code_to_cuis.items()},
+        "cui_terms": {k: sorted(set(v)) for k, v in cui_terms.items()},
+        "all_terms": sorted(set(all_terms)),
+        "cui_to_tuis": {k: sorted(v) for k, v in cui_to_tuis.items()},
+        "src_to_targets": src_to_targets,
+        "tgt_cuis": {k: sorted(v) for k, v in tgt_cuis.items()},
+        "tgt_tuis": {k: sorted(v) for k, v in tgt_tuis.items()},
+    }
+
+
+# --------------------------------------------------------------------------
+# the cascade itself (stateful actor: tables loaded once per actor)
+# --------------------------------------------------------------------------
+
+class Enricher:
+    """map_batches actor over pivoted entities → enrichment decisions."""
+
+    def __init__(self, tables_bc: Broadcast, config: EnrichConfig):
+        t = tables_bc.value
+        self.t = t
+        self.cfg = config
+
+    def _disambiguate(self, label: str, cuis: list[str]) -> list[str]:
+        """Tverski top-1 among the candidate CUIs' terms (≙ :249-263)."""
+        cand: list[tuple[str, str]] = []
+        for cui in cuis:
+            for term in self.t["cui_terms"].get(cui, []):
+                cand.append((term, cui))
+        if not cand:
+            return sorted(cuis)[:1]
+        terms = [c[0] for c in cand]
+        i, _score = tverski_best(label, terms)
+        return [cand[i][1]]
+
+    def _match_missing(self, label: str) -> list[str]:
+        """Global similarity match against every term (≙ :149-152)."""
+        allt = self.t["all_terms"]
+        if not allt or not label:
+            return []
+        terms = [a[0] for a in allt]
+        i, score = tverski_best(label, terms)
+        if score <= 0.0:
+            return []
+        return [allt[i][1]]
+
+    def enrich_row(self, row: dict) -> dict:
+        t, cfg = self.t, self.cfg
+        label = row["pref_label"]
+        rule = "own"
+        cuis = list(row["own_cuis"])
+        purge: list[str] = []
+        if not cuis:
+            mined = mine_cuis(list(row["alt_labels"]))
+            if mined:
+                cuis, rule, purge = mined, "altlabel", mined
+        if not cuis:
+            hop = []
+            for _prop, tgt in t["src_to_targets"].get(row["entity_uri"], []):
+                hop.extend(t["tgt_cuis"].get(tgt, []))
+            if hop:
+                cuis, rule = sorted(set(hop)), "mapping"
+        code = composite_code(
+            list(row["notations"]) or None,
+            list(row["icd_codes"]) or None,
+            list(row["icpc_codes"]) or None,
+            row["entity_uri"],
+        )
+        if not cuis and code:
+            hit = t["code_to_cuis"].get(code) or t["code_to_cuis"].get(normalize_code(code))
+            if hit:
+                cuis, rule = list(hit), "code"
+        if not cuis and cfg.match_missing:
+            m = self._match_missing(label)
+            if m:
+                cuis, rule = m, "match"
+        if len(cuis) > 1 and cfg.disambiguate:
+            cuis = self._disambiguate(label, cuis)
+            rule += "+disambiguated"
+
+        tuis = list(row["own_tuis"])
+        tui_rule = "own"
+        if not tuis:
+            hop = []
+            # target-class semantics on BOTH paths (J3 asymmetry spec'd away)
+            for _prop, tgt in t["src_to_targets"].get(row["entity_uri"], []):
+                hop.extend(t["tgt_tuis"].get(tgt, []))
+            if hop:
+                tuis, tui_rule = sorted(set(hop)), "mapping"
+        if not tuis and cuis:
+            hop = []
+            for cui in cuis:
+                hop.extend(t["cui_to_tuis"].get(cui, []))
+            if hop:
+                tuis, tui_rule = sorted(set(hop)), "umls"
+
+        return {
+            "cuis": sorted(set(cuis)),
+            "cui_rule": rule if cuis else "",
+            "tuis": sorted(set(tuis)),
+            "tui_rule": tui_rule if tuis else "",
+            "purge_cuis": purge,
+            "code": code or "",
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        decisions = [self.enrich_row(r) for r in rows]
+        out = batch
+        for col, typ in (
+            ("cuis", pa.list_(pa.string())),
+            ("tuis", pa.list_(pa.string())),
+            ("purge_cuis", pa.list_(pa.string())),
+        ):
+            out = out.append_column(col, pa.array([d[col] for d in decisions], typ))
+        for col in ("cui_rule", "tui_rule", "code"):
+            out = out.append_column(col, pa.array([d[col] for d in decisions], pa.string()))
+        return out
+
+
+# --------------------------------------------------------------------------
+# mutation phase as dataflow (postProcess order :395-417)
+# --------------------------------------------------------------------------
+
+def finalize_entity(row: dict, cfg: EnrichConfig) -> list[tuple[str, str, str, str | None]]:
+    """Emit the final triples for one enriched entity, applying the
+    postProcess steps in the reference's strict order."""
+    subj = row["entity_uri"]
+    out: list[tuple[str, str, str, str | None]] = []
+    pref_label, pref_lang = row["pref_label"], row["pref_lang"]
+    # lang may be embedded "label@fr" style (M18)
+    if pref_lang is None and pref_label:
+        pref_label, pref_lang = parse_lang_literal(pref_label)
+
+    # 1. updateCUIs (+ changeNote M19)
+    newly_added = [c for c in row["cuis"] if c not in set(row["own_cuis"])]
+    for cui in row["cuis"]:
+        out.append((subj, "umls:cui", cui, None))
+    if newly_added and cfg.add_change_note:
+        out.append((subj, "skos:changeNote", CHANGE_NOTE, "fr"))
+
+    # 2. cleanCUIsAltLabelsAndSynonyms: purge mined CUI literals (M9)
+    purge = set(row["purge_cuis"])
+    alts = [
+        (a, l if l else None)
+        for a, l in zip(row["alt_labels"], row["alt_langs"])
+        if clean_xsd_type(a) not in purge
+    ]
+
+    # 3. updateTUIs + hasSTY URI (CUIOntologyDelegateImpl.java:62-69)
+    for tui in row["tuis"]:
+        out.append((subj, "umls:tui", tui, None))
+        out.append((subj, "umls:hasSTY", f"http://purl.bioontology.org/ontology/STY/{tui}", None))
+
+    # 4. (updateMappings re-adds the mapping triples — done at pipeline level)
+
+    # 5. cleanAltLabelsSameAsPrefLabels (M7: case-insensitive, trimmed)
+    if pref_label:
+        pl = pref_label.strip().lower()
+        alts = [(a, l) for a, l in alts if parse_lang_literal(a)[0].strip().lower() != pl]
+
+    # 6. updateCodeNotes: notation if absent; optional -cpl prefLabel rewrite (M8)
+    code = row["code"]
+    if code:
+        alts = [(a, l) for a, l in alts if parse_lang_literal(a)[0].strip() != code]
+        if not row["notations"]:
+            out.append((subj, "skos:notation", code, None))
+        if cfg.code_to_pref_label and pref_label and not pref_label.startswith(f"{code} - "):
+            alts.append((pref_label, pref_lang))
+            pref_label = f"{code} - {pref_label}"
+
+    if pref_label:
+        out.append((subj, "skos:prefLabel", pref_label, pref_lang))
+    for a, l in sorted(set(alts)):
+        out.append((subj, "skos:altLabel", a, l))
+    return out
+
+
+def enrich_ontology(
+    source_triples: pa.Table,
+    mrconso: pa.Table,
+    mrsty: pa.Table,
+    mappings: pa.Table,
+    target_triples: pa.Table,
+    config: EnrichConfig | None = None,
+    concurrency: int = 2,
+):
+    """Full enrichment pipeline. Returns (enriched_triples_ds, unmatched_ds).
+
+    enriched triples: (subj, pred, obj, obj_lang) incl. re-added mapping
+    triples (step 4); unmatched: entities with no CUI after the cascade
+    (≙ "<ont>_concepts_without_cui.txt" S10)."""
+    cfg = config or EnrichConfig()
+    tables_bc = Broadcast.put(
+        build_enrich_tables(mrconso, mrsty, mappings, target_triples, cfg.language)
+    )
+
+    entities = (
+        rd.from_arrow(source_triples)
+        .groupby("subj")
+        .map_groups(pivot_entities, batch_format="pyarrow")
+    )
+    enriched = entities.map_batches(
+        Enricher,
+        fn_constructor_args=(tables_bc, cfg),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=0.5,
+    ).materialize()
+
+    def emit(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        s, p, o, l = [], [], [], []
+        for r in rows:
+            for subj, pred, obj, lang in finalize_entity(r, cfg):
+                s.append(subj); p.append(pred); o.append(obj); l.append(lang)
+        return pa.table(
+            {
+                "subj": pa.array(s, pa.string()),
+                "pred": pa.array(p, pa.string()),
+                "obj": pa.array(o, pa.string()),
+                "obj_lang": pa.array(l, pa.string()),
+            }
+        )
+
+    triples = enriched.map_batches(emit, batch_format="pyarrow")
+
+    # step 4: re-add mapping triples (updateMappings :319-324)
+    map_rows = pa.table(
+        {
+            "subj": mappings["source_class"],
+            "pred": mappings["property"],
+            "obj": mappings["target_class"],
+            "obj_lang": pa.array([None] * mappings.num_rows, pa.string()),
+        }
+    )
+    if map_rows.num_rows:
+        triples = triples.union(rd.from_arrow(map_rows))
+
+    unmatched = enriched.map_batches(
+        lambda b: b.filter(
+            pa.compute.equal(pa.compute.list_value_length(b["cuis"]), 0)
+        ).select(["entity_uri", "pref_label"]),
+        batch_format="pyarrow",
+    )
+    return triples, unmatched

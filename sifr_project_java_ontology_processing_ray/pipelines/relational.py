@@ -1,0 +1,509 @@
+"""Relational operator suite over the driver's testdata tables.
+
+Each function maps one operator family from SURVEY.md §2 onto the TPC-H-ish
+tables and has an exact DuckDB oracle (see ``__ray_entry__.oracle_sql``).
+Column names match the oracle SQL exactly; float aggregates are rounded on
+both sides so value-hashes compare stably.
+
+Patterns exercised (→ SURVEY op):
+- partial per-batch pre-aggregation before a small groupby (A1/A6)
+- sorted collect_set per group (M3/A2/A3, TreeSet semantics K4/K5)
+- per-group argmax with deterministic ties (A4/K1/K2)
+- global top-k via sort+limit (K1)
+- broadcast hash joins / semi joins / anti joins (J1/J2/J4/J5, ST1)
+- range join via searchsorted over a broadcast range table (J7/M12)
+- union + distinct (§2.7), coalesce chains (M15), string projections (M4)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+
+def _p(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> "rd.Dataset":
+    return rd.read_parquet(_p(sf_dir, name), columns=columns)
+
+
+def _round_col(t: pa.Table, col: str, digits: int) -> pa.Table:
+    i = t.schema.get_field_index(col)
+    return t.set_column(i, col, pc.round(t[col], ndigits=digits))
+
+
+# --------------------------------------------------------------------------
+# A1/A6: grouped aggregation with per-batch partial pre-aggregation
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped summary. The partial combiner inside map_batches
+    reduces each batch to ≤|groups| rows BEFORE the shuffle (SURVEY §2.5 A6:
+    per-batch partial counts → Sum aggregate)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        batch = batch.append_column("rev", rev)
+        return (
+            batch.group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("l_quantity", "sum"), ("rev", "sum"), ("l_quantity", "count")])
+            .rename_columns(["l_returnflag", "l_linestatus", "p_qty", "p_rev", "p_n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("p_qty", alias_name="sum_qty"),
+            Sum("p_rev", alias_name="sum_revenue"),
+            Sum("p_n", alias_name="n_rows"),
+        )
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = _round_col(_round_col(t, "sum_revenue", 2), "sum_qty", 2)
+    return t
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# M3/A2: sorted collect_set per group (TreeSet determinism)
+# --------------------------------------------------------------------------
+
+def q_collect_segments(sf_dir: str):
+    """Per nation: sorted distinct market segments, comma-joined (the
+    deterministic 'sorted deduped TreeSet' of getObjectsThroughRelation,
+    BaseOntologyDelegate.java:256-283)."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_nationkey": [int(g["c_nationkey"].iloc[0])],
+                "segments": [",".join(sorted(set(g["c_mktsegment"])))],
+            }
+        )
+
+    return (
+        _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+        .groupby("c_nationkey")
+        .map_groups(per_group, batch_format="pandas")
+    )
+
+
+SQL_COLLECT_SEGMENTS = """
+SELECT c_nationkey,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments
+FROM customer GROUP BY c_nationkey
+"""
+
+
+# A3: inverse index label→codes
+def q_segment_nations(sf_dir: str):
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_mktsegment": [g["c_mktsegment"].iloc[0]],
+                "nations": [",".join(str(x) for x in sorted(set(int(v) for v in g["c_nationkey"])))],
+            }
+        )
+
+    return (
+        _read(sf_dir, "customer", ["c_mktsegment", "c_nationkey"])
+        .groupby("c_mktsegment")
+        .map_groups(per_group, batch_format="pandas")
+    )
+
+
+SQL_SEGMENT_NATIONS = """
+SELECT c_mktsegment,
+       array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# A4/K2: per-group argmax by frequency with deterministic ties
+# --------------------------------------------------------------------------
+
+def q_mfc_priority(sf_dir: str):
+    """Per customer: most-frequent order priority (ties → lexicographically
+    smallest), ≙ most-frequent-code selection EHealth...java:318-343."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g.groupby("o_orderpriority").size().reset_index(name="cnt")
+        counts = counts.sort_values(["cnt", "o_orderpriority"], ascending=[False, True])
+        return pd.DataFrame(
+            {
+                "o_custkey": [int(g["o_custkey"].iloc[0])],
+                "mfc_priority": [counts["o_orderpriority"].iloc[0]],
+                "mfc_count": [int(counts["cnt"].iloc[0])],
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .groupby("o_custkey")
+        .map_groups(per_group, batch_format="pandas")
+    )
+
+
+SQL_MFC_PRIORITY = """
+WITH counts AS (
+  SELECT o_custkey, o_orderpriority, count(*) AS cnt
+  FROM orders GROUP BY o_custkey, o_orderpriority
+), ranked AS (
+  SELECT o_custkey, o_orderpriority, cnt,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+  FROM counts
+)
+SELECT o_custkey, o_orderpriority AS mfc_priority, cnt AS mfc_count
+FROM ranked WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# K1: global top-k (sort desc + limit)
+# --------------------------------------------------------------------------
+
+def q_top_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return _round_col(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), "o_totalprice", 2)
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# J2: two-hop join through broadcast dimension tables
+# --------------------------------------------------------------------------
+
+def q_customers_per_region(sf_dir: str):
+    """customer →(nation)→ region, counted per region name. Both dimension
+    tables broadcast once via ray.put and joined with dict lookups inside
+    map_batches — no shuffle (≙ mapping 2-hop J2 with small mapping side)."""
+    nation = pa.parquet.read_table(_p(sf_dir, "nation"))
+    region = pa.parquet.read_table(_p(sf_dir, "region"))
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        names = [lookup[k] for k in batch["c_nationkey"].to_pylist()]
+        t = pa.table({"r_name": pa.array(names, pa.string()), "c_acctbal": batch["c_acctbal"]})
+        return (
+            t.group_by("r_name")
+            .aggregate([("c_acctbal", "sum"), ("c_acctbal", "count")])
+            .rename_columns(["r_name", "p_bal", "p_n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Sum("p_bal", alias_name="sum_acctbal"), Sum("p_n", alias_name="n_customers"))
+    )
+    return _round_col(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), "sum_acctbal", 2)
+
+
+SQL_CUSTOMERS_PER_REGION = """
+SELECT r_name, round(sum(c_acctbal), 2) AS sum_acctbal, count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# J4: broadcast hash join fact ⋈ small dimension
+# --------------------------------------------------------------------------
+
+def q_revenue_by_brand(sf_dir: str):
+    part = pa.parquet.read_table(_p(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    brand_ref = ray.put(dict(zip(part["p_partkey"].to_pylist(), part["p_brand"].to_pylist())))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        brands = ray.get(brand_ref)
+        b = [brands.get(k) for k in batch["l_partkey"].to_pylist()]
+        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        t = pa.table({"p_brand": pa.array(b, pa.string()), "rev": rev})
+        return (
+            t.group_by("p_brand")
+            .aggregate([("rev", "sum"), ("rev", "count")])
+            .rename_columns(["p_brand", "p_rev", "p_n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Sum("p_rev", alias_name="revenue"), Sum("p_n", alias_name="n_items"))
+    )
+    return _round_col(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), "revenue", 2)
+
+
+SQL_REVENUE_BY_BRAND = """
+SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# anti join (≙ M9 purge / S10 unmatched side-output)
+# --------------------------------------------------------------------------
+
+def q_orders_without_lineitems(sf_dir: str):
+    """Anti join via broadcast key set (≙ M9 purge anti-join / S10 unmatched
+    side-output). Broadcasting the fact-side key set works because the
+    DISTINCT key set of the probe side is dimension-sized; at 100TB the same
+    shape ships a Bloom filter of the keys instead."""
+    orderkeys = set(
+        pa.parquet.read_table(_p(sf_dir, "lineitem"), columns=["l_orderkey"])["l_orderkey"].to_pylist()
+    )
+    keys_ref = ray.put(orderkeys)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = [k not in keys for k in batch["o_orderkey"].to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        anti, batch_format="pyarrow"
+    )
+
+
+SQL_ORDERS_WITHOUT_LINEITEMS = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+"""
+
+
+# semi join (J1)
+def q_suppliers_in_customer_nations(sf_dir: str):
+    nkeys = set(
+        pa.parquet.read_table(_p(sf_dir, "customer"), columns=["c_nationkey"])["c_nationkey"].to_pylist()
+    )
+    keys_ref = ray.put(nkeys)
+
+    def semi(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = [k in keys for k in batch["s_nationkey"].to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]).map_batches(
+        semi, batch_format="pyarrow"
+    )
+
+
+SQL_SUPPLIERS_IN_CUSTOMER_NATIONS = """
+SELECT s_suppkey, s_name, s_nationkey FROM supplier
+WHERE s_nationkey IN (SELECT DISTINCT c_nationkey FROM customer)
+"""
+
+
+# --------------------------------------------------------------------------
+# J7/M12: range join via broadcast sorted bounds + searchsorted
+# --------------------------------------------------------------------------
+
+VALUE_BUCKETS = [0.0, 50.0, 100.0, 200.0, 500.0]
+BUCKET_LABELS = ["lt50", "50to100", "100to200", "200to500", "ge500"]
+
+
+def q_events_value_buckets(sf_dir: str):
+    """events.value bucketed by the fixed range table (≙ chapter range join,
+    EHealth2017DictionaryToSkos.java:394-402, via np.searchsorted)."""
+    bounds = np.array(VALUE_BUCKETS[1:])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy()
+        idx = np.searchsorted(bounds, v, side="left")
+        labels = [BUCKET_LABELS[i] for i in idx]
+        t = pa.table({"bucket": pa.array(labels, pa.string()), "value": batch["value"]})
+        return (
+            t.group_by("bucket")
+            .aggregate([("value", "sum"), ("value", "count")])
+            .rename_columns(["bucket", "p_sum", "p_n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "events", ["value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("p_sum", alias_name="sum_value"), Sum("p_n", alias_name="n_events"))
+    )
+    return _round_col(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), "sum_value", 2)
+
+
+SQL_EVENTS_VALUE_BUCKETS = """
+SELECT CASE WHEN value <= 50 THEN 'lt50'
+            WHEN value <= 100 THEN '50to100'
+            WHEN value <= 200 THEN '100to200'
+            WHEN value <= 500 THEN '200to500'
+            ELSE 'ge500' END AS bucket,
+       round(sum(value), 2) AS sum_value, count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.7 union + distinct
+# --------------------------------------------------------------------------
+
+def q_union_names(sf_dir: str):
+    a = _read(sf_dir, "nation", ["n_name"]).map_batches(
+        lambda b: b.rename_columns(["name"]), batch_format="pyarrow"
+    )
+    b = _read(sf_dir, "region", ["r_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow"
+    )
+    names = sorted(set(a.union(b).unique("name")))
+    return pa.table({"name": pa.array(names, pa.string())})
+
+
+SQL_UNION_NAMES = """
+SELECT DISTINCT name FROM (
+  SELECT n_name AS name FROM nation UNION ALL SELECT r_name FROM region
+)
+"""
+
+
+# distinct pairs (A8)
+def q_distinct_flags(sf_dir: str):
+    def per_batch(b: pa.Table) -> pa.Table:
+        return b.group_by(["l_returnflag", "l_linestatus"]).aggregate([])
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"]).map_batches(
+        per_batch, batch_format="pyarrow"
+    )
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+    return out
+
+
+SQL_DISTINCT_FLAGS = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+# --------------------------------------------------------------------------
+# K4: first-of-sorted per group (deterministic first event per user)
+# --------------------------------------------------------------------------
+
+def q_first_event(sf_dir: str):
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).head(1)
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "first_event": [g["event_type"].iloc[0]],
+                "first_event_id": [int(g["event_id"].iloc[0])],
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+        .groupby("user_id")
+        .map_groups(per_group, batch_format="pandas")
+    )
+
+
+SQL_FIRST_EVENT = """
+WITH ranked AS (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS first_event, event_id AS first_event_id
+FROM ranked WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# M15: coalesce chain / M4-style projection
+# --------------------------------------------------------------------------
+
+def q_lang_coalesce(sf_dir: str):
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"]
+        norm = pc.if_else(pc.equal(lang, ""), pa.scalar("und"), lang)
+        norm = pc.coalesce(norm, pa.scalar("und"))
+        t = pa.table({"lang_norm": norm})
+        return t.group_by("lang_norm").aggregate([("lang_norm", "count")]).rename_columns(
+            ["lang_norm", "p_n"]
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read(sf_dir, "documents", ["lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang_norm")
+        .aggregate(Sum("p_n", alias_name="n_docs"))
+    )
+
+
+SQL_LANG_COALESCE = """
+SELECT coalesce(nullif(lang, ''), 'und') AS lang_norm, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_type_prefix(sf_dir: str):
+    """First word of p_type (≙ M4/M13 vectorized string projection)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        prefix = pc.list_element(pc.split_pattern(batch["p_type"], " "), 0)
+        t = pa.table({"type_prefix": prefix, "p_retailprice": batch["p_retailprice"]})
+        return (
+            t.group_by("type_prefix")
+            .aggregate([("p_retailprice", "sum"), ("p_retailprice", "count")])
+            .rename_columns(["type_prefix", "p_sum", "p_n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "part", ["p_type", "p_retailprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("type_prefix")
+        .aggregate(Sum("p_sum", alias_name="sum_price"), Sum("p_n", alias_name="n_parts"))
+    )
+    return _round_col(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), "sum_price", 2)
+
+
+SQL_TYPE_PREFIX = """
+SELECT split_part(p_type, ' ', 1) AS type_prefix,
+       round(sum(p_retailprice), 2) AS sum_price, count(*) AS n_parts
+FROM part GROUP BY 1
+"""

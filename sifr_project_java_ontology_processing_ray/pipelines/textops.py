@@ -1,0 +1,368 @@
+"""Training-data text operations over the ``documents`` table: token
+counting, exact + near deduplication (MinHash-LSH, SimHash, n-gram
+Jaccard), language ID, quality scoring, fingerprinting.
+
+These are the large-scale pipeline operators the engine adds beyond the
+reference's own inventory (prompt requirement); each is expressed as
+vectorized ``map_batches`` + pre-aggregated ``groupby`` so the shuffle moves
+partials, not documents.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions.hashing import MinHasher, hamming64, rolling_fingerprints, shingles, simhash
+from ..functions.quality import detect_lang, quality_score
+from ..functions.similarity import jaccard_tokens
+from ..functions.text import count_tokens_bpeish
+
+
+def _p(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# token counting (whitespace; SQL-checkable)
+# --------------------------------------------------------------------------
+
+def q_token_counts(sf_dir: str):
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        counts = pa.array([len(t.split()) for t in texts], pa.int64())
+        t = pa.table({"lang": batch["lang"], "tok": counts})
+        return (
+            t.group_by("lang")
+            .aggregate([("tok", "sum"), ("tok", "count")])
+            .rename_columns(["lang", "p_tok", "p_n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("p_tok", alias_name="total_tokens"), Sum("p_n", alias_name="n_docs"))
+    )
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT lang, sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# exact dedup: hash-partition + per-group first (SQL-checkable via md5)
+# --------------------------------------------------------------------------
+
+def q_exact_dedup(sf_dir: str):
+    """One representative (min doc_id) per distinct text + duplicate count.
+    Pattern: vectorized content-hash column → groupby(hash) → min/count —
+    the 'hash-partition + per-group first' exact-dedup shape (§2.7)."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table({"h": pa.array(h, pa.string()), "doc_id": batch["doc_id"]})
+
+    from ray.data.aggregate import Count, Min
+
+    out = (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(add_hash, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="dup_count"))
+    )
+    return out.to_pandas()[["doc_id", "dup_count"]]
+
+
+SQL_EXACT_DEDUP = """
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+# quality filter (SQL-checkable)
+def q_quality_filter(sf_dir: str):
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(batch["n_chars"], 100), pc.less_equal(batch["n_chars"], 400)),
+            pc.equal(batch["lang"], "en"),
+        )
+        t = batch.filter(mask)
+        return (
+            t.group_by("source").aggregate([("doc_id", "count")]).rename_columns(["source", "p_n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "source", "lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("p_n", alias_name="n_docs"))
+    )
+
+
+SQL_QUALITY_FILTER = """
+SELECT source, count(*) AS n_docs FROM documents
+WHERE n_chars BETWEEN 100 AND 400 AND lang = 'en'
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# language ID + quality scoring (heuristics — rows-only check)
+# --------------------------------------------------------------------------
+
+def q_langid(sf_dir: str):
+    """Detected language distribution + agreement with the tagged lang."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        tagged = batch["lang"].to_pylist()
+        det = [detect_lang(t) for t in texts]
+        agree = pa.array([int(d == l) for d, l in zip(det, tagged)], pa.int64())
+        t = pa.table({"detected": pa.array(det, pa.string()), "agree": agree})
+        return (
+            t.group_by("detected")
+            .aggregate([("agree", "sum"), ("agree", "count")])
+            .rename_columns(["detected", "p_agree", "p_n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["text", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("detected")
+        .aggregate(Sum("p_agree", alias_name="n_agree"), Sum("p_n", alias_name="n_docs"))
+    )
+
+
+def q_quality_scores(sf_dir: str):
+    """Quality-score summary per source (heuristic — rows-only check)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        scores = pa.array(
+            [quality_score(t) for t in batch["text"].to_pylist()], pa.float64()
+        )
+        t = pa.table({"source": batch["source"], "q": scores})
+        return (
+            t.group_by("source")
+            .aggregate([("q", "sum"), ("q", "count")])
+            .rename_columns(["source", "p_q", "p_n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("p_q", alias_name="sum_q"), Sum("p_n", alias_name="n_docs"))
+    )
+    df = out.to_pandas()
+    df["mean_quality"] = (df["sum_q"] / df["n_docs"]).round(4)
+    return df[["source", "n_docs", "mean_quality"]]
+
+
+def q_bpeish_tokens(sf_dir: str):
+    """BPE-ish token counting (regex pre-tokenizer) — rows-only check."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = pa.array(
+            [count_tokens_bpeish(t) for t in batch["text"].to_pylist()], pa.int64()
+        )
+        t = pa.table({"lang": batch["lang"], "tok": counts})
+        return t.group_by("lang").aggregate([("tok", "sum")]).rename_columns(["lang", "p_tok"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("p_tok", alias_name="total_bpeish_tokens"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH near-dedup (rows-only)
+# --------------------------------------------------------------------------
+
+NUM_PERM = 64
+NUM_BANDS = 16
+JACCARD_THRESHOLD = 0.6
+
+
+def minhash_candidates(sf_dir: str, num_bands: int = NUM_BANDS):
+    """documents → (band_id, band_hash, doc_id) rows → groupby bucket →
+    candidate pairs. Returns the candidate-pair Dataset."""
+    class Signatures:
+        def __init__(self):
+            self.mh = MinHasher(num_perm=NUM_PERM)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            doc_ids, bands_out, bhash = [], [], []
+            for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+                sig = self.mh.signature(shingles(text.split(), k=3))
+                for b_id, b_hash in enumerate(self.mh.bands(sig, num_bands)):
+                    doc_ids.append(did)
+                    bands_out.append(b_id)
+                    bhash.append(b_hash)
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc_ids, pa.int64()),
+                    "band_id": pa.array(bands_out, pa.int32()),
+                    "band_hash": pa.array(np.array(bhash, dtype=np.uint64)),
+                }
+            )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(int(x) for x in g["doc_id"]))
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+        # cap per-bucket pair explosion (hot-bucket guard)
+        ids = ids[:50]
+        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        return pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return (
+        ds.map_batches(Signatures, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+        .groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+
+def q_minhash_dedup(sf_dir: str):
+    """Near-duplicate pairs verified by true token-Jaccard ≥ threshold.
+    Returns (a, b, jaccard) — empty when the corpus has no near-dups."""
+    cdf = minhash_candidates(sf_dir).to_pandas()
+    pairs = sorted({(int(a), int(b)) for a, b in zip(cdf["a"], cdf["b"])}) if len(cdf) else []
+    if not pairs:
+        return pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+    # verify true Jaccard on the (small) candidate set
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    rows = []
+    for a, b in pairs:
+        ja = jaccard_tokens(set(texts[a].split()), set(texts[b].split()))
+        if ja >= JACCARD_THRESHOLD:
+            rows.append((a, b, round(ja, 4)))
+    return pd.DataFrame(rows, columns=["a", "b", "jaccard"]) if rows else pd.DataFrame(
+        {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+         "jaccard": pd.Series([], dtype="float64")}
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dedup (rows-only)
+# --------------------------------------------------------------------------
+
+def q_simhash_dedup(sf_dir: str, max_hamming: int = 6):
+    """SimHash per doc → bucket by 16-bit prefix bands → near pairs with
+    Hamming distance ≤ max_hamming."""
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        doc_ids, hashes = [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            doc_ids.append(did)
+            hashes.append(simhash(text.split()))
+        return pa.table(
+            {"doc_id": pa.array(doc_ids, pa.int64()),
+             "sim": pa.array(np.array(hashes, dtype=np.uint64))}
+        )
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+        sigs, batch_format="pyarrow"
+    )
+    # 4 bands of 16 bits: near-dups agree on ≥1 band (pigeonhole for ≤6 flips
+    # is not guaranteed, but 4×16 catches ≤3 flips always and ≤6 w.h.p.)
+    def band_rows(batch: pa.Table) -> pa.Table:
+        doc_ids, bands, keys = [], [], []
+        for did, h in zip(batch["doc_id"].to_pylist(), batch["sim"].to_pylist()):
+            for b in range(4):
+                doc_ids.append(did)
+                bands.append(b)
+                keys.append((int(h) >> (16 * b)) & 0xFFFF)
+        return pa.table(
+            {"doc_id": pa.array(doc_ids, pa.int64()),
+             "band": pa.array(bands, pa.int32()),
+             "key": pa.array(keys, pa.int32()),
+             }
+        )
+
+    sig_tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    sims = dict(zip(sig_tbl["doc_id"].to_pylist(), [int(x) for x in sig_tbl["sim"].to_pylist()]))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(int(x) for x in g["doc_id"]))[:50]
+        rows = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        return pd.DataFrame({"a": [r[0] for r in rows], "b": [r[1] for r in rows]})
+
+    cand = (
+        rd.from_arrow(sig_tbl)
+        .map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    cdf = cand.to_pandas().drop_duplicates()
+    rows = []
+    for a, b in sorted({(int(a), int(b)) for a, b in zip(cdf.get("a", []), cdf.get("b", []))}):
+        d = hamming64(sims[a], sims[b])
+        if d <= max_hamming:
+            rows.append((a, b, d))
+    return pd.DataFrame(rows, columns=["a", "b", "hamming"]) if rows else pd.DataFrame(
+        {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+         "hamming": pd.Series([], dtype="int64")}
+    )
+
+
+# --------------------------------------------------------------------------
+# rolling-hash fingerprints (rows-only)
+# --------------------------------------------------------------------------
+
+def q_fingerprints(sf_dir: str):
+    """Winnowing fingerprints per doc → count of docs sharing ≥1 fingerprint
+    with another doc, plus total distinct fingerprints."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        doc_ids, prints = [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for h in rolling_fingerprints(text):
+                doc_ids.append(did)
+                prints.append(h)
+        return pa.table(
+            {"doc_id": pa.array(doc_ids, pa.int64()),
+             "fp": pa.array(np.array(prints, dtype=np.uint64))}
+        )
+
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow"
+    )
+    shared = ds.groupby("fp").aggregate(Count(alias_name="n_docs"))
+    df = shared.to_pandas()
+    return pd.DataFrame(
+        {
+            "distinct_fingerprints": [len(df)],
+            "shared_fingerprints": [int((df["n_docs"] > 1).sum())],
+        }
+    )
