@@ -1,0 +1,129 @@
+"""Benchmark harness.
+
+Headline: the flagship KG-construction pipeline (pages → triples) over pages
+derived deterministically from ``$GRAFT_SF_DIR/documents.parquet`` (default
+/root/testdata/sf0.1), plus a representative query subset. Prints ONE JSON
+line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "triples_per_sec": ...}
+
+``--scaling``: runs the headline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
+plus efficiency = (t8/t32)/(32/8)  (1.0 = linear). This is the sandbox
+evidence for the north rule's N→4N cluster-scaling criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "customers_per_region",
+    "revenue_by_brand",
+    "mfc_priority",
+    "token_counts",
+    "exact_dedup",
+    "minhash_dedup",
+    "knn_top10",
+]
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from sifr_project_java_ontology_processing_ray import testgen
+    from sifr_project_java_ontology_processing_ray.pipelines import kg
+    import __ray_entry__ as entrymod
+
+    # materialize + warm the pages input (measure compute, not first read);
+    # bench scale = documents x REPLICATE pages (FIXTURES.md: bench ~100k rows)
+    replicate = int(os.environ.get("GRAFT_PAGES_REPLICATE", "20"))
+    pages = testgen.pages_path_for(SF_DIR, replicate=replicate)
+    with open(pages, "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    mrconso, mrsty = testgen.umls_tables()
+    read_blocks = max(NUM_CPUS * 4, 16)
+    t0 = time.time()
+    triples = kg.build_kg(
+        pages, mrconso, mrsty, read_blocks=read_blocks, pack_struct=False
+    )
+    n_triples = triples.count()
+    t_kg = time.time() - t0
+
+    q = entrymod.queries()
+    q_times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        res = q[name](SF_DIR)
+        if isinstance(res, ray.data.Dataset):  # consume lazy results
+            res.count()
+        q_times[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "kg_build_sec",
+        "value": round(t_kg, 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": SF_DIR,
+        "pages_replicate": replicate,
+        "num_cpus": NUM_CPUS,
+        "n_triples": int(n_triples),
+        "triples_per_sec": round(n_triples / t_kg, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8to32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8cpu": t_lo,
+        "sec_32cpu": t_hi,
+        "triples_per_sec_8cpu": lo["triples_per_sec"],
+        "triples_per_sec_32cpu": hi["triples_per_sec"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

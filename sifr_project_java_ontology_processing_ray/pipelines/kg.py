@@ -35,7 +35,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from ..functions.hashing import content_hash
 from ..stages.canonicalize import ApplyCanonical, build_canonical_maps
 from ..stages.extract import extract_text_batch, non_empty_text
 from ..stages.link import CandidateScorer, build_link_tables
@@ -49,6 +48,7 @@ PRED_MENTIONS = "sifr:mentions"
 PRED_COOCCURS = "sifr:cooccursWith"
 PRED_PREFLABEL = "skos:prefLabel"
 PRED_CUI = "umls:cui"
+COOCCUR_BUCKETS = 64
 PRED_TUI = "umls:tui"
 OBJ_PAGE = "web:Page"
 
@@ -85,19 +85,46 @@ def pack_provenance(batch: pa.Table) -> pa.Table:
     return out.append_column("provenance", prov)
 
 
+def _columns_triples(
+    subj: pa.ChunkedArray | pa.Array,
+    pred: str,
+    obj: pa.ChunkedArray | pa.Array,
+    obj_is_literal: bool,
+    prov_url,
+    prov_ts,
+    rule: str,
+    obj_lang=None,
+) -> pa.Table:
+    """Zero-copy assembly of a flat-triples table from arrow columns."""
+    n = len(subj)
+    return pa.table(
+        {
+            "subj": subj,
+            "pred": pa.array([pred] * n, pa.string()),
+            "obj": obj,
+            "obj_lang": obj_lang if obj_lang is not None else pa.array([None] * n, pa.string()),
+            "obj_is_literal": pa.array([obj_is_literal] * n, pa.bool_()),
+            "prov_url": prov_url,
+            "prov_ts": prov_ts,
+            "prov_rule": pa.array([rule] * n, pa.string()),
+        }
+    )
+
+
 def _page_triples(batch: pa.Table) -> pa.Table:
-    """(url, rdf:type, web:Page) + (url, dc:language, lang) per page."""
-    urls = batch["url"].to_pylist()
-    tss = batch["warc_ts"].to_pylist()
-    langs = batch["lang"].to_pylist()
-    s, p, o, lit, pu, pt = [], [], [], [], [], []
-    for url, ts, lang in zip(urls, tss, langs):
-        s.append(url); p.append(PRED_TYPE); o.append(OBJ_PAGE)
-        lit.append(False); pu.append(url); pt.append(ts)
-        if lang:
-            s.append(url); p.append(PRED_LANG); o.append(lang)
-            lit.append(True); pu.append(url); pt.append(ts)
-    return _flat_triples(s, p, o, [None] * len(s), lit, pu, pt, "page")
+    """(url, rdf:type, web:Page) + (url, dc:language, lang) per page —
+    vectorized column assembly, no row loop."""
+    n = batch.num_rows
+    t_type = _columns_triples(
+        batch["url"], PRED_TYPE, pa.array([OBJ_PAGE] * n, pa.string()), False,
+        batch["url"], batch["warc_ts"], "page",
+    )
+    tagged = batch.filter(pc.greater(pc.utf8_length(batch["lang"]), 0))
+    t_lang = _columns_triples(
+        tagged["url"], PRED_LANG, tagged["lang"], True,
+        tagged["url"], tagged["warc_ts"], "page",
+    )
+    return pa.concat_tables([t_type, t_lang])
 
 
 def _mention_triples(batch: pa.Table) -> pa.Table:
@@ -107,11 +134,9 @@ def _mention_triples(batch: pa.Table) -> pa.Table:
         .group_by(["url", "entity_uri"])
         .aggregate([("warc_ts", "min")])
     )
-    n = tbl.num_rows
-    return _flat_triples(
-        tbl["url"].to_pylist(), PRED_MENTIONS, tbl["entity_uri"].to_pylist(),
-        [None] * n, False, tbl["url"].to_pylist(), tbl["warc_ts_min"].to_pylist(),
-        "mention",
+    return _columns_triples(
+        tbl["url"], PRED_MENTIONS, tbl["entity_uri"], False,
+        tbl["url"], tbl["warc_ts_min"], "mention",
     )
 
 
@@ -122,29 +147,65 @@ def _label_triples(batch: pa.Table) -> pa.Table:
         .group_by(["entity_uri", "surface"])
         .aggregate([("url", "min"), ("warc_ts", "min")])
     )
-    n = tbl.num_rows
-    return _flat_triples(
-        tbl["entity_uri"].to_pylist(), PRED_PREFLABEL, tbl["surface"].to_pylist(),
-        [None] * n, True, tbl["url_min"].to_pylist(), tbl["warc_ts_min"].to_pylist(),
-        "label",
+    return _columns_triples(
+        tbl["entity_uri"], PRED_PREFLABEL, tbl["surface"], True,
+        tbl["url_min"], tbl["warc_ts_min"], "label",
     )
 
 
-def _cooccur_triples(group: pa.Table) -> pa.Table:
-    """Per-url group: adjacent-mention co-occurrence edges, subj<obj."""
-    order = pc.sort_indices(group["position"])
-    uris = group["entity_uri"].take(order).to_pylist()
-    urls = group["url"].take(order).to_pylist()
-    tss = group["warc_ts"].take(order).to_pylist()
-    s, o, pu, pt = [], [], [], []
-    for i in range(len(uris) - 1):
-        a, b = uris[i], uris[i + 1]
-        if a == b:
-            continue
-        if b < a:
-            a, b = b, a
-        s.append(a); o.append(b); pu.append(urls[i]); pt.append(tss[i])
-    return _flat_triples(s, PRED_COOCCURS, o, [None] * len(s), False, pu, pt, "cooccur")
+class PairTriples:
+    """Shuffle-free co-occurrence (≙ the salted-groupby canonicalization
+    shuffle of SURVEY §7.3, made unnecessary): each mention row carries its
+    page-local successor surface (set at extraction time, where the page is
+    atomic), so adjacent-pair triples are derivable row-locally. Both ends
+    map to canonical URIs via the broadcast surface map (every surface maps
+    to exactly one union-find component, so surface_map[next] IS the
+    successor's entity_uri). Pairs with an unlinkable end are dropped.
+    Per-batch dedup collapses the pair stream to ~|distinct pairs|."""
+
+    def __init__(self, maps_bc: Broadcast):
+        self.surface_map = maps_bc.value["surface"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        empty = _flat_triples([], PRED_COOCCURS, [], [], False, [], [], "cooccur")
+        t = batch.filter(pc.is_valid(batch["next_surface"]))
+        if t.num_rows == 0:
+            return empty
+        a = np.asarray(t["entity_uri"])
+        b_ser = t["next_surface"].to_pandas().map(self.surface_map)
+        ok = b_ser.notna().to_numpy()
+        if not ok.any():
+            return empty
+        a = a[ok]
+        b = b_ser.to_numpy(dtype=object)[ok]
+        urls = np.asarray(t["url"])[ok]
+        tsn = t["warc_ts"].combine_chunks().cast(pa.int64()).to_numpy()[ok]
+        differ = a != b
+        a, b, urls, tsn = a[differ], b[differ], urls[differ], tsn[differ]
+        if len(a) == 0:
+            return empty
+        swap = b < a
+        lo = np.where(swap, b, a)
+        hi = np.where(swap, a, b)
+        order = np.lexsort((urls, hi, lo))
+        lo, hi, urls, tsn = lo[order], hi[order], urls[order], tsn[order]
+        first = np.concatenate([[True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])])
+        lo, hi, urls, tsn = lo[first], hi[first], urls[first], tsn[first]
+        m = len(lo)
+        return pa.table(
+            {
+                "subj": pa.array(lo, pa.string()),
+                "pred": pa.array([PRED_COOCCURS] * m, pa.string()),
+                "obj": pa.array(hi, pa.string()),
+                "obj_lang": pa.array([None] * m, pa.string()),
+                "obj_is_literal": pa.array([False] * m, pa.bool_()),
+                "prov_url": pa.array(urls, pa.string()),
+                "prov_ts": pa.array(tsn).cast(pa.timestamp("us")),
+                "prov_rule": pa.array(["cooccur"] * m, pa.string()),
+            }
+        )
 
 
 def _umls_triples(cui_map: dict[str, str], mrsty: pa.Table) -> pa.Table:
@@ -164,33 +225,50 @@ def _umls_triples(cui_map: dict[str, str], mrsty: pa.Table) -> pa.Table:
     )
 
 
-def _add_dedup_key(batch: pa.Table) -> pa.Table:
-    keys = [
-        content_hash(f"{s}\x00{p}\x00{o}")
-        for s, p, o in zip(
-            batch["subj"].to_pylist(), batch["pred"].to_pylist(), batch["obj"].to_pylist()
-        )
-    ]
-    return batch.append_column("tkey", pa.array(keys, pa.string()))
+DEDUP_BUCKETS = 64
 
 
-def _first_per_key(tbl: pa.Table, key: str = "tkey") -> pa.Table:
-    """Deterministic first-row-per-key: sort by (key, prov_url) then keep
-    first occurrences. Arrow-native, vectorized."""
+def _add_dedup_bucket(batch: pa.Table) -> pa.Table:
+    """tbucket = stable-hash(subj,pred,obj) % B. The final dedup groups by
+    BUCKET (B groups total, not one python call per key) and dedups each
+    bucket vectorized on the actual (s,p,o) columns — exact, no reliance on
+    hash uniqueness. pandas' siphash (fixed key) is deterministic across
+    processes; python's salted hash() is not."""
+    import pandas as pd
+
+    key = pc.binary_join_element_wise(
+        batch["subj"], batch["pred"], batch["obj"], "\x00"
+    )
+    h = pd.util.hash_pandas_object(key.to_pandas(), index=False)
+    buckets = (h % DEDUP_BUCKETS).astype("int32")
+    return batch.append_column("tbucket", pa.array(buckets.to_numpy()))
+
+
+def _first_per_spo(tbl: pa.Table) -> pa.Table:
+    """Deterministic first-row-per-(subj,pred,obj): sort by (s,p,o,prov_url)
+    then keep first occurrences. Arrow/numpy vectorized; equal (s,p,o) with
+    different obj_lang collapse deliberately (Jena set semantics are on the
+    object node)."""
     if tbl.num_rows == 0:
         return tbl
-    tbl = tbl.sort_by([(key, "ascending"), ("prov_url", "ascending")])
-    k = np.asarray(tbl[key])
-    mask = np.concatenate([[True], k[1:] != k[:-1]])
+    tbl = tbl.sort_by(
+        [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending"),
+         ("prov_url", "ascending")]
+    )
+    s = np.asarray(tbl["subj"])
+    p = np.asarray(tbl["pred"])
+    o = np.asarray(tbl["obj"])
+    same = (s[1:] == s[:-1]) & (p[1:] == p[:-1]) & (o[1:] == o[:-1])
+    mask = np.concatenate([[True], ~same])
     return tbl.filter(pa.array(mask))
 
 
 def _dedup_batch(batch: pa.Table) -> pa.Table:
-    return _first_per_key(batch)
+    return _first_per_spo(batch)
 
 
 def _dedup_group(group: pa.Table) -> pa.Table:
-    return _first_per_key(group)
+    return _first_per_spo(group)
 
 
 def build_kg(
@@ -242,13 +320,14 @@ def build_kg(
         batch_size=link_batch_size,
         concurrency=concurrency,
         num_cpus=actor_num_cpus,
-    ).materialize()  # fanned out to 4 consumers; far smaller than input
+    ).materialize()  # consumed by edges + unmatched + entities; ≪ input size
 
     linked = linked_all.map_batches(
-        lambda b: b.filter(pc.is_valid(b["cui"])), batch_format="pyarrow"
+        lambda b: b.filter(pc.is_valid(b["cui"])).drop_columns(["mention_id", "term", "score"]),
+        batch_format="pyarrow",
     )
     unmatched = linked_all.map_batches(
-        lambda b: b.filter(pc.is_null(b["cui"])).drop_columns(["cui", "term", "score"]),
+        lambda b: b.filter(pc.is_null(b["cui"])).drop_columns(["cui", "term", "score", "next_surface"]),
         batch_format="pyarrow",
     )
 
@@ -270,6 +349,8 @@ def build_kg(
     maps = build_canonical_maps(edges)
     maps_bc = Broadcast.put(maps)
 
+    # materialized ONCE: the three triple emitters below would otherwise
+    # each re-run the canonicalization pass over every linked mention
     entities = linked.map_batches(
         ApplyCanonical,
         fn_constructor_args=(maps_bc,),
@@ -277,27 +358,31 @@ def build_kg(
         batch_size=link_batch_size,
         concurrency=concurrency,
         num_cpus=actor_num_cpus,
-    )
+    ).materialize()
 
     # --- triple emission -------------------------------------------------
     page_meta = rd.read_parquet(pages_path, columns=["url", "warc_ts", "lang"])
     t_pages = page_meta.map_batches(_page_triples, batch_format="pyarrow")
     t_mentions = entities.map_batches(_mention_triples, batch_format="pyarrow")
     t_labels = entities.map_batches(_label_triples, batch_format="pyarrow")
-    t_cooccur = (
-        entities.select_columns(["url", "warc_ts", "position", "entity_uri"])
-        .groupby("url")
-        .map_groups(_cooccur_triples, batch_format="pyarrow")
+
+    t_cooccur = entities.map_batches(
+        PairTriples,
+        fn_constructor_args=(maps_bc,),
+        batch_format="pyarrow",
+        batch_size=link_batch_size,
+        concurrency=concurrency,
+        num_cpus=actor_num_cpus,
     )
     t_umls = rd.from_arrow(_umls_triples(maps["cui"], mrsty))
 
     triples = (
         t_pages.union(t_mentions, t_labels, t_cooccur, t_umls)
-        .map_batches(_add_dedup_key, batch_format="pyarrow")
         .map_batches(_dedup_batch, batch_format="pyarrow")
-        .groupby("tkey")
+        .map_batches(_add_dedup_bucket, batch_format="pyarrow")
+        .groupby("tbucket")
         .map_groups(_dedup_group, batch_format="pyarrow")
-        .drop_columns(["tkey"])
+        .drop_columns(["tbucket"])
     )
     if pack_struct:
         triples = triples.map_batches(pack_provenance, batch_format="pyarrow")

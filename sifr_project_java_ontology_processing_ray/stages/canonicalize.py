@@ -74,7 +74,9 @@ def build_canonical_maps(edges: list[tuple[str, str]]) -> dict:
 
 
 class ApplyCanonical:
-    """map_batches actor: add ``entity_uri`` from the broadcast maps."""
+    """map_batches actor: add ``entity_uri`` from the broadcast maps.
+    Vectorized: pandas hash-map lookups (C speed), python fallback only for
+    the rare surface outside both maps."""
 
     def __init__(self, maps_bc: Broadcast):
         m = maps_bc.value
@@ -82,12 +84,19 @@ class ApplyCanonical:
         self.cui_map = m["cui"]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        surfaces = batch["surface"].to_pylist()
-        cuis = batch["cui"].to_pylist() if "cui" in batch.column_names else [None] * len(surfaces)
-        uris = [
-            (self.cui_map.get(c) if c else None)
-            or self.surface_map.get(s)
-            or entity_uri_for_surface(s)
-            for s, c in zip(surfaces, cuis)
-        ]
-        return batch.append_column("entity_uri", pa.array(uris, pa.string()))
+        import pandas as pd
+
+        surfaces = batch["surface"].to_pandas()
+        if "cui" in batch.column_names:
+            uris = batch["cui"].to_pandas().map(self.cui_map)
+        else:
+            uris = pd.Series([None] * len(surfaces), dtype=object)
+        missing = uris.isna()
+        if missing.any():
+            uris[missing] = surfaces[missing].map(self.surface_map)
+            still = uris.isna()
+            if still.any():
+                uris[still] = surfaces[still].map(entity_uri_for_surface)
+        return batch.append_column(
+            "entity_uri", pa.array(uris.to_numpy(dtype=object), pa.string())
+        )

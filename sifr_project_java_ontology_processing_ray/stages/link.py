@@ -150,12 +150,33 @@ class CandidateScorer:
         t = tables_bc.value
         self.cui_term = t["cui_term"]
         self.cui_sig = t["cui_sig"]
+        # ≙ the reference's Redis score memo (rscore_ keys,
+        # TverskiTermSimilarityRanker.java:47-56), here actor-local:
+        # surface → [(cui, term, surface_score)], (cui, ctx) → ctx_score
+        self._surface_memo: dict[str, list[tuple[str, str, float]]] = {}
+        self._ctx_memo: dict[tuple[str, str], float] = {}
 
-    def _score(self, surface: str, ctx: str, cui: str) -> float:
-        term = self.cui_term.get(cui, surface)
-        s = SURFACE_WEIGHT * tverski(surface, term)
-        if CONTEXT_WEIGHT:
-            s += CONTEXT_WEIGHT * tverski(ctx, self.cui_sig.get(cui, term))
+    def _scored_candidates(self, surface: str) -> list[tuple[str, str, float]]:
+        hit = self._surface_memo.get(surface)
+        if hit is None:
+            hit = [
+                (cui, self.cui_term.get(cui, surface),
+                 SURFACE_WEIGHT * tverski(surface, self.cui_term.get(cui, surface)))
+                for cui in sorted(self.gen.candidates_for(surface))
+            ]
+            if len(self._surface_memo) > 500_000:  # bound actor memory
+                self._surface_memo.clear()
+            self._surface_memo[surface] = hit
+        return hit
+
+    def _ctx_score(self, cui: str, term: str, ctx: str) -> float:
+        key = (cui, ctx)
+        s = self._ctx_memo.get(key)
+        if s is None:
+            s = CONTEXT_WEIGHT * tverski(ctx, self.cui_sig.get(cui, term))
+            if len(self._ctx_memo) > 500_000:
+                self._ctx_memo.clear()
+            self._ctx_memo[key] = s
         return s
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -163,19 +184,25 @@ class CandidateScorer:
         contexts = batch["context"].to_pylist()
         cuis, terms, scores = [], [], []
         for surface, ctx in zip(surfaces, contexts):
-            cands = self.gen.candidates_for(surface)
+            cands = self._scored_candidates(surface)
             if not cands:
                 cuis.append(None)
                 terms.append(None)
                 scores.append(None)
                 continue
-            best_cui, best = None, -1.0
-            for cui in sorted(cands):  # sorted → ties break to smallest CUI
-                s = self._score(surface, ctx, cui)
-                if s > best:
-                    best_cui, best = cui, s
+            if len(cands) == 1:
+                # single candidate: context cannot change the argmax
+                cui, term, s = cands[0]
+                cuis.append(cui); terms.append(term)
+                scores.append(s + (self._ctx_score(cui, term, ctx) if CONTEXT_WEIGHT else 0.0))
+                continue
+            best_cui, best_term, best = None, None, -1.0
+            for cui, term, s in cands:  # CUI-sorted → ties break smallest
+                total = s + (self._ctx_score(cui, term, ctx) if CONTEXT_WEIGHT else 0.0)
+                if total > best:
+                    best_cui, best_term, best = cui, term, total
             cuis.append(best_cui)
-            terms.append(self.cui_term.get(best_cui))
+            terms.append(best_term)
             scores.append(best)
         out = batch.drop_columns(["context"])
         out = out.append_column("cui", pa.array(cuis, pa.string()))

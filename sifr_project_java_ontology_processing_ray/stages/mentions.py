@@ -68,15 +68,20 @@ class MentionExtractor:
         urls = batch["url"].to_pylist()
         tss = batch["warc_ts"].to_pylist()
         texts = batch["text"].to_pylist()
-        m_id, m_url, m_ts, m_surface, m_pos, m_ctx = [], [], [], [], [], []
+        m_id, m_url, m_ts, m_surface, m_pos, m_ctx, m_next = [], [], [], [], [], [], []
         for url, ts, text in zip(urls, tss, texts):
-            for surface, pos, ctx in find_mentions(text, self.index, self.max_len):
+            found = find_mentions(text, self.index, self.max_len)
+            for i, (surface, pos, ctx) in enumerate(found):
                 m_id.append(f"{url}#{pos}")
                 m_url.append(url)
                 m_ts.append(ts)
                 m_surface.append(surface)
                 m_pos.append(pos)
                 m_ctx.append(ctx)
+                # successor pointer: page-local adjacency captured HERE,
+                # where the page is atomic — downstream co-occurrence needs
+                # no shuffle and no block-boundary reasoning (SURVEY §7.3)
+                m_next.append(found[i + 1][0] if i + 1 < len(found) else None)
         return pa.table(
             {
                 "mention_id": pa.array(m_id, pa.string()),
@@ -85,5 +90,6 @@ class MentionExtractor:
                 "surface": pa.array(m_surface, pa.string()),
                 "position": pa.array(m_pos, pa.int32()),
                 "context": pa.array(m_ctx, pa.string()),
+                "next_surface": pa.array(m_next, pa.string()),
             }
         )

@@ -27,7 +27,7 @@ _EPOCH = dt.datetime(2024, 1, 1)
 # F1: pages — derived deterministically from the documents table
 # --------------------------------------------------------------------------
 
-def pages_table_from_documents(documents: pa.Table) -> pa.Table:
+def pages_table_from_documents(documents: pa.Table, replicate: int = 1) -> pa.Table:
     """Build the Common-Crawl-style ``pages`` table from ``documents``.
 
     - url: ``https://{source}.example/doc/{doc_id}`` (sources repeat → hot
@@ -36,42 +36,57 @@ def pages_table_from_documents(documents: pa.Table) -> pa.Table:
       it byte-identically; every 97th row is truncated (malformed-HTML path)
     - text: pre-populated for odd doc_ids and malformed rows (extractor must
       pass through), empty for even doc_ids (extractor must fill)
+    - replicate>1 (bench scale): replica r rotates the word sequence by r
+      (same mentions, different adjacency) under url suffix ``?r={r}``;
+      every 10th replica keeps the text verbatim (exact-dup pages for the
+      dedup operators). Replica 0 is always the pristine corpus.
     """
     doc_ids = documents["doc_id"].to_pylist()
     texts = documents["text"].to_pylist()
     langs = documents["lang"].to_pylist()
     sources = documents["source"].to_pylist()
+    n = len(doc_ids)
 
-    urls, tss, htmls, out_texts = [], [], [], []
-    for i, (did, text, src) in enumerate(zip(doc_ids, texts, sources)):
-        urls.append(f"https://{src}.example/doc/{did}")
-        tss.append(_EPOCH + dt.timedelta(seconds=int(did)))
-        html = text_to_html(text, title=f"doc {did}")
-        malformed = did % 97 == 0
-        if malformed:
-            html = html[: max(20, len(html) // 2)]
-        htmls.append(html)
-        out_texts.append(text if (did % 2 == 1 or malformed) else "")
+    urls, tss, htmls, out_texts, out_langs = [], [], [], [], []
+    for r in range(replicate):
+        for did, text, src, lang in zip(doc_ids, texts, sources, langs):
+            if r == 0:
+                url = f"https://{src}.example/doc/{did}"
+            else:
+                url = f"https://{src}.example/doc/{did}?r={r}"
+                if r % 10 != 3:  # rotate words; r%10==3 keeps exact dup text
+                    words = text.split(" ")
+                    k = r % max(1, len(words))
+                    text = " ".join(words[k:] + words[:k])
+            urls.append(url)
+            tss.append(_EPOCH + dt.timedelta(seconds=int(did) + r * n))
+            html = text_to_html(text, title=f"doc {did}")
+            malformed = did % 97 == 0 and r == 0
+            if malformed:
+                html = html[: max(20, len(html) // 2)]
+            htmls.append(html)
+            out_texts.append(text if (did % 2 == 1 or malformed) else "")
+            out_langs.append(lang)
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
             "warc_ts": pa.array(tss, pa.timestamp("us")),
             "html": pa.array(htmls, pa.binary()),
             "text": pa.array(out_texts, pa.string()),
-            "lang": pa.array(langs, pa.string()),
+            "lang": pa.array(out_langs, pa.string()),
         },
         schema=schema.PAGES,
     )
 
 
-def write_pages_for_sf(sf_dir: str, out_path: str) -> str:
+def write_pages_for_sf(sf_dir: str, out_path: str, replicate: int = 1) -> str:
     """Materialize the pages parquet for a testdata scale dir (idempotent)."""
     if os.path.exists(out_path):
         return out_path
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
     tmp = out_path + ".tmp"
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    pq.write_table(pages_table_from_documents(docs), tmp)
+    pq.write_table(pages_table_from_documents(docs, replicate=replicate), tmp)
     os.replace(tmp, out_path)
     return out_path
 
@@ -320,7 +335,13 @@ def fixture_dir(root: str = "/tmp/sifr_fixtures") -> str:
     return root
 
 
-def pages_path_for(sf_dir: str, root: str = "/tmp/sifr_pages") -> str:
+def pages_path_for(
+    sf_dir: str, root: str = "/tmp/sifr_pages", replicate: int = 1
+) -> str:
     """Pages parquet for a given testdata dir, materialized on first use."""
     key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return write_pages_for_sf(sf_dir, os.path.join(root, key, "pages.parquet"))
+    if replicate > 1:
+        key = f"{key}_x{replicate}"
+    return write_pages_for_sf(
+        sf_dir, os.path.join(root, key, "pages.parquet"), replicate=replicate
+    )
