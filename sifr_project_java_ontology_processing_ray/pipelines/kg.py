@@ -37,8 +37,7 @@ import ray.data as rd
 
 from ..stages.canonicalize import ApplyCanonical, build_canonical_maps
 from ..stages.extract import extract_text_batch, non_empty_text
-from ..stages.link import CandidateScorer, build_link_tables
-from ..stages.mentions import MentionExtractor
+from ..stages.link import MentionLinker, build_link_tables
 from ..state import manifest as mf
 from ..state.broadcast import Broadcast
 
@@ -296,8 +295,6 @@ def build_kg(
         concurrency = max(2, ncpu // 2)
 
     tables = build_link_tables(mrconso)
-    alias_terms = sorted(tables["term"].keys())
-    alias_bc = Broadcast.put(alias_terms)
     tables_bc = Broadcast.put(tables)
 
     pages = rd.read_parquet(pages_path, override_num_blocks=read_blocks)
@@ -305,25 +302,19 @@ def build_kg(
         extract_text_batch, batch_format="pyarrow", batch_size=extract_batch_size
     ).map_batches(non_empty_text, batch_format="pyarrow")
 
-    mentions = pages_text.map_batches(
-        MentionExtractor,
-        fn_constructor_args=(alias_bc,),
-        batch_format="pyarrow",
-        batch_size=extract_batch_size,
-        concurrency=concurrency,
-        num_cpus=actor_num_cpus,
-    )
-    linked_all = mentions.map_batches(
-        CandidateScorer,
+    # FUSED extract→mention→link actor stage: one pool, no inter-stage
+    # row transfer, lazy context windows (see MentionLinker docstring)
+    linked_all = pages_text.map_batches(
+        MentionLinker,
         fn_constructor_args=(tables_bc,),
         batch_format="pyarrow",
-        batch_size=link_batch_size,
+        batch_size=extract_batch_size,
         concurrency=concurrency,
         num_cpus=actor_num_cpus,
     ).materialize()  # consumed by edges + unmatched + entities; ≪ input size
 
     linked = linked_all.map_batches(
-        lambda b: b.filter(pc.is_valid(b["cui"])).drop_columns(["mention_id", "term", "score"]),
+        lambda b: b.filter(pc.is_valid(b["cui"])).drop_columns(["term", "score"]),
         batch_format="pyarrow",
     )
     unmatched = linked_all.map_batches(
@@ -351,39 +342,53 @@ def build_kg(
 
     # materialized ONCE: the three triple emitters below would otherwise
     # each re-run the canonicalization pass over every linked mention
+    # PAGE-ATOMIC BLOCK INVARIANT: a page is ONE ROW until extraction, so
+    # each MentionLinker input batch holds whole pages and its output block
+    # holds all mention rows of those pages. Every stage from here to the
+    # mention-triple emitter uses batch_size=None (whole blocks), so a url
+    # never spans two batches and per-batch (url, entity) dedup is GLOBALLY
+    # exact — mention triples skip the dedup shuffle entirely. Blocks stay
+    # far below target_max_block_size, so Ray does not re-split them.
+    light_pool = max(2, (concurrency if isinstance(concurrency, int) else concurrency[1]) // 4)
     entities = linked.map_batches(
         ApplyCanonical,
         fn_constructor_args=(maps_bc,),
         batch_format="pyarrow",
-        batch_size=link_batch_size,
-        concurrency=concurrency,
+        batch_size=None,
+        concurrency=light_pool,
         num_cpus=actor_num_cpus,
     ).materialize()
 
     # --- triple emission -------------------------------------------------
     page_meta = rd.read_parquet(pages_path, columns=["url", "warc_ts", "lang"])
     t_pages = page_meta.map_batches(_page_triples, batch_format="pyarrow")
-    t_mentions = entities.map_batches(_mention_triples, batch_format="pyarrow")
+    t_mentions = entities.map_batches(
+        _mention_triples, batch_format="pyarrow", batch_size=None
+    )
     t_labels = entities.map_batches(_label_triples, batch_format="pyarrow")
 
     t_cooccur = entities.map_batches(
         PairTriples,
         fn_constructor_args=(maps_bc,),
         batch_format="pyarrow",
-        batch_size=link_batch_size,
-        concurrency=concurrency,
+        batch_size=None,
+        concurrency=light_pool,
         num_cpus=actor_num_cpus,
     )
     t_umls = rd.from_arrow(_umls_triples(maps["cui"], mrsty))
 
-    triples = (
-        t_pages.union(t_mentions, t_labels, t_cooccur, t_umls)
+    # page triples (unique urls) and mention triples (page-atomic blocks,
+    # see invariant above) are distinct by construction — only the small
+    # label/cooccur/umls streams need the global dedup shuffle
+    deduped_small = (
+        t_labels.union(t_cooccur, t_umls)
         .map_batches(_dedup_batch, batch_format="pyarrow")
         .map_batches(_add_dedup_bucket, batch_format="pyarrow")
         .groupby("tbucket")
         .map_groups(_dedup_group, batch_format="pyarrow")
         .drop_columns(["tbucket"])
     )
+    triples = t_pages.union(t_mentions, deduped_small)
     if pack_struct:
         triples = triples.map_batches(pack_provenance, batch_format="pyarrow")
 

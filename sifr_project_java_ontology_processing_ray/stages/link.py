@@ -222,3 +222,93 @@ def top1_per_mention(batch: pa.Table) -> pa.Table:
     df = df.sort_values(["mention_id", "score", "cui"], ascending=[True, False, True])
     out = df.groupby("mention_id", as_index=False, sort=False).first()
     return pa.Table.from_pandas(out[batch.column_names], preserve_index=False)
+
+
+class MentionLinker:
+    """FUSED pages → linked mentions: dictionary longest-match extraction +
+    candidate cascade + top-1 scoring in ONE actor stage.
+
+    Why fused: mention rows never cross an operator boundary (no 50×-row
+    inter-stage transfer), and the context window — needed only to break
+    ties between multiple candidates — is built lazily, so unambiguous
+    surfaces (the vast majority) skip it entirely. Single-candidate scores
+    are surface-only (context cannot change a 1-way argmax).
+
+    Emits one row per mention: (url, warc_ts, surface, position, cui, term,
+    score, next_surface); cui is null for unmatched surfaces (S10).
+    """
+
+    def __init__(self, tables_bc: Broadcast):
+        from .mentions import CONTEXT_WINDOW, build_alias_index
+
+        t = tables_bc.value
+        state = build_alias_index(sorted(t["term"].keys()))
+        self.index = state["index"]
+        self.max_len = state["max_len"]
+        self.ctx_window = CONTEXT_WINDOW
+        self.scorer = CandidateScorer(tables_bc)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.text import tokenize
+
+        sc = self.scorer
+        o_url, o_ts, o_surface, o_pos = [], [], [], []
+        o_cui, o_term, o_score, o_next = [], [], [], []
+        for url, ts, text in zip(
+            batch["url"].to_pylist(),
+            batch["warc_ts"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            toks = tokenize(text)
+            n = len(toks)
+            i = 0
+            first_of_page = len(o_url)
+            while i < n:
+                matched = None
+                for L in range(min(self.max_len, n - i), 0, -1):
+                    term = self.index.get(tuple(toks[i : i + L]))
+                    if term is not None:
+                        matched = (term, L)
+                        break
+                if not matched:
+                    i += 1
+                    continue
+                surface, L = matched
+                cands = sc._scored_candidates(surface)
+                if not cands:
+                    cui, term, score = None, None, None
+                elif len(cands) == 1:
+                    cui, term, score = cands[0]
+                else:
+                    ctx = " ".join(
+                        toks[max(0, i - self.ctx_window) : i]
+                        + toks[i + L : i + L + self.ctx_window]
+                    )
+                    cui, term, score = None, None, -1.0
+                    for c, t_, s in cands:
+                        total = s + sc._ctx_score(c, t_, ctx)
+                        if total > score:
+                            cui, term, score = c, t_, total
+                if len(o_url) > first_of_page:
+                    o_next[-1] = surface  # successor pointer (page-local)
+                o_url.append(url)
+                o_ts.append(ts)
+                o_surface.append(surface)
+                o_pos.append(i)
+                o_cui.append(cui)
+                o_term.append(term)
+                o_score.append(score)
+                o_next.append(None)
+                i += L
+        return pa.table(
+            {
+                "url": pa.array(o_url, pa.string()),
+                "warc_ts": pa.array(o_ts, pa.timestamp("us")),
+                "surface": pa.array(o_surface, pa.string()),
+                "position": pa.array(o_pos, pa.int32()),
+                "cui": pa.array(o_cui, pa.string()),
+                "term": pa.array(o_term, pa.string()),
+                "score": pa.array(o_score, pa.float64()),
+                "next_surface": pa.array(o_next, pa.string()),
+            }
+        )

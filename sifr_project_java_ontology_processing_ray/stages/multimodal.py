@@ -1,0 +1,123 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata,
+processed by actor-pool map_batches stages.
+
+The image/audio decode libraries are NOT in this container, so the decode
+kernel is stubbed two ways (prompt requirement):
+- ``RealImageDecoder`` raises NotImplementedError unless PIL is importable
+  (import-try gated) — the Ray-side plumbing (schema, batch size, actor
+  signature, output layout) is real;
+- ``FakeImageDecoder`` parses this repo's deterministic fake payload format
+  and is fully tested, standing in for the real decoder in pipelines.
+
+Fake payload format (testable end-to-end):
+    b"FAKEIMG" + width:uint16 + height:uint16 + channels:uint8 + seed bytes
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+MAGIC = b"FAKEIMG"
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+    ]
+)
+
+
+def encode_fake_image(media_id: int, width: int, height: int, channels: int = 3) -> bytes:
+    return MAGIC + struct.pack("<HHB", width, height, channels) + media_id.to_bytes(8, "little")
+
+
+def make_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic media fixture: n fake images with varying dims."""
+    rng = np.random.RandomState(seed)
+    ids, payloads, widths, heights = [], [], [], []
+    for i in range(n):
+        w, h = int(rng.randint(16, 256)), int(rng.randint(16, 256))
+        ids.append(i)
+        payloads.append(encode_fake_image(i, w, h))
+        widths.append(w)
+        heights.append(h)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/x-fake"] * n, pa.string()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class FakeImageDecoder:
+    """Actor stage: payload → decoded dims + deterministic feature vector.
+
+    Mirrors the real decoder's shape: heavy init in __init__ (here: the
+    feature projection matrix), small batches (binary payloads are wide —
+    size batch_size so batch × concurrency fits worker heap)."""
+
+    def __init__(self, feature_dim: int = 8, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.proj = rng.randn(3, feature_dim)
+
+    def decode(self, payload: bytes) -> tuple[int, int, int]:
+        if not payload.startswith(MAGIC):
+            raise ValueError("not a fake image payload")
+        w, h, c = struct.unpack("<HHB", payload[len(MAGIC) : len(MAGIC) + 5])
+        return w, h, c
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dims, feats = [], []
+        for payload in batch["payload"].to_pylist():
+            w, h, c = self.decode(payload)
+            dims.append((w, h, c))
+            feats.append((np.array([w, h, c], dtype=np.float64) @ self.proj).tolist())
+        out = batch.drop_columns(["payload"])  # drop wide binary early
+        out = out.append_column("decoded_w", pa.array([d[0] for d in dims], pa.int32()))
+        out = out.append_column("decoded_h", pa.array([d[1] for d in dims], pa.int32()))
+        out = out.append_column("channels", pa.array([d[2] for d in dims], pa.int32()))
+        out = out.append_column("features", pa.array(feats, pa.list_(pa.float64())))
+        return out
+
+
+class RealImageDecoder:
+    """The real thing, gated behind an import-try: raises at construction
+    when PIL is unavailable (this container). Signature identical to
+    FakeImageDecoder so pipelines swap freely."""
+
+    def __init__(self, feature_dim: int = 8):
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "image decoding requires PIL, not present in this environment; "
+                "use FakeImageDecoder for the plumbing-tested path"
+            ) from e
+        self.feature_dim = feature_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # pragma: no cover
+        raise NotImplementedError
+
+
+def resize_metadata(batch: pa.Table, max_side: int = 64) -> pa.Table:
+    """Resize planning stage (pure metadata math — the pixel work happens in
+    the decoder actor when a real codec exists): scale dims to fit
+    max_side, preserving aspect ratio."""
+    import pyarrow.compute as pc
+
+    w = batch["decoded_w"].to_numpy().astype(np.float64)
+    h = batch["decoded_h"].to_numpy().astype(np.float64)
+    scale = np.minimum(1.0, max_side / np.maximum(w, h))
+    return batch.append_column(
+        "resized_w", pa.array((w * scale).astype(np.int32))
+    ).append_column("resized_h", pa.array((h * scale).astype(np.int32)))
