@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_event": relational.q_first_event,
         "lang_coalesce": relational.q_lang_coalesce,
         "type_prefix": relational.q_type_prefix,
+        "orders_per_customer": relational.q_orders_per_customer,
+        "event_windows": relational.q_event_windows,
+        "order_stats": relational.q_order_stats,
         # text / training-data ops
         "token_counts": textops.q_token_counts,
         "exact_dedup": textops.q_exact_dedup,
@@ -115,6 +118,9 @@ def oracle_sql() -> dict[str, str]:
         "first_event": relational.SQL_FIRST_EVENT,
         "lang_coalesce": relational.SQL_LANG_COALESCE,
         "type_prefix": relational.SQL_TYPE_PREFIX,
+        "orders_per_customer": relational.SQL_ORDERS_PER_CUSTOMER,
+        "event_windows": relational.SQL_EVENT_WINDOWS,
+        "order_stats": relational.SQL_ORDER_STATS,
         "token_counts": textops.SQL_TOKEN_COUNTS,
         "exact_dedup": textops.SQL_EXACT_DEDUP,
         "quality_filter": textops.SQL_QUALITY_FILTER,

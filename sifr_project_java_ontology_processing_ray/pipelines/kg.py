@@ -231,16 +231,21 @@ def _add_dedup_bucket(batch: pa.Table) -> pa.Table:
     """tbucket = stable-hash(subj,pred,obj) % B. The final dedup groups by
     BUCKET (B groups total, not one python call per key) and dedups each
     bucket vectorized on the actual (s,p,o) columns — exact, no reliance on
-    hash uniqueness. pandas' siphash (fixed key) is deterministic across
-    processes; python's salted hash() is not."""
-    import pandas as pd
+    hash uniqueness.
 
-    key = pc.binary_join_element_wise(
+    The hash is an explicit keyed blake2b (functions.hashing.hash64):
+    python's builtin hash() is salt-randomized per process, and pandas'
+    hash_pandas_object turned out to hash differently depending on the
+    pandas dtype a block converts to (observed: same key, different bucket
+    in different tasks → duplicate triples). Only this small pre-deduped
+    stream pays the per-row python hash."""
+    from ..functions.hashing import hash64
+
+    keys = pc.binary_join_element_wise(
         batch["subj"], batch["pred"], batch["obj"], "\x00"
-    )
-    h = pd.util.hash_pandas_object(key.to_pandas(), index=False)
-    buckets = (h % DEDUP_BUCKETS).astype("int32")
-    return batch.append_column("tbucket", pa.array(buckets.to_numpy()))
+    ).to_pylist()
+    buckets = pa.array([hash64(k) % DEDUP_BUCKETS for k in keys], pa.int32())
+    return batch.append_column("tbucket", buckets)
 
 
 def _first_per_spo(tbl: pa.Table) -> pa.Table:
@@ -289,10 +294,11 @@ def build_kg(
     if concurrency is None:
         import ray
 
-        # half the logical CPUs per pool at 0.5 CPU each: two chained pools
-        # co-exist with the stateless read/write tasks without starving them
+        # the linker pool does CPU-bound python work → one full core per
+        # actor, ~60% of the node; the vectorized light pools run at 0.5
+        # CPU so they interleave with the stateless read/write tasks
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = max(2, ncpu // 2)
+        concurrency = max(2, ncpu - 4)
 
     tables = build_link_tables(mrconso)
     tables_bc = Broadcast.put(tables)
@@ -310,16 +316,21 @@ def build_kg(
         batch_format="pyarrow",
         batch_size=extract_batch_size,
         concurrency=concurrency,
-        num_cpus=actor_num_cpus,
+        num_cpus=1,
     ).materialize()  # consumed by edges + unmatched + entities; ≪ input size
 
+    # batch_size=None (whole blocks) everywhere below the linker: the
+    # page-atomic block invariant (see comment further down) must survive
+    # every intermediate stage, so nothing may re-batch across block edges
     linked = linked_all.map_batches(
         lambda b: b.filter(pc.is_valid(b["cui"])).drop_columns(["term", "score"]),
         batch_format="pyarrow",
+        batch_size=None,
     )
     unmatched = linked_all.map_batches(
         lambda b: b.filter(pc.is_null(b["cui"])).drop_columns(["cui", "term", "score", "next_surface"]),
         batch_format="pyarrow",
+        batch_size=None,
     )
 
     # --- canonicalization: distinct edges → union-find → broadcast maps ---

@@ -507,3 +507,111 @@ SELECT split_part(p_type, ' ', 1) AS type_prefix,
        round(sum(p_retailprice), 2) AS sum_price, count(*) AS n_parts
 FROM part GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# native Dataset.join (both sides as Datasets — Ray's hash join)
+# --------------------------------------------------------------------------
+
+def q_orders_per_customer(sf_dir: str):
+    """orders ⋈ customer via ``Dataset.join`` (hash-partitioned). This is
+    the large×large path — contrast with the broadcast joins above which
+    are the small-side pattern (SURVEY §2.4)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = orders.join(
+        customer, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by("c_name")
+            .aggregate([("o_totalprice", "sum"), ("o_totalprice", "count")])
+            .rename_columns(["c_name", "p_sum", "p_n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_name")
+        .aggregate(Sum("p_sum", alias_name="total_spent"), Sum("p_n", alias_name="n_orders"))
+    )
+    return _round_col(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), "total_spent", 2)
+
+
+SQL_ORDERS_PER_CUSTOMER = """
+SELECT c_name, round(sum(o_totalprice), 2) AS total_spent, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_name
+"""
+
+
+# --------------------------------------------------------------------------
+# tumbling-window aggregate over the events log (§2.9 streaming analog)
+# --------------------------------------------------------------------------
+
+def q_event_windows(sf_dir: str):
+    """Per (user_id, 1-hour tumbling window): event count + sum(value).
+    Ray Data has no event-time windows (SURVEY §2.9) — the window IS the
+    group key: floor ts to the hour inside map_batches, then groupby."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        t = pa.table({"user_id": batch["user_id"], "window_start": hour, "value": batch["value"]})
+        return (
+            t.group_by(["user_id", "window_start"])
+            .aggregate([("value", "sum"), ("value", "count")])
+            .rename_columns(["user_id", "window_start", "p_sum", "p_n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "events", ["user_id", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(Sum("p_sum", alias_name="sum_value"), Sum("p_n", alias_name="n_events"))
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _round_col(t, "sum_value", 2)
+
+
+SQL_EVENT_WINDOWS = """
+SELECT user_id, date_trunc('hour', ts) AS window_start,
+       round(sum(value), 2) AS sum_value, count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# grouped stats battery (A6: Count/Mean/Min/Max via Ray aggregates)
+# --------------------------------------------------------------------------
+
+def q_order_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Mean, Min
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+        .groupby("o_orderpriority")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Mean("o_totalprice", alias_name="avg_price"),
+            Min("o_totalprice", alias_name="min_price"),
+            Max("o_totalprice", alias_name="max_price"),
+        )
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    for c in ("avg_price", "min_price", "max_price"):
+        t = _round_col(t, c, 2)
+    return t
+
+
+SQL_ORDER_STATS = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(avg(o_totalprice), 2) AS avg_price,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders GROUP BY o_orderpriority
+"""

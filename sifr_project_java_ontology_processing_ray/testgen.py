@@ -86,7 +86,11 @@ def write_pages_for_sf(sf_dir: str, out_path: str, replicate: int = 1) -> str:
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
     tmp = out_path + ".tmp"
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    pq.write_table(pages_table_from_documents(docs, replicate=replicate), tmp)
+    # small row groups → parallel read: a single-row-group file makes the
+    # read (and everything fused into it) serial no matter the CPU count
+    pq.write_table(
+        pages_table_from_documents(docs, replicate=replicate), tmp, row_group_size=4096
+    )
     os.replace(tmp, out_path)
     return out_path
 

@@ -101,3 +101,20 @@ def test_write_and_resume(ray_session, pages_small, umls, tmp_path):
     pd.testing.assert_frame_equal(
         df1.drop(columns=["provenance"]), df2.drop(columns=["provenance"])
     )
+
+
+def test_determinism_across_parallelism(ray_session, pages_small, umls):
+    """Same triples regardless of read blocks / pool size (the north rule's
+    any-cluster-size invariance, evidenced at two in-session configs)."""
+    mrconso, mrsty = umls
+
+    def run(read_blocks, conc):
+        df = kg.build_kg(pages_small, mrconso, mrsty, concurrency=conc,
+                         read_blocks=read_blocks, pack_struct=False).to_pandas()
+        return df.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+
+    a = run(2, 2)
+    b = run(8, 3)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
