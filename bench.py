@@ -100,7 +100,10 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
+        # scaling runs use a larger input (800k pages) so parallel compute
+        # dominates fixed per-execution overhead — same input at BOTH levels
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env.setdefault("GRAFT_PAGES_REPLICATE", "160")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -351,8 +351,6 @@ def build_kg(
     maps = build_canonical_maps(edges)
     maps_bc = Broadcast.put(maps)
 
-    # materialized ONCE: the three triple emitters below would otherwise
-    # each re-run the canonicalization pass over every linked mention
     # PAGE-ATOMIC BLOCK INVARIANT: a page is ONE ROW until extraction, so
     # each MentionLinker input batch holds whole pages and its output block
     # holds all mention rows of those pages. Every stage from here to the
@@ -360,46 +358,56 @@ def build_kg(
     # never spans two batches and per-batch (url, entity) dedup is GLOBALLY
     # exact — mention triples skip the dedup shuffle entirely. Blocks stay
     # far below target_max_block_size, so Ray does not re-split them.
-    light_pool = max(2, (concurrency if isinstance(concurrency, int) else concurrency[1]) // 4)
-    entities = linked.map_batches(
-        ApplyCanonical,
-        fn_constructor_args=(maps_bc,),
-        batch_format="pyarrow",
-        batch_size=None,
-        concurrency=light_pool,
-        num_cpus=actor_num_cpus,
-    ).materialize()
+    #
+    # Canonicalization is FUSED into each emitter branch (canonical-map
+    # application is a cheap vectorized dict lookup) instead of
+    # materializing a second 'entities' copy of the linked stream — at
+    # scale that saves one full write+read of the mention volume through
+    # the object store.
+    apply_canon = ApplyCanonical(maps_bc)
 
     # --- triple emission -------------------------------------------------
     page_meta = rd.read_parquet(pages_path, columns=["url", "warc_ts", "lang"])
     t_pages = page_meta.map_batches(_page_triples, batch_format="pyarrow")
-    t_mentions = entities.map_batches(
-        _mention_triples, batch_format="pyarrow", batch_size=None
-    )
-    t_labels = entities.map_batches(_label_triples, batch_format="pyarrow")
 
-    t_cooccur = entities.map_batches(
-        PairTriples,
-        fn_constructor_args=(maps_bc,),
-        batch_format="pyarrow",
-        batch_size=None,
-        concurrency=light_pool,
-        num_cpus=actor_num_cpus,
+    def _emit_main(b: pa.Table) -> pa.Table:
+        return _mention_triples(apply_canon(b))
+
+    t_mentions = linked.map_batches(
+        _emit_main, batch_format="pyarrow", batch_size=None
     )
+
+    pair_emitter = PairTriples(maps_bc)
+
+    def _emit_small(b: pa.Table) -> pa.Table:
+        ents = apply_canon(b)
+        return pa.concat_tables([_label_triples(ents), pair_emitter(ents)])
+
+    t_small = linked.map_batches(_emit_small, batch_format="pyarrow", batch_size=None)
     t_umls = rd.from_arrow(_umls_triples(maps["cui"], mrsty))
 
     # page triples (unique urls) and mention triples (page-atomic blocks,
     # see invariant above) are distinct by construction — only the small
     # label/cooccur/umls streams need the global dedup shuffle
+    # The small stream arrives as ~one tiny block per upstream block; a
+    # sort-shuffle over thousands of 10-row blocks pays per-task overhead
+    # thousands of times (observed: 194s to dedup 24k rows at 8 cpus). The
+    # big batch_size COALESCES blocks while deduping so the groupby sees a
+    # handful of blocks, and the result (dictionary-bounded, KBs) is
+    # materialized so the final union consumes a few compact blocks instead
+    # of re-driving the whole emitter chain. The umls triples are distinct
+    # by construction (driver-built from the dictionary, unique preds) and
+    # skip dedup entirely.
     deduped_small = (
-        t_labels.union(t_cooccur, t_umls)
-        .map_batches(_dedup_batch, batch_format="pyarrow")
-        .map_batches(_add_dedup_bucket, batch_format="pyarrow")
+        t_small
+        .map_batches(_dedup_batch, batch_format="pyarrow", batch_size=262144)
+        .map_batches(_add_dedup_bucket, batch_format="pyarrow", batch_size=262144)
         .groupby("tbucket")
         .map_groups(_dedup_group, batch_format="pyarrow")
         .drop_columns(["tbucket"])
+        .materialize()
     )
-    triples = t_pages.union(t_mentions, deduped_small)
+    triples = t_pages.union(t_mentions, deduped_small, t_umls)
     if pack_struct:
         triples = triples.map_batches(pack_provenance, batch_format="pyarrow")
 
