@@ -26,7 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from sifr_project_java_ontology_processing_ray import testgen  # noqa: E402
 from sifr_project_java_ontology_processing_ray.pipelines import (  # noqa: E402
     ann,
+    cleaner,
     enrichment,
+    generation,
     kg,
     relational,
     textops,
@@ -58,6 +60,45 @@ def _q_enrichment(sf_dir: str):
         fx["source_triples"], mrconso, mrsty, fx["mappings"], fx["target_triples"]
     )
     return triples
+
+
+def _q_generation(sf_dir: str):
+    import os
+
+    fx = testgen.fixture_dir()
+    return generation.generate_skos(
+        os.path.join(fx, "ehealth_dictionary.csv"),
+        os.path.join(fx, "ehealth_corpus.csv"),
+        os.path.join(fx, "chapter_ranges.csv"),
+        generation.GenerationConfig(use_corpus_raw=True, use_corpus_std=True),
+    )
+
+
+def _q_cleaner(sf_dir: str):
+    import ray.data as rd
+
+    fx = testgen.ontology_fixture()
+    ds = rd.from_arrow(fx["source_triples"])
+    return cleaner.repair_missing_pref_labels(cleaner.clean_multilingual(ds, "en"))
+
+
+def _q_multimodal(sf_dir: str):
+    import ray.data as rd
+
+    from sifr_project_java_ontology_processing_ray.stages.multimodal import (
+        FakeImageDecoder,
+        make_media_table,
+        resize_metadata,
+    )
+
+    media = make_media_table(500)
+    return (
+        rd.from_arrow(media)
+        .map_batches(FakeImageDecoder, batch_format="pyarrow", batch_size=64,
+                     concurrency=2, num_cpus=0.5)
+        .map_batches(resize_metadata, batch_format="pyarrow")
+        .drop_columns(["features"])
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -95,9 +136,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top10": ann.q_knn_top10,
         "knn_multi": ann.q_knn_multi,
         "knn_ivf": ann.q_knn_ivf,
-        # KG construction + enrichment cascade
+        # KG construction + enrichment cascade + generator + cleaner
         "kg_triples": _q_kg,
         "enrichment_cascade": _q_enrichment,
+        "skos_generation": _q_generation,
+        "multilingual_clean": _q_cleaner,
+        "multimodal_decode": _q_multimodal,
     }
 
 

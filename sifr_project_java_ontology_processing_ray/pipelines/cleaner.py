@@ -15,7 +15,6 @@ no shared OWLAPI ontology object to mutate.
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
@@ -27,13 +26,15 @@ LABEL_PREDS = ("skos:prefLabel", "skos:altLabel", "rdfs:label", "rdfs:comment")
 def clean_multilingual(triples: "rd.Dataset", target_lang: str = "en") -> "rd.Dataset":
     """M16: keep target-language literals per (subj, pred) when present."""
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+    def per_group(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         langs = g["obj_lang"]
-        has_target = (langs == target_lang).any()
-        if not has_target:
+        is_target = pc.equal(pc.coalesce(langs, pa.scalar("")), target_lang)
+        if not pc.any(is_target).as_py():
             return g  # target absent → keep everything (incl. foreign)
-        keep = langs.isna() | (langs == "") | (langs == target_lang)
-        return g[keep]
+        untagged = pc.equal(pc.coalesce(langs, pa.scalar("")), "")
+        return g.filter(pc.or_(is_target, untagged))
 
     def is_literal_pred(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -50,7 +51,7 @@ def clean_multilingual(triples: "rd.Dataset", target_lang: str = "en") -> "rd.Da
     lang_triples = triples.map_batches(is_literal_pred, batch_format="pyarrow")
     other_triples = triples.map_batches(not_literal_pred, batch_format="pyarrow")
     cleaned = lang_triples.groupby(["subj", "pred"]).map_groups(
-        per_group, batch_format="pandas"
+        per_group, batch_format="pyarrow"
     )
     return cleaned.union(other_triples)
 
@@ -59,22 +60,27 @@ def repair_missing_pref_labels(triples: "rd.Dataset") -> "rd.Dataset":
     """M17: per entity — if no prefLabel, synthesize one from the first
     altLabel, else from the camelCase hiddenLabel via the repair chain."""
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        if (g["pred"] == "skos:prefLabel").any():
+    def per_group(g: pa.Table) -> pa.Table:
+        preds = g["pred"].to_pylist()
+        if "skos:prefLabel" in preds:
             return g
-        alts = sorted(g[g["pred"] == "skos:altLabel"]["obj"])
-        hidden = sorted(g[g["pred"] == "skos:hiddenLabel"]["obj"])
-        label = None
-        if alts:
-            label = alts[0]
-        elif hidden:
-            label = repair_label(hidden[0])
+        objs = g["obj"].to_pylist()
+        alts = sorted(o for p, o in zip(preds, objs) if p == "skos:altLabel")
+        hidden = sorted(o for p, o in zip(preds, objs) if p == "skos:hiddenLabel")
+        label = alts[0] if alts else (repair_label(hidden[0]) if hidden else None)
         if label is None:
             return g
-        new = pd.DataFrame(
-            [[g["subj"].iloc[0], "skos:prefLabel", label, None]],
-            columns=["subj", "pred", "obj", "obj_lang"],
+        g = g.select(["subj", "pred", "obj", "obj_lang"])
+        new = pa.table(
+            {
+                "subj": pa.array([g["subj"][0].as_py()], pa.string()),
+                "pred": pa.array(["skos:prefLabel"], pa.string()),
+                "obj": pa.array([label], pa.string()),
+                "obj_lang": pa.array([None], pa.string()),
+            }
         )
-        return pd.concat([g[["subj", "pred", "obj", "obj_lang"]], new], ignore_index=True)
+        return pa.concat_tables([g, new])
 
-    return triples.groupby("subj").map_groups(per_group, batch_format="pandas")
+    return triples.map_batches(
+        lambda b: b.select(["subj", "pred", "obj", "obj_lang"]), batch_format="pyarrow"
+    ).groupby("subj").map_groups(per_group, batch_format="pyarrow")
