@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_customer": relational.q_orders_per_customer,
         "event_windows": relational.q_event_windows,
         "order_stats": relational.q_order_stats,
+        "event_sessions": relational.q_event_sessions,
+        "approx_distinct_users": relational.q_approx_distinct_users,
         # text / training-data ops
         "token_counts": textops.q_token_counts,
         "exact_dedup": textops.q_exact_dedup,
@@ -136,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top10": ann.q_knn_top10,
         "knn_multi": ann.q_knn_multi,
         "knn_ivf": ann.q_knn_ivf,
+        "embedding_neardup": ann.q_embedding_neardup,
         # KG construction + enrichment cascade + generator + cleaner
         "kg_triples": _q_kg,
         "enrichment_cascade": _q_enrichment,
@@ -165,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_per_customer": relational.SQL_ORDERS_PER_CUSTOMER,
         "event_windows": relational.SQL_EVENT_WINDOWS,
         "order_stats": relational.SQL_ORDER_STATS,
+        "event_sessions": relational.SQL_EVENT_SESSIONS,
         "token_counts": textops.SQL_TOKEN_COUNTS,
         "exact_dedup": textops.SQL_EXACT_DEDUP,
         "quality_filter": textops.SQL_QUALITY_FILTER,

@@ -1,0 +1,188 @@
+"""CLI entry points (≙ the reference's main() CLIs + .properties/POSIX
+flags, SURVEY §2.10). Flags preserve the reference's names:
+
+  enrich:   -dc disambiguate, -mc match-missing, -cpl code-to-preflabel,
+            -hn history note, -l LANG   (CUIProcessorCommandlineHandler)
+  generate: -d dictionary, -cr corpus-raw, -cs corpus-std, -a adapted,
+            -mfc most-frequent-code    (SKOSGeneratorCommandlineHandler,
+            incl. the -a ⊥ -mfc and -a ⇒ -cr ∧ -cs validation)
+  kg:       the flagship web pipeline
+  clean:    multilingual cleaning (-l target language)
+
+Run:  python -m sifr_project_java_ontology_processing_ray <cmd> [...]
+
+Owns the Ray session (scripts own sessions; library code never does).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_kg(args) -> int:
+    import pyarrow.parquet as pq
+
+    from . import testgen
+    from .pipelines import kg
+
+    _init_ray(args.num_cpus)
+    if args.pages:
+        pages = args.pages
+    else:
+        pages = testgen.pages_path_for(args.sf_dir, replicate=args.replicate)
+    if args.mrconso:
+        mrconso = pq.read_table(args.mrconso)
+        mrsty = pq.read_table(args.mrsty)
+    else:
+        mrconso, mrsty = testgen.umls_tables()
+    ds = kg.build_kg(pages, mrconso, mrsty, out_dir=args.out, num_parts=args.num_parts)
+    print(json.dumps({"triples": ds.count(), "out": args.out}))
+    return 0
+
+
+def cmd_enrich(args) -> int:
+    import pyarrow.parquet as pq
+
+    from . import testgen
+    from .pipelines.enrichment import EnrichConfig, enrich_ontology
+    from .sources.rdf import write_ntriples
+
+    _init_ray(args.num_cpus)
+    if args.source:
+        src = pq.read_table(args.source)
+        mappings = pq.read_table(args.mappings) if args.mappings else testgen.ontology_fixture()["mappings"].slice(0, 0)
+        target = pq.read_table(args.target) if args.target else testgen.ontology_fixture()["target_triples"].slice(0, 0)
+    else:
+        fx = testgen.ontology_fixture()
+        src, mappings, target = fx["source_triples"], fx["mappings"], fx["target_triples"]
+    if args.mrconso:
+        mrconso, mrsty = pq.read_table(args.mrconso), pq.read_table(args.mrsty)
+    else:
+        mrconso, mrsty = testgen.umls_tables()
+    cfg = EnrichConfig(
+        disambiguate=args.dc, match_missing=args.mc,
+        code_to_pref_label=args.cpl, add_change_note=args.hn,
+        language=args.l,
+    )
+    triples, unmatched = enrich_ontology(src, mrconso, mrsty, mappings, target, cfg)
+    if args.out:
+        if args.format == "nt":
+            write_ntriples(triples, args.out)
+        else:
+            triples.write_parquet(args.out)
+        unmatched.write_parquet(args.out + "_unmatched")
+        print(json.dumps({"triples": triples.count(), "out": args.out}))
+    else:
+        print(json.dumps({"triples": triples.count(), "unmatched": unmatched.count()}))
+    return 0
+
+
+def cmd_generate(args) -> int:
+    from .pipelines.generation import GenerationConfig, generate_skos
+
+    _init_ray(args.num_cpus)
+    cfg = GenerationConfig(
+        use_dictionary=args.d is not None, use_corpus_raw=args.cr,
+        use_corpus_std=args.cs, adapted=args.a, most_frequent_code=args.mfc,
+    )
+    cfg.validate()
+    ds = generate_skos(args.d, args.corpus, args.chapters, cfg)
+    if args.out:
+        ds.write_parquet(args.out)
+    print(json.dumps({"triples": ds.count(), "out": args.out}))
+    return 0
+
+
+def cmd_clean(args) -> int:
+    import ray.data as rd
+
+    from .pipelines.cleaner import clean_multilingual, repair_missing_pref_labels
+
+    _init_ray(args.num_cpus)
+    ds = rd.read_parquet(args.input)
+    out = repair_missing_pref_labels(clean_multilingual(ds, args.l))
+    if args.out:
+        out.write_parquet(args.out)
+    print(json.dumps({"triples": out.count(), "out": args.out}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="sifr_project_java_ontology_processing_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    k = sub.add_parser("kg", help="flagship pages→triples pipeline")
+    k.add_argument("--pages", help="pages parquet path (default: derive from sf-dir)")
+    k.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    k.add_argument("--replicate", type=int, default=1)
+    k.add_argument("--mrconso"); k.add_argument("--mrsty")
+    k.add_argument("--out", default=None)
+    k.add_argument("--num-parts", type=int, default=16)
+    k.set_defaults(fn=cmd_kg)
+
+    e = sub.add_parser("enrich", help="ontology CUI/TUI enrichment cascade")
+    e.add_argument("--source"); e.add_argument("--mappings"); e.add_argument("--target")
+    e.add_argument("--mrconso"); e.add_argument("--mrsty")
+    e.add_argument("-dc", action="store_true", help="disambiguate ambiguous CUIs")
+    e.add_argument("-mc", action="store_true", help="match missing via similarity")
+    e.add_argument("-cpl", action="store_true", help="code → prefLabel rewrite")
+    e.add_argument("-hn", action="store_true", default=True, help="add history note")
+    e.add_argument("-l", default="ENG", help="UMLS language code")
+    e.add_argument("--out", default=None)
+    e.add_argument("--format", choices=["parquet", "nt"], default="parquet")
+    e.set_defaults(fn=cmd_enrich)
+
+    g = sub.add_parser("generate", help="SKOS generation from dictionary/corpus")
+    g.add_argument("-d", help="dictionary CSV path")
+    g.add_argument("-cr", action="store_true", help="use corpus raw labels")
+    g.add_argument("-cs", action="store_true", help="use corpus std labels")
+    g.add_argument("-a", action="store_true", help="adapted mode")
+    g.add_argument("-mfc", action="store_true", help="most-frequent-code mode")
+    g.add_argument("--corpus"); g.add_argument("--chapters")
+    g.add_argument("--out", default=None)
+    g.set_defaults(fn=cmd_generate)
+
+    c = sub.add_parser("clean", help="multilingual cleaning + label repair")
+    c.add_argument("--input", required=True, help="triples parquet")
+    c.add_argument("-l", default="en", help="target language")
+    c.add_argument("--out", default=None)
+    c.set_defaults(fn=cmd_clean)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.fn(args)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    finally:
+        import ray
+
+        if ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

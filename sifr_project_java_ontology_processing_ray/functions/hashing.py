@@ -115,3 +115,50 @@ def rolling_fingerprints(text: str, window: int = 16, mod_bits: int = 6) -> list
         if h & keep_mask == 0:
             out.add(h)
     return sorted(out)
+
+
+class HyperLogLog:
+    """Minimal mergeable HLL (2^p registers, classic bias constant).
+
+    Serialized per batch and merged in a small groupby — the mergeable-
+    sketch pattern for distributed approximate distinct counts."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add(self, value: str) -> None:
+        h = hash64(value)
+        idx = h >> (64 - self.p)
+        rest = h << self.p & _MASK64
+        # rank = leading zeros of the remaining bits + 1
+        rank = 1
+        probe = 1 << 63
+        while rank <= 64 - self.p and not (rest & probe):
+            rank += 1
+            probe >>= 1
+        if rank > self.registers[idx]:
+            self.registers[idx] = rank
+
+    def merge(self, other: "HyperLogLog") -> None:
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.exp2(-self.registers.astype(np.float64)))
+        zeros = int(np.count_nonzero(self.registers == 0))
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)  # linear counting for small n
+        return float(est)
+
+    def dumps(self) -> bytes:
+        return bytes([self.p]) + self.registers.tobytes()
+
+    @classmethod
+    def loads(cls, blob: bytes) -> "HyperLogLog":
+        hll = cls(p=blob[0])
+        hll.registers = np.frombuffer(blob[1:], dtype=np.uint8).copy()
+        return hll

@@ -76,7 +76,9 @@ def text_to_html(text: str, title: str = "", words_per_para: int = 20) -> bytes:
     """
     esc = _htmllib.escape(text)
     if text != _RE_WS.sub(" ", text).strip() or not text:
-        paras = [esc] if esc else []
+        # always at least one <p> block (possibly empty) so extraction never
+        # falls back to body text and picks up the title/h1
+        paras = [esc]
     else:
         words = esc.split(" ")
         paras = [

@@ -174,3 +174,65 @@ def q_knn_ivf(sf_dir: str, k: int = TOPK, nprobe: int = 4):
     approx["cos"] = approx["cos"].round(3)
     approx["recall_at_k"] = round(recall, 3)
     return approx
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-duplicate detection (random-hyperplane LSH buckets)
+# --------------------------------------------------------------------------
+
+def q_embedding_neardup(sf_dir: str, threshold: float = 0.9, n_planes: int = 12, seed: int = 42):
+    """Near-duplicate vector pairs over the sf embeddings table (empty when
+    the corpus has no near-dups — random vectors rarely exceed 0.9)."""
+    ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    t = pq.read_table(_emb_path(sf_dir), columns=["embedding"])
+    dim = len(t["embedding"][0].as_py())
+    return embedding_neardup_pairs(ds, dim, threshold=threshold, n_planes=n_planes, seed=seed)
+
+
+def embedding_neardup_pairs(ds: "rd.Dataset", dim: int, threshold: float = 0.9,
+                            n_planes: int = 12, seed: int = 42):
+    """Near-duplicate vector pairs (cosine ≥ threshold): sign-LSH bucket by
+    random hyperplanes inside map_batches → groupby bucket → exact cosine
+    within bucket. Scale shape: candidate verification touches only
+    same-bucket pairs; multiple plane sets would raise recall (one set
+    here — deterministic)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(dim, n_planes)
+    planes_ref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        P = ray.get(planes_ref)
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()])
+        signs = (mat @ P) > 0
+        keys = (signs.astype(np.uint64) << np.arange(signs.shape[1], dtype=np.uint64)).sum(axis=1)
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(n == 0, 1.0, n)
+        return pa.table(
+            {
+                "bucket": pa.array(keys),
+                "vec_id": batch["vec_id"],
+                "unit": pa.array(list(mat), pa.list_(pa.float64())),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "cos": pd.Series([], dtype="float64")})
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.vstack([np.asarray(v) for v in g["unit"].to_numpy()[order]])[:200]
+        ids = ids[:200]  # hot-bucket guard
+        sims = mat @ mat.T
+        iu = np.triu_indices(len(ids), k=1)
+        mask = sims[iu] >= threshold
+        return pd.DataFrame(
+            {"a": ids[iu[0][mask]], "b": ids[iu[1][mask]],
+             "cos": np.round(sims[iu][mask], 4)}
+        )
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+    out = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas").to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True) if len(out) else out

@@ -615,3 +615,103 @@ SELECT o_orderpriority, count(*) AS n_orders,
        round(max(o_totalprice), 2) AS max_price
 FROM orders GROUP BY o_orderpriority
 """
+
+
+# --------------------------------------------------------------------------
+# gap-based sessionization (§2.9: stream-shaped op as sorted per-key groups)
+# --------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+def q_event_sessions(sf_dir: str):
+    """Per user: split the event log into sessions at >30min gaps; one row
+    per session with count + sum. The window is computed inside a per-user
+    map_groups over the ts-sorted group (Ray Data has no event-time
+    windows; the ordering assumption is per-group sort, SURVEY §2.9)."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+        sid = gap.cumsum().astype("int64")
+        out = (
+            g.assign(session_id=sid)
+            .groupby("session_id", as_index=False)
+            .agg(n_events=("event_id", "size"), sum_value=("value", "sum"))
+        )
+        out.insert(0, "user_id", int(g["user_id"].iloc[0]))
+        out["sum_value"] = out["sum_value"].round(2)
+        return out
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+        .groupby("user_id")
+        .map_groups(per_group, batch_format="pandas")
+    )
+
+
+SQL_EVENT_SESSIONS = """
+WITH d AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, value, event_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM d
+)
+SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog approximate distinct (mergeable sketch, per-batch partials)
+# --------------------------------------------------------------------------
+
+def q_approx_distinct_users(sf_dir: str):
+    """Approximate distinct user_id per event_type via an HLL sketch: one
+    serialized sketch per batch per key (the mergeable-sketch partial
+    pattern), merged in a tiny groupby. Also reports exact counts for
+    error inspection (rows-only check — approximation is not SQL)."""
+    from ..functions.hashing import HyperLogLog
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import collections
+
+        sk: dict[str, HyperLogLog] = collections.defaultdict(HyperLogLog)
+        for et, uid in zip(batch["event_type"].to_pylist(), batch["user_id"].to_pylist()):
+            sk[et].add(str(uid))
+        keys = sorted(sk)
+        return pa.table(
+            {
+                "event_type": pa.array(keys, pa.string()),
+                "sketch": pa.array([sk[k].dumps() for k in keys], pa.binary()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        acc = HyperLogLog()
+        for blob in g["sketch"]:
+            acc.merge(HyperLogLog.loads(blob))
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]], "approx_users": [int(round(acc.estimate()))]}
+        )
+
+    approx = (
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    import duckdb
+
+    exact = duckdb.sql(
+        f"SELECT event_type, count(DISTINCT user_id) AS exact_users FROM '{_p(sf_dir, 'events')}' GROUP BY 1"
+    ).df()
+    out = approx.merge(exact, on="event_type").sort_values("event_type").reset_index(drop=True)
+    out["rel_error"] = ((out["approx_users"] - out["exact_users"]).abs() / out["exact_users"]).round(4)
+    return out

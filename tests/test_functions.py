@@ -146,3 +146,28 @@ class TestQuality:
         s = quality.quality_score("the quick brown fox jumps over the lazy dog " * 5)
         assert 0.0 <= s <= 1.0
         assert quality.quality_score("") == 0.0 or quality.quality_score("") <= 0.1
+
+
+class TestHLL:
+    def test_estimate_accuracy(self):
+        h = hashing.HyperLogLog()
+        for i in range(20000):
+            h.add(f"item-{i}")
+        assert abs(h.estimate() - 20000) / 20000 < 0.05
+
+    def test_merge_equals_union(self):
+        a, b = hashing.HyperLogLog(), hashing.HyperLogLog()
+        u = hashing.HyperLogLog()
+        for i in range(3000):
+            a.add(f"x{i}"); u.add(f"x{i}")
+        for i in range(1500, 4500):
+            b.add(f"x{i}"); u.add(f"x{i}")
+        a.merge(b)
+        assert a.estimate() == u.estimate()  # register-wise max → identical
+
+    def test_serialization_roundtrip(self):
+        h = hashing.HyperLogLog()
+        for i in range(100):
+            h.add(str(i))
+        h2 = hashing.HyperLogLog.loads(h.dumps())
+        assert h2.estimate() == h.estimate()

@@ -118,3 +118,57 @@ def test_determinism_across_parallelism(ray_session, pages_small, umls):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_distributed_components_match_unionfind(ray_session):
+    """The general-case salted/label-propagation canonicalization agrees
+    with the driver union-find on the same edge set."""
+    import ray.data as rd
+    import pyarrow as pa
+
+    from sifr_project_java_ontology_processing_ray.state.components import (
+        connected_components,
+        dedup_edges_salted,
+    )
+    from sifr_project_java_ontology_processing_ray.state.unionfind import UnionFind
+
+    edges = [
+        ("s:data", "c:C1"), ("s:info", "c:C1"), ("s:info", "c:C2"),
+        ("s:scan", "c:C3"), ("c:C3", "s:probe"), ("s:alone", "c:C9"),
+        ("s:data", "c:C1"), ("s:data", "c:C1"),  # dups to kill
+    ]
+    ds = rd.from_arrow(
+        pa.table({"a": [e[0] for e in edges], "b": [e[1] for e in edges]})
+    )
+    ded = dedup_edges_salted(ds)
+    assert ded.count() == 6
+    labels = connected_components(ded).to_pandas()
+    got = dict(zip(labels["node"], labels["label"]))
+
+    uf = UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    want = uf.components()
+    assert got == want
+
+
+def test_embedding_neardup_detects_planted_pairs(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sifr_project_java_ontology_processing_ray.pipelines.ann import embedding_neardup_pairs
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(50, 16)
+    # plant near-dups: vec 100+i = tiny perturbation of vec i (i<5)
+    vecs = list(base) + [base[i] + 0.01 * rng.randn(16) for i in range(5)]
+    ids = list(range(50)) + list(range(100, 105))
+    ds = rd.from_arrow(
+        pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                         pa.list_(pa.float64()))})
+    )
+    out = embedding_neardup_pairs(ds, dim=16, threshold=0.95)
+    got = {(int(a), int(b)) for a, b in zip(out["a"], out["b"])}
+    assert {(i, 100 + i) for i in range(5)} <= got

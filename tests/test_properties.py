@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) for the deterministic kernels."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sifr_project_java_ontology_processing_ray.functions import codes, hashing, text
+from sifr_project_java_ontology_processing_ray.sources.rdf import (
+    parse_ntriples_line,
+    triples_to_ntriples,
+)
+from sifr_project_java_ontology_processing_ray.state.unionfind import UnionFind
+
+# printable text without control chars; single-spaced words for round-trip
+words = st.text(alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")), min_size=1, max_size=10)
+texts = st.lists(words, min_size=0, max_size=40).map(" ".join)
+
+
+class TestExtractRoundtrip:
+    @given(texts)
+    @settings(max_examples=200, deadline=None)
+    def test_html_roundtrip(self, t):
+        assert text.extract_text(text.text_to_html(t, title="t")) == t
+
+    @given(st.binary(max_size=2048))
+    @settings(max_examples=200, deadline=None)
+    def test_extract_total_on_arbitrary_bytes(self, b):
+        out = text.extract_text(b)
+        assert isinstance(out, str)
+        assert text.extract_text(b) == out  # deterministic
+
+
+class TestCodes:
+    @given(st.text(max_size=20))
+    @settings(max_examples=200, deadline=None)
+    def test_normalize_idempotent(self, s):
+        assert codes.normalize_code(codes.normalize_code(s)) == codes.normalize_code(s)
+
+    @given(st.text(max_size=30))
+    @settings(max_examples=200, deadline=None)
+    def test_clean_xsd_idempotent(self, s):
+        assert codes.clean_xsd_type(codes.clean_xsd_type(s)) == codes.clean_xsd_type(s)
+
+
+class TestUnionFind:
+    @given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)), max_size=60))
+    @settings(max_examples=100, deadline=None)
+    def test_root_is_component_min(self, pairs):
+        uf = UnionFind()
+        for a, b in pairs:
+            uf.union(f"n{a:02d}", f"n{b:02d}")
+        comp = uf.components()
+        # group members by root; every root must be its group's min
+        groups = {}
+        for node, root in comp.items():
+            groups.setdefault(root, []).append(node)
+        for root, members in groups.items():
+            assert root == min(members + [root])
+
+    @given(st.lists(st.tuples(st.integers(0, 20), st.integers(0, 20)), max_size=40))
+    @settings(max_examples=100, deadline=None)
+    def test_order_invariant(self, pairs):
+        a = UnionFind()
+        b = UnionFind()
+        for x, y in pairs:
+            a.union(str(x), str(y))
+        for x, y in reversed(pairs):
+            b.union(str(x), str(y))
+        assert a.components() == b.components()
+
+
+class TestHashing:
+    @given(st.text(max_size=50), st.integers(0, 2**31))
+    @settings(max_examples=200, deadline=None)
+    def test_hash64_range(self, s, seed):
+        h = hashing.hash64(s, seed)
+        assert 0 <= h < 2**64
+
+    @given(st.lists(words, min_size=1, max_size=30))
+    @settings(max_examples=50, deadline=None)
+    def test_simhash_self_distance_zero(self, toks):
+        assert hashing.hamming64(hashing.simhash(toks), hashing.simhash(toks)) == 0
+
+
+class TestNTriples:
+    @given(
+        st.text(alphabet=st.characters(whitelist_categories=("Ll", "Nd")), min_size=1, max_size=20),
+        st.text(max_size=40).filter(lambda s: "\r" not in s),
+        st.sampled_from([None, "en", "fr"]),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_literal_roundtrip(self, local, lit, lang):
+        import pyarrow as pa
+
+        subj = f"http://x.example/{local}"
+        batch = pa.table(
+            {"subj": [subj], "pred": ["skos:prefLabel"], "obj": [lit],
+             "obj_lang": [lang], "obj_is_literal": [True]}
+        )
+        line = triples_to_ntriples(batch)["line"][0].as_py()
+        parsed = parse_ntriples_line(line)
+        assert parsed is not None
+        s, p, o, l, is_lit = parsed
+        assert (s, o, l, is_lit) == (subj, lit, lang, True)
