@@ -353,16 +353,18 @@ def enrich_ontology(
     target_triples: pa.Table,
     config: EnrichConfig | None = None,
     concurrency: int = 2,
+    stats_csv: str | None = None,
 ):
     """Full enrichment pipeline. Returns (enriched_triples_ds, unmatched_ds).
 
     enriched triples: (subj, pred, obj, obj_lang) incl. re-added mapping
     triples (step 4); unmatched: entities with no CUI after the cascade
-    (≙ "<ont>_concepts_without_cui.txt" S10)."""
+    (≙ "<ont>_concepts_without_cui.txt" S10). When ``stats_csv`` is given,
+    the A6/A7 counters are aggregated and written as the reference's 2-line
+    stats CSV (S9)."""
     cfg = config or EnrichConfig()
-    tables_bc = Broadcast.put(
-        build_enrich_tables(mrconso, mrsty, mappings, target_triples, cfg.language)
-    )
+    enrich_tables = build_enrich_tables(mrconso, mrsty, mappings, target_triples, cfg.language)
+    tables_bc = Broadcast.put(enrich_tables)
 
     entities = (
         rd.from_arrow(source_triples)
@@ -412,4 +414,104 @@ def enrich_ontology(
         ).select(["entity_uri", "pref_label"]),
         batch_format="pyarrow",
     )
+    if stats_csv:
+        write_stats_csv(compute_stats(enriched, enrich_tables["code_to_cuis"]), stats_csv)
     return triples, unmatched
+
+
+# --------------------------------------------------------------------------
+# statistics counters (A6/A7 ≙ stats/CUIOntologyStats.java:7-33 + S9 sink)
+# --------------------------------------------------------------------------
+
+STAT_NAMES = (
+    "classes",                 # ≙ totalClassCount
+    "with_own_cui",            # ≙ classesWithCUI (pre-existing)
+    "cui_from_altlabel",       # ≙ CUIs mined from altLabels
+    "cui_from_mapping",        # ≙ CUIs via cross-ontology mappings
+    "cui_from_code",           # ≙ CUIs via UMLS code lookup
+    "cui_from_match",          # ≙ CUIs via similarity match (-mc)
+    "ambiguous_disambiguated", # ≙ disambiguation invocations (-dc)
+    "without_cui",             # ≙ concepts_without_cui side output
+    "with_tui",
+    "tui_from_mapping",
+    "tui_from_umls",
+    "without_tui",             # ≙ "remaining without TUI" counter
+    "cui_counts_match_umls",   # ≙ compareCUIsToUMLS equal-cardinality (A7)
+    "cui_counts_differ_umls",  # ≙ compareCUIsToUMLS differing-cardinality
+)
+
+
+def compute_stats(enriched_ds, umls_code_to_cuis: dict[str, list[str]]) -> dict[str, int]:
+    """Per-batch partial counters summed in a tiny groupby (the reference's
+    synchronized OntologyStats counters as dataflow)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    code_ref = None
+    try:
+        import ray
+
+        code_ref = ray.put(umls_code_to_cuis)
+    except Exception:
+        pass
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        code_map = _ray.get(code_ref) if code_ref is not None else umls_code_to_cuis
+        rows = batch.to_pylist()
+        c = dict.fromkeys(STAT_NAMES, 0)
+        for r in rows:
+            c["classes"] += 1
+            rule = r["cui_rule"]
+            if rule.startswith("own"):
+                c["with_own_cui"] += 1
+            elif rule.startswith("altlabel"):
+                c["cui_from_altlabel"] += 1
+            elif rule.startswith("mapping"):
+                c["cui_from_mapping"] += 1
+            elif rule.startswith("code"):
+                c["cui_from_code"] += 1
+            elif rule.startswith("match"):
+                c["cui_from_match"] += 1
+            if rule.endswith("+disambiguated"):
+                c["ambiguous_disambiguated"] += 1
+            if not r["cuis"]:
+                c["without_cui"] += 1
+            if r["tuis"]:
+                c["with_tui"] += 1
+                if r["tui_rule"] == "mapping":
+                    c["tui_from_mapping"] += 1
+                elif r["tui_rule"] == "umls":
+                    c["tui_from_umls"] += 1
+            else:
+                c["without_tui"] += 1
+            # A7: cardinality of found CUIs vs UMLS CUIs for the code
+            if r["cuis"] and r["code"]:
+                umls_cuis = code_map.get(r["code"], [])
+                if umls_cuis:
+                    key = (
+                        "cui_counts_match_umls"
+                        if len(umls_cuis) == len(r["cuis"])
+                        else "cui_counts_differ_umls"
+                    )
+                    c[key] += 1
+        return pa.table({k: pa.array([v], pa.int64()) for k, v in c.items()})
+
+    from ray.data.aggregate import Sum
+
+    agg = enriched_ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        *[Sum(k, alias_name=k) for k in STAT_NAMES]
+    )
+    return {k: int(agg.get(k, 0) or 0) for k in STAT_NAMES}
+
+
+def write_stats_csv(stats: dict[str, int], path: str) -> None:
+    """2-line CSV, headers then counts (≙ OntologyStats.writeStatistics,
+    stats/OntologyStats.java:62-84)."""
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write(",".join(stats.keys()) + "\n")
+        f.write(",".join(str(v) for v in stats.values()) + "\n")

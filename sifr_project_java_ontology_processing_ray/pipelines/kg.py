@@ -414,13 +414,35 @@ def build_kg(
     if out_dir is not None:
         written = mf.write_partitioned(triples, out_dir, key_col="subj", num_parts=num_parts)
         unmatched.write_parquet(out_dir + "/_unmatched")
+        out_ds = mf.read_output(out_dir)
+
+        # per-rule triple counts (≙ the stats counters S9/A6) from the
+        # already-written output — one cheap pass over parquet on disk
+        def rule_col(b: pa.Table) -> pa.Table:
+            if "provenance" in b.column_names:
+                rule = pc.struct_field(b["provenance"], "rule")
+            else:
+                rule = b["prov_rule"]
+            return pa.table({"rule": rule})
+
+        from ray.data.aggregate import Count
+
+        rule_counts = {
+            r["rule"]: r["n"]
+            for r in out_ds.map_batches(rule_col, batch_format="pyarrow")
+            .groupby("rule")
+            .aggregate(Count(alias_name="n"))
+            .take_all()
+        }
         mf.write_metrics(
             out_dir,
             {
                 "partitions_written": sorted(written),
                 "num_edges": len(edges),
                 "num_entities": len(set(maps["surface"].values()) | set(maps["cui"].values())),
+                "triples_by_rule": rule_counts,
+                "num_triples": int(sum(rule_counts.values())),
             },
         )
-        return mf.read_output(out_dir)
+        return out_ds
     return triples

@@ -8,6 +8,7 @@ import pandas as pd
 import pytest
 
 from sifr_project_java_ontology_processing_ray import testgen
+from sifr_project_java_ontology_processing_ray.pipelines import enrichment
 from sifr_project_java_ontology_processing_ray.pipelines.enrichment import (
     EnrichConfig,
     enrich_ontology,
@@ -142,3 +143,23 @@ def test_deterministic(ray_session):
         return ds.to_pandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(run(), run())
+
+
+def test_stats_counters(ray_session, tmp_path):
+    fx = testgen.ontology_fixture()
+    mrconso, mrsty = testgen.umls_tables()
+    csv_path = str(tmp_path / "stats.csv")
+    enrichment.enrich_ontology(
+        fx["source_triples"], mrconso, mrsty, fx["mappings"], fx["target_triples"],
+        stats_csv=csv_path,
+    )
+    with open(csv_path) as f:
+        header = f.readline().strip().split(",")
+        values = [int(v) for v in f.readline().strip().split(",")]
+    stats = dict(zip(header, values))
+    assert stats["classes"] == 8
+    assert stats["with_own_cui"] == 2      # e1, e5
+    assert stats["cui_from_altlabel"] == 1  # e2
+    assert stats["cui_from_mapping"] == 2   # e3, e8
+    assert stats["without_cui"] >= 1        # e7
+    assert stats["with_tui"] + stats["without_tui"] == 8
