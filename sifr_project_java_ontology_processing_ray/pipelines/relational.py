@@ -146,24 +146,36 @@ FROM customer GROUP BY c_mktsegment
 
 def q_mfc_priority(sf_dir: str):
     """Per customer: most-frequent order priority (ties → lexicographically
-    smallest), ≙ most-frequent-code selection EHealth...java:318-343."""
+    smallest), ≙ most-frequent-code selection EHealth...java:318-343.
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        counts = g.groupby("o_orderpriority").size().reset_index(name="cnt")
-        counts = counts.sort_values(["cnt", "o_orderpriority"], ascending=[False, True])
-        return pd.DataFrame(
-            {
-                "o_custkey": [int(g["o_custkey"].iloc[0])],
-                "mfc_priority": [counts["o_orderpriority"].iloc[0]],
-                "mfc_count": [int(counts["cnt"].iloc[0])],
-            }
+    Shape: partial (custkey, priority)→count aggregation per batch, then a
+    BUCKETED argmax (hash(custkey)%B groups, vectorized pandas inside) —
+    not one python call per customer (state/grouped.py rationale)."""
+    from ..state.grouped import bucketed_map_groups
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by(["o_custkey", "o_orderpriority"])
+            .aggregate([("o_orderpriority", "count")])
+            .rename_columns(["o_custkey", "o_orderpriority", "p_cnt"])
         )
 
-    return (
+    from ray.data.aggregate import Sum
+
+    counts = (
         _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
-        .groupby("o_custkey")
-        .map_groups(per_group, batch_format="pandas")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_custkey", "o_orderpriority"])
+        .aggregate(Sum("p_cnt", alias_name="cnt"))
     )
+
+    def argmax_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "cnt", "o_orderpriority"],
+                            ascending=[True, False, True])
+        out = df.groupby("o_custkey", as_index=False, sort=False).first()
+        return out.rename(columns={"o_orderpriority": "mfc_priority", "cnt": "mfc_count"})
+
+    return bucketed_map_groups(counts, ["o_custkey"], argmax_bucket)
 
 
 SQL_MFC_PRIORITY = """

@@ -228,21 +228,27 @@ def minhash_candidates(sf_dir: str, num_bands: int = NUM_BANDS):
                 }
             )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(int(x) for x in g["doc_id"]))
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
-        # cap per-bucket pair explosion (hot-bucket guard)
-        ids = ids[:50]
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized over a hash-bucket of LSH groups: only (band_id,
+        band_hash) groups with >1 doc produce pairs; per-group cap guards
+        hot buckets. B python invocations total (state/grouped.py)."""
+        a_out, b_out = [], []
+        df = df.sort_values(["band_id", "band_hash", "doc_id"])
+        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+            if len(g) < 2:
+                continue
+            ids = g["doc_id"].drop_duplicates().tolist()[:50]
+            for i, a in enumerate(ids):
+                for b in ids[i + 1 :]:
+                    a_out.append(a); b_out.append(b)
+        return pd.DataFrame({"a": pd.Series(a_out, dtype="int64"),
+                             "b": pd.Series(b_out, dtype="int64")})
+
+    from ..state.grouped import bucketed_map_groups
 
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    return (
-        ds.map_batches(Signatures, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
-        .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
+    sigs = ds.map_batches(Signatures, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+    return bucketed_map_groups(sigs, ["band_id", "band_hash"], bucket_pairs)
 
 
 def q_minhash_dedup(sf_dir: str):
@@ -311,16 +317,25 @@ def q_simhash_dedup(sf_dir: str, max_hamming: int = 6):
     sig_tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
     sims = dict(zip(sig_tbl["doc_id"].to_pylist(), [int(x) for x in sig_tbl["sim"].to_pylist()]))
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(int(x) for x in g["doc_id"]))[:50]
-        rows = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame({"a": [r[0] for r in rows], "b": [r[1] for r in rows]})
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out = [], []
+        df = df.sort_values(["band", "key", "doc_id"])
+        for _, g in df.groupby(["band", "key"], sort=False):
+            if len(g) < 2:
+                continue
+            ids = g["doc_id"].drop_duplicates().tolist()[:50]
+            for i, a in enumerate(ids):
+                for b in ids[i + 1 :]:
+                    a_out.append(a); b_out.append(b)
+        return pd.DataFrame({"a": pd.Series(a_out, dtype="int64"),
+                             "b": pd.Series(b_out, dtype="int64")})
 
-    cand = (
-        rd.from_arrow(sig_tbl)
-        .map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band", "key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    from ..state.grouped import bucketed_map_groups
+
+    cand = bucketed_map_groups(
+        rd.from_arrow(sig_tbl).map_batches(band_rows, batch_format="pyarrow"),
+        ["band", "key"],
+        bucket_pairs,
     )
     cdf = cand.to_pandas().drop_duplicates()
     rows = []
