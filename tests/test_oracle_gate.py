@@ -1,0 +1,64 @@
+"""In-suite oracle agreement: a fast subset of the DuckDB gate at sf0.001
+(the driver runs the full gate at sf0.01; tools/check_oracle.py runs it all
+locally)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+SUBSET = [
+    "pricing_summary",
+    "collect_segments",
+    "mfc_priority",
+    "top_orders",
+    "customers_per_region",
+    "orders_without_lineitems",
+    "events_value_buckets",
+    "first_event",
+    "event_sessions",
+    "token_counts",
+    "exact_dedup",
+    "knn_top10",
+    "orders_per_customer",
+    "order_stats",
+]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def gate(ray_session, sf_small):
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_small}/{t}.parquet'")
+    return entry.queries(), entry.oracle_sql(), con
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(gate, sf_small, name):
+    queries, oracles, con = gate
+    got = queries[name](sf_small)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    want = con.sql(oracles[name]).df()
+    assert sorted(got.columns) == sorted(want.columns)
+    a, b = _canon(got), _canon(want)
+    assert len(a) == len(b)
+    # numeric columns compared with tolerance; strings exactly
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(b[c]):
+            pd.testing.assert_series_equal(
+                a[c].astype(float), b[c].astype(float), atol=1e-6, check_names=False
+            )
+        else:
+            assert a[c].tolist() == b[c].tolist(), c
