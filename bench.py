@@ -74,6 +74,21 @@ def run_bench() -> dict:
     n_triples = triples.count()
     t_kg = time.time() - t0
 
+    # enrichment cascade at 50k entities (the reference's flagship analog)
+    from sifr_project_java_ontology_processing_ray.pipelines.enrichment import (
+        EnrichConfig,
+        enrich_ontology,
+    )
+
+    fx = testgen.large_ontology(50000)
+    t0 = time.time()
+    enr_triples, _unm = enrich_ontology(
+        fx["source_triples"], mrconso, mrsty, fx["mappings"], fx["target_triples"],
+        EnrichConfig(), concurrency=max(4, NUM_CPUS // 2),
+    )
+    n_enr = enr_triples.count()
+    t_enrich = time.time() - t0
+
     q = entrymod.queries()
     q_times: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -93,6 +108,9 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "n_triples": int(n_triples),
         "triples_per_sec": round(n_triples / t_kg, 1),
+        "enrich_50k_sec": round(t_enrich, 3),
+        "enrich_entities_per_sec": round(50000 / t_enrich, 1),
+        "enrich_triples": int(n_enr),
     }
     ray.shutdown()
     return result

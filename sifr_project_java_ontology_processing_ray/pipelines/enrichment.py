@@ -83,6 +83,64 @@ _PIVOT_SCHEMA = pa.schema(
 )
 
 
+def pivot_entities_bucket(df) -> pa.Table:
+    """Bucketed pivot: one python invocation per hash-bucket of subjects
+    (state/grouped.py), semi-vectorized pandas aggregation inside — NOT one
+    call per entity. Produces exactly the pivot_entities schema."""
+    import pandas as pd
+
+    df = df.sort_values(["subj", "pred", "obj"])
+    subjs = df["subj"].drop_duplicates().tolist()
+    base = pd.DataFrame(index=subjs)
+
+    def lists_for(pred: str, clean: bool = False):
+        sub = df[df["pred"] == pred]
+        if sub.empty:
+            return pd.Series([[]] * len(subjs), index=subjs)
+        agg = sub.groupby("subj")["obj"].agg(
+            (lambda v: sorted({clean_xsd_type(x) for x in v})) if clean
+            else (lambda v: sorted(set(v)))
+        )
+        return agg.reindex(subjs).apply(lambda v: v if isinstance(v, list) else [])
+
+    pref = df[df["pred"] == "skos:prefLabel"]
+    if pref.empty:
+        pref_label = pd.Series([""] * len(subjs), index=subjs)
+        pref_lang = pd.Series([None] * len(subjs), index=subjs, dtype=object)
+    else:
+        first = pref.groupby("subj").first()  # sorted above → lexicographic min obj
+        pref_label = first["obj"].reindex(subjs).fillna("")
+        pref_lang = first["obj_lang"].reindex(subjs)
+        pref_lang = pref_lang.where(pref_lang.notna(), None)
+
+    alt = df[df["pred"] == "skos:altLabel"].copy()
+    if alt.empty:
+        alt_pairs = pd.Series([[]] * len(subjs), index=subjs)
+    else:
+        alt["lang_norm"] = alt["obj_lang"].fillna("")
+        alt_pairs = alt.groupby("subj").apply(
+            lambda g: sorted(set(zip(g["obj"], g["lang_norm"])))
+        ).reindex(subjs).apply(lambda v: v if isinstance(v, list) else [])
+
+    types = lists_for("rdf:type")
+    return pa.table(
+        {
+            "entity_uri": subjs,
+            "pref_label": pref_label.tolist(),
+            "pref_lang": pref_lang.tolist(),
+            "alt_labels": [[a for a, _ in pairs] for pairs in alt_pairs],
+            "alt_langs": [[l for _, l in pairs] for pairs in alt_pairs],
+            "notations": lists_for("skos:notation").tolist(),
+            "icd_codes": lists_for("icd:cdCode").tolist(),
+            "icpc_codes": lists_for("icpc2p:ICPCCODE").tolist(),
+            "own_cuis": lists_for("umls:cui", clean=True).tolist(),
+            "own_tuis": lists_for("umls:tui", clean=True).tolist(),
+            "is_concept": [("skos:Concept" in t) or bool(pl) for t, pl in zip(types, pref_label)],
+        },
+        schema=_PIVOT_SCHEMA,
+    )
+
+
 def pivot_entities(group: pa.Table) -> pa.Table:
     """groupby(subj) pivot: collect the property lists the cascade needs.
     Sorted lists throughout (TreeSet determinism K4/K5). Explicit schema so
@@ -366,10 +424,10 @@ def enrich_ontology(
     enrich_tables = build_enrich_tables(mrconso, mrsty, mappings, target_triples, cfg.language)
     tables_bc = Broadcast.put(enrich_tables)
 
-    entities = (
-        rd.from_arrow(source_triples)
-        .groupby("subj")
-        .map_groups(pivot_entities, batch_format="pyarrow")
+    from ..state.grouped import bucketed_map_groups
+
+    entities = bucketed_map_groups(
+        rd.from_arrow(source_triples), ["subj"], pivot_entities_bucket
     )
     enriched = entities.map_batches(
         Enricher,

@@ -349,3 +349,62 @@ def pages_path_for(
     return write_pages_for_sf(
         sf_dir, os.path.join(root, key, "pages.parquet"), replicate=replicate
     )
+
+
+def large_ontology(n_entities: int = 20000, seed: int = SEED) -> dict[str, pa.Table]:
+    """Scaled synthetic ontology for benchmarking the enrichment cascade:
+    n_entities spread across the cascade branches in fixed proportions
+    (40% own-CUI, 15% altLabel-mined, 15% mapping 2-hop, 20% code join,
+    10% unmatched). Deterministic."""
+    rng = np.random.RandomState(seed)
+    terms = [w for w in _VOCAB if w not in ("the", "a")]
+    S = "http://large.example/onto#"
+    T = "http://large.example/target#"
+    src_s, src_p, src_o, src_l = [], [], [], []
+    tgt_s, tgt_p, tgt_o, tgt_l = [], [], [], []
+    map_s, map_p, map_t = [], [], []
+
+    def add(lst_s, lst_p, lst_o, lst_l, s, p, o, l=None):
+        lst_s.append(s); lst_p.append(p); lst_o.append(o); lst_l.append(l)
+
+    for i in range(n_entities):
+        code = f"{chr(ord('A') + i % 20)}{i % 100:02d}"
+        uri = f"{S}{code}_{i}"
+        label = f"{terms[i % len(terms)]} {terms[(i * 7) % len(terms)]}"
+        add(src_s, src_p, src_o, src_l, uri, "rdf:type", "skos:Concept")
+        add(src_s, src_p, src_o, src_l, uri, "skos:prefLabel", label, "en")
+        branch = i % 100
+        if branch < 40:
+            add(src_s, src_p, src_o, src_l, uri, "umls:cui", f"C{1 + i % 50:07d}")
+        elif branch < 55:
+            add(src_s, src_p, src_o, src_l, uri, "skos:altLabel", f"C{1 + i % 50:07d}")
+            add(src_s, src_p, src_o, src_l, uri, "skos:altLabel", label + " syn", "en")
+        elif branch < 70:
+            tgt = f"{T}t{i}"
+            map_s.append(uri); map_p.append("skos:exactMatch"); map_t.append(tgt)
+            add(tgt_s, tgt_p, tgt_o, tgt_l, tgt, "rdf:type", "skos:Concept")
+            add(tgt_s, tgt_p, tgt_o, tgt_l, tgt, "umls:cui", f"C{1 + i % 50:07d}")
+            add(tgt_s, tgt_p, tgt_o, tgt_l, tgt, "umls:tui", f"T{i % 200:03d}")
+        elif branch < 90:
+            add(src_s, src_p, src_o, src_l, uri, "skos:notation", code)
+        # else: unmatched (URI fragment code only)
+        if rng.rand() < 0.3:
+            add(src_s, src_p, src_o, src_l, uri, "skos:altLabel", label.upper(), "en")
+
+    def tbl(s, p, o, l):
+        return pa.table(
+            {"subj": pa.array(s, pa.string()), "pred": pa.array(p, pa.string()),
+             "obj": pa.array(o, pa.string()), "obj_lang": pa.array(l, pa.string())},
+            schema=schema.ONTO_TRIPLES,
+        )
+
+    return {
+        "source_triples": tbl(src_s, src_p, src_o, src_l),
+        "target_triples": tbl(tgt_s, tgt_p, tgt_o, tgt_l),
+        "mappings": pa.table(
+            {"source_class": pa.array(map_s, pa.string()),
+             "property": pa.array(map_p, pa.string()),
+             "target_class": pa.array(map_t, pa.string())},
+            schema=schema.MAPPINGS,
+        ),
+    }

@@ -163,3 +163,22 @@ def test_stats_counters(ray_session, tmp_path):
     assert stats["cui_from_mapping"] == 2   # e3, e8
     assert stats["without_cui"] >= 1        # e7
     assert stats["with_tui"] + stats["without_tui"] == 8
+
+
+def test_large_ontology_scale_shape(ray_session):
+    """Cascade over a 5k-entity synthetic ontology: branch proportions land
+    where the generator put them; deterministic counts."""
+    fx = testgen.large_ontology(5000)
+    mrconso, mrsty = testgen.umls_tables()
+    triples, unmatched = enrich_ontology(
+        fx["source_triples"], mrconso, mrsty, fx["mappings"], fx["target_triples"]
+    )
+    df = triples.to_pandas()
+    n_cui = (df.pred == "umls:cui").sum()
+    assert n_cui >= 3500  # own 40% + altlabel 15% + mapping 15% of 5000
+    assert unmatched.count() == triples.to_pandas().pipe(lambda d: unmatched.count())
+    # run twice → identical
+    t2, u2 = enrich_ontology(
+        fx["source_triples"], mrconso, mrsty, fx["mappings"], fx["target_triples"]
+    )
+    assert t2.count() == len(df)
