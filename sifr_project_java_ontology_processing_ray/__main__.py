@@ -128,10 +128,13 @@ def cmd_clean(args) -> int:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="sifr_project_java_ontology_processing_ray")
+    # shared options accepted before OR after the subcommand
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--num-cpus", type=int, default=None)
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    k = sub.add_parser("kg", help="flagship pages→triples pipeline")
+    k = sub.add_parser("kg", parents=[common], help="flagship pages→triples pipeline")
     k.add_argument("--pages", help="pages parquet path (default: derive from sf-dir)")
     k.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     k.add_argument("--replicate", type=int, default=1)
@@ -140,7 +143,7 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("--num-parts", type=int, default=16)
     k.set_defaults(fn=cmd_kg)
 
-    e = sub.add_parser("enrich", help="ontology CUI/TUI enrichment cascade")
+    e = sub.add_parser("enrich", parents=[common], help="ontology CUI/TUI enrichment cascade")
     e.add_argument("--source"); e.add_argument("--mappings"); e.add_argument("--target")
     e.add_argument("--mrconso"); e.add_argument("--mrsty")
     e.add_argument("-dc", action="store_true", help="disambiguate ambiguous CUIs")
@@ -152,7 +155,7 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--format", choices=["parquet", "nt"], default="parquet")
     e.set_defaults(fn=cmd_enrich)
 
-    g = sub.add_parser("generate", help="SKOS generation from dictionary/corpus")
+    g = sub.add_parser("generate", parents=[common], help="SKOS generation from dictionary/corpus")
     g.add_argument("-d", help="dictionary CSV path")
     g.add_argument("-cr", action="store_true", help="use corpus raw labels")
     g.add_argument("-cs", action="store_true", help="use corpus std labels")
@@ -162,7 +165,7 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--out", default=None)
     g.set_defaults(fn=cmd_generate)
 
-    c = sub.add_parser("clean", help="multilingual cleaning + label repair")
+    c = sub.add_parser("clean", parents=[common], help="multilingual cleaning + label repair")
     c.add_argument("--input", required=True, help="triples parquet")
     c.add_argument("-l", default="en", help="target language")
     c.add_argument("--out", default=None)

@@ -347,7 +347,8 @@ def build_kg(
         )
         .unique("edge_key")
     )
-    edges = [tuple(k.split("\x00", 1)) for k in edge_keys]
+    # unique() on an empty dataset can yield [None] — guard it
+    edges = [tuple(k.split("\x00", 1)) for k in (edge_keys or []) if k]
     maps = build_canonical_maps(edges)
     maps_bc = Broadcast.put(maps)
 

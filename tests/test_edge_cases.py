@@ -1,0 +1,99 @@
+"""Edge-case robustness: empty inputs, degenerate dictionaries, single-row
+tables — the shapes a 100TB run will inevitably contain somewhere."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from sifr_project_java_ontology_processing_ray import schema, testgen
+from sifr_project_java_ontology_processing_ray.pipelines import kg
+from sifr_project_java_ontology_processing_ray.pipelines.enrichment import enrich_ontology
+from sifr_project_java_ontology_processing_ray.stages.link import MentionLinker, build_link_tables
+from sifr_project_java_ontology_processing_ray.state.broadcast import Broadcast
+
+
+def _pages_table(rows):
+    return pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([None] * len(rows), pa.timestamp("us")),
+            "html": pa.array([r[1] for r in rows], pa.binary()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+            "lang": pa.array([r[3] for r in rows], pa.string()),
+        },
+        schema=schema.PAGES,
+    )
+
+
+def test_kg_on_empty_pages(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "empty.parquet")
+    pq.write_table(_pages_table([]), p)
+    mrconso, mrsty = testgen.umls_tables()
+    ds = kg.build_kg(p, mrconso, mrsty, concurrency=2)
+    assert ds.count() == 0
+
+
+def test_kg_pages_without_mentions(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    rows = [
+        ("http://a", b"<p>zzz qqq unknownwords only</p>", "", "en"),
+        ("http://b", b"", "pre-populated totally unknown words", ""),
+    ]
+    p = str(tmp_path / "nomention.parquet")
+    pq.write_table(_pages_table(rows), p)
+    mrconso, mrsty = testgen.umls_tables()
+    df = kg.build_kg(p, mrconso, mrsty, concurrency=2, pack_struct=False).to_pandas()
+    # page triples still emitted; no mention/label/cooccur triples
+    assert set(df["prov_rule"]) <= {"page", "umls"}
+    assert (df.pred == "rdf:type").sum() == 2
+    # untagged lang → no dc:language triple for page b
+    assert (df.pred == "dc:language").sum() == 1
+
+
+def test_linker_on_empty_dictionary(ray_session):
+    empty = pa.table(
+        {"cui": pa.array([], pa.string()), "lat": pa.array([], pa.string()),
+         "str": pa.array([], pa.string()), "code": pa.array([], pa.string())},
+        schema=schema.MRCONSO,
+    )
+    tables_bc = Broadcast.put(build_link_tables(empty))
+    pages = rd.from_arrow(
+        pa.table({"url": ["u"], "warc_ts": pa.array([None], pa.timestamp("us")),
+                  "text": ["some words here"], "lang": ["en"]})
+    )
+    out = pages.map_batches(
+        MentionLinker, fn_constructor_args=(tables_bc,), batch_format="pyarrow",
+        concurrency=1, num_cpus=0.5,
+    ).to_pandas()
+    assert len(out) == 0  # no dictionary → no mentions, no crash
+
+
+def test_enrichment_on_empty_ontology(ray_session):
+    empty = pa.table(
+        {"subj": pa.array([], pa.string()), "pred": pa.array([], pa.string()),
+         "obj": pa.array([], pa.string()), "obj_lang": pa.array([], pa.string())},
+        schema=schema.ONTO_TRIPLES,
+    )
+    fx = testgen.ontology_fixture()
+    mrconso, mrsty = testgen.umls_tables()
+    triples, unmatched = enrich_ontology(
+        empty, mrconso, mrsty, fx["mappings"].slice(0, 0), fx["target_triples"].slice(0, 0)
+    )
+    assert triples.count() == 0
+    assert unmatched.count() == 0
+
+
+def test_single_page_single_word(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    rows = [("http://one", b"<p>spark</p>", "", "en")]
+    p = str(tmp_path / "one.parquet")
+    pq.write_table(_pages_table(rows), p)
+    mrconso, mrsty = testgen.umls_tables()
+    df = kg.build_kg(p, mrconso, mrsty, concurrency=2, pack_struct=False).to_pandas()
+    # one mention, no cooccur possible
+    assert (df.pred == "sifr:mentions").sum() == 1
+    assert (df.pred == "sifr:cooccursWith").sum() == 0
