@@ -75,18 +75,17 @@ class MinHasher:
 
 
 def simhash(tokens: list[str], bits: int = 64) -> int:
-    """Classic SimHash over token hashes (unweighted)."""
+    """Classic SimHash over token hashes (unweighted); bit accumulation
+    vectorized (the per-bit python loop was the hot path)."""
     if not tokens:
         return 0
-    acc = np.zeros(bits, dtype=np.int64)
-    for t in tokens:
-        h = hash64(t)
-        for i in range(bits):
-            acc[i] += 1 if (h >> i) & 1 else -1
+    hs = np.fromiter((hash64(t) for t in tokens), dtype=np.uint64, count=len(tokens))
+    shifts = np.arange(bits, dtype=np.uint64)
+    ones = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
+    majority = ones * 2 > len(hs)
     out = 0
-    for i in range(bits):
-        if acc[i] > 0:
-            out |= 1 << i
+    for i in np.flatnonzero(majority):
+        out |= 1 << int(i)
     return out
 
 
