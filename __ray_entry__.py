@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": textops.q_minhash_dedup,
         "simhash_dedup": textops.q_simhash_dedup,
         "fingerprints": textops.q_fingerprints,
+        "pages_exact_dedup": textops.q_pages_exact_dedup,
         # similarity search
         "knn_top10": ann.q_knn_top10,
         "knn_multi": ann.q_knn_multi,

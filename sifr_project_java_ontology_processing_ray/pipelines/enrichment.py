@@ -503,7 +503,6 @@ def compute_stats(enriched_ds, umls_code_to_cuis: dict[str, list[str]]) -> dict[
     """Per-batch partial counters summed in a tiny groupby (the reference's
     synchronized OntologyStats counters as dataflow)."""
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     code_ref = None
     try:

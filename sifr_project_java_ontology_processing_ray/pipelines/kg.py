@@ -166,8 +166,6 @@ class PairTriples:
         self.surface_map = maps_bc.value["surface"]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         empty = _flat_triples([], PRED_COOCCURS, [], [], False, [], [], "cooccur")
         t = batch.filter(pc.is_valid(batch["next_surface"]))
         if t.num_rows == 0:

@@ -381,3 +381,35 @@ def q_fingerprints(sf_dir: str):
             "shared_fingerprints": [int((df["n_docs"] > 1).sum())],
         }
     )
+
+
+# --------------------------------------------------------------------------
+# exact dedup over the synthetic WEB CORPUS (pages) — finds the planted
+# replica duplicates (rows-only; pages are engine-derived, not a DuckDB view)
+# --------------------------------------------------------------------------
+
+def q_pages_exact_dedup(sf_dir: str):
+    """Exact-duplicate page groups by extracted-text hash over the bench
+    pages corpus (replicate=4 plants verbatim copies). Returns groups with
+    >1 page: (representative_url, dup_count)."""
+    from .. import testgen
+    from ..stages.extract import extract_text_batch
+
+    pages = testgen.pages_path_for(sf_dir, replicate=4)
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = [hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table({"h": pa.array(h, pa.string()), "url": batch["url"]})
+
+    from ray.data.aggregate import Count, Min
+
+    out = (
+        rd.read_parquet(pages)
+        .map_batches(extract_text_batch, batch_format="pyarrow")
+        .map_batches(add_hash, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("url", alias_name="representative_url"), Count(alias_name="dup_count"))
+    )
+    df = out.to_pandas()
+    df = df[df["dup_count"] > 1].sort_values(["representative_url"]).reset_index(drop=True)
+    return df[["representative_url", "dup_count"]]

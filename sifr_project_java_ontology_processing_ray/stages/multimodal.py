@@ -113,8 +113,6 @@ def resize_metadata(batch: pa.Table, max_side: int = 64) -> pa.Table:
     """Resize planning stage (pure metadata math — the pixel work happens in
     the decoder actor when a real codec exists): scale dims to fit
     max_side, preserving aspect ratio."""
-    import pyarrow.compute as pc
-
     w = batch["decoded_w"].to_numpy().astype(np.float64)
     h = batch["decoded_h"].to_numpy().astype(np.float64)
     scale = np.minimum(1.0, max_side / np.maximum(w, h))

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
-import ray.data as rd
 
 from ..functions.hashing import hash64
 
