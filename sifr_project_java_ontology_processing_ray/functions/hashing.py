@@ -161,3 +161,48 @@ class HyperLogLog:
         hll = cls(p=blob[0])
         hll.registers = np.frombuffer(blob[1:], dtype=np.uint8).copy()
         return hll
+
+
+class BloomFilter:
+    """Broadcastable Bloom filter for semi/anti joins whose key set is too
+    large to ship verbatim (SCALE.md): ~10 bits/key ⇒ ~1% false positives.
+    Deterministic (keyed blake2b probes); mergeable via OR."""
+
+    def __init__(self, capacity: int, bits_per_key: int = 10, num_hashes: int = 7):
+        self.m = max(64, capacity * bits_per_key)
+        self.k = num_hashes
+        self.bits = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+
+    def _positions(self, value: str) -> np.ndarray:
+        h1 = hash64(value, seed=1)
+        h2 = hash64(value, seed=2) | 1
+        return (h1 + np.arange(self.k, dtype=np.uint64) * h2) % np.uint64(self.m)
+
+    def add(self, value: str) -> None:
+        for p in self._positions(value):
+            self.bits[int(p) >> 6] |= np.uint64(1) << np.uint64(int(p) & 63)
+
+    def __contains__(self, value: str) -> bool:
+        for p in self._positions(value):
+            if not (self.bits[int(p) >> 6] >> np.uint64(int(p) & 63)) & np.uint64(1):
+                return False
+        return True
+
+    def merge(self, other: "BloomFilter") -> None:
+        assert self.m == other.m and self.k == other.k
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+
+    def dumps(self) -> bytes:
+        import struct
+
+        return struct.pack("<QI", self.m, self.k) + self.bits.tobytes()
+
+    @classmethod
+    def loads(cls, blob: bytes) -> "BloomFilter":
+        import struct
+
+        m, k = struct.unpack("<QI", blob[:12])
+        bf = cls.__new__(cls)
+        bf.m, bf.k = m, k
+        bf.bits = np.frombuffer(blob[12:], dtype=np.uint64).copy()
+        return bf

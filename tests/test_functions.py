@@ -171,3 +171,20 @@ class TestHLL:
             h.add(str(i))
         h2 = hashing.HyperLogLog.loads(h.dumps())
         assert h2.estimate() == h.estimate()
+
+
+class TestBloom:
+    def test_membership_and_fp_rate(self):
+        bf = hashing.BloomFilter(capacity=5000)
+        for i in range(5000):
+            bf.add(f"key-{i}")
+        assert all(f"key-{i}" in bf for i in range(0, 5000, 50))
+        fp = sum(1 for i in range(20000, 30000) if f"key-{i}" in bf) / 10000
+        assert fp < 0.03
+
+    def test_merge_and_serialize(self):
+        a, b = hashing.BloomFilter(1000), hashing.BloomFilter(1000)
+        a.add("x"); b.add("y")
+        a.merge(b)
+        a2 = hashing.BloomFilter.loads(a.dumps())
+        assert "x" in a2 and "y" in a2 and "z" not in a2
