@@ -27,6 +27,7 @@ from sifr_project_java_ontology_processing_ray import testgen  # noqa: E402
 from sifr_project_java_ontology_processing_ray.pipelines import (  # noqa: E402
     ann,
     cleaner,
+    curation,
     enrichment,
     generation,
     kg,
@@ -135,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": textops.q_simhash_dedup,
         "fingerprints": textops.q_fingerprints,
         "pages_exact_dedup": textops.q_pages_exact_dedup,
+        "corpus_curation": curation.q_corpus_curation,
         # similarity search
         "knn_top10": ann.q_knn_top10,
         "knn_multi": ann.q_knn_multi,

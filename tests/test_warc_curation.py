@@ -1,0 +1,53 @@
+"""WARC source round-trip + corpus-curation pipeline tests."""
+
+import datetime as dt
+
+import pytest
+
+
+class TestWARC:
+    def test_roundtrip(self, ray_session, tmp_path):
+        from sifr_project_java_ontology_processing_ray.sources.warc import read_warc, write_warc
+
+        rows = [
+            ("http://a.example/1", dt.datetime(2024, 1, 1, 12), b"<html><p>alpha beta</p></html>"),
+            ("http://a.example/2", dt.datetime(2024, 1, 2, 13), b"<html><p>gamma</p></html>"),
+        ]
+        p = str(tmp_path / "t.warc")
+        write_warc(rows, p)
+        df = read_warc(p).to_pandas()
+        assert len(df) == 2
+        assert set(df["url"]) == {"http://a.example/1", "http://a.example/2"}
+        assert df[df.url == "http://a.example/1"]["html"].iloc[0] == b"<html><p>alpha beta</p></html>"
+
+    def test_gzip_and_extract_chain(self, ray_session, tmp_path):
+        from sifr_project_java_ontology_processing_ray.sources.warc import read_warc, write_warc
+        from sifr_project_java_ontology_processing_ray.stages.extract import extract_text_batch
+
+        rows = [("http://g.example", dt.datetime(2024, 2, 1), b"<html><p>hello warc</p></html>")]
+        p = str(tmp_path / "t.warc.gz")
+        write_warc(rows, p)
+        out = read_warc(p).map_batches(extract_text_batch, batch_format="pyarrow").to_pandas()
+        assert out["text"].iloc[0] == "hello warc"
+
+
+class TestCuration:
+    @pytest.fixture(scope="class")
+    def result(self, ray_session, sf_small):
+        from sifr_project_java_ontology_processing_ray.pipelines.curation import curate
+
+        return curate(sf_small)
+
+    def test_report_consistency(self, result):
+        curated, report = result
+        assert report["n_docs"] == 500
+        assert report["n_curated"] == curated.count()
+        assert report["n_curated"] <= report["n_docs"]
+        assert report["total_tokens"] > 0
+
+    def test_curated_only_kept_langs(self, result):
+        curated, _ = result
+        df = curated.to_pandas()
+        assert (df["detected_lang"] == "en").all()
+        assert (df["quality"] >= 0.3).all()
+        assert not df.duplicated("content_hash").any()
