@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "exact_dedup",
     "minhash_dedup",
     "knn_top10",
+    "event_sessions",
+    "pages_exact_dedup",
 ]
 
 
