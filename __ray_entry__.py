@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_stats": relational.q_order_stats,
         "event_sessions": relational.q_event_sessions,
         "approx_distinct_users": relational.q_approx_distinct_users,
+        "asof_latest_order": relational.q_asof_latest_order,
         # text / training-data ops
         "token_counts": textops.q_token_counts,
         "exact_dedup": textops.q_exact_dedup,
@@ -172,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
         "event_windows": relational.SQL_EVENT_WINDOWS,
         "order_stats": relational.SQL_ORDER_STATS,
         "event_sessions": relational.SQL_EVENT_SESSIONS,
+        "asof_latest_order": relational.SQL_ASOF_LATEST_ORDER,
         "token_counts": textops.SQL_TOKEN_COUNTS,
         "exact_dedup": textops.SQL_EXACT_DEDUP,
         "quality_filter": textops.SQL_QUALITY_FILTER,

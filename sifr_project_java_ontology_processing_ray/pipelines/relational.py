@@ -727,3 +727,78 @@ def q_approx_distinct_users(sf_dir: str):
     out = approx.merge(exact, on="event_type").sort_values("event_type").reset_index(drop=True)
     out["rel_error"] = ((out["approx_users"] - out["exact_users"]).abs() / out["exact_users"]).round(4)
     return out
+
+
+# --------------------------------------------------------------------------
+# as-of join: events ⋈ latest prior order per user (bucketed merge_asof)
+# --------------------------------------------------------------------------
+
+def q_asof_latest_order(sf_dir: str):
+    """For every event, the most recent order (by date) of the same user at
+    or before the event time — the as-of/range-join pattern the guide maps
+    to per-bucket ``pd.merge_asof``: both sides co-partitioned by
+    hash(user)%B, sorted by time inside the bucket, stitched with
+    merge_asof. Ties on equal order dates resolve to max orderkey on BOTH
+    sides (dedup before the join)."""
+    from ..state.grouped import bucketed_map_groups
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        lambda b: pa.table(
+            {"kind": pa.array(["e"] * b.num_rows, pa.string()),
+             "key": b["user_id"], "ts": b["ts"], "id": b["event_id"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def orders_partial(b: pa.Table) -> pa.Table:
+        t = (
+            b.select(["o_custkey", "o_orderdate", "o_orderkey"])
+            .group_by(["o_custkey", "o_orderdate"])
+            .aggregate([("o_orderkey", "max")])
+        )
+        return pa.table(
+            {"kind": pa.array(["o"] * t.num_rows, pa.string()),
+             "key": t["o_custkey"], "ts": t["o_orderdate"], "id": t["o_orderkey_max"]}
+        )
+
+    od = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"]).map_batches(
+        orders_partial, batch_format="pyarrow"
+    )
+
+    def asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["kind"] == "e"]
+        o = df[df["kind"] == "o"]
+        if e.empty or o.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "user_id": pd.Series([], dtype="int64"),
+                 "last_orderkey": pd.Series([], dtype="int64")}
+            )
+        # cross-batch partials may leave (key, ts) duplicates → final dedup
+        o = (
+            o.sort_values(["key", "ts", "id"])
+            .groupby(["key", "ts"], as_index=False)
+            .last()
+        )
+        merged = pd.merge_asof(
+            e.sort_values("ts"), o.sort_values("ts"),
+            on="ts", by="key", direction="backward", suffixes=("", "_o"),
+        )
+        hit = merged[merged["id_o"].notna()]
+        return pd.DataFrame(
+            {"event_id": hit["id"].astype("int64"),
+             "user_id": hit["key"].astype("int64"),
+             "last_orderkey": hit["id_o"].astype("int64")}
+        )
+
+    return bucketed_map_groups(ev.union(od), ["key"], asof_bucket)
+
+
+SQL_ASOF_LATEST_ORDER = """
+WITH od AS (
+  SELECT o_custkey AS key, o_orderdate AS ots, max(o_orderkey) AS okey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, od.okey AS last_orderkey
+FROM events e ASOF JOIN od ON e.user_id = od.key AND e.ts >= od.ots
+"""

@@ -23,6 +23,7 @@ SUBSET = [
     "knn_top10",
     "orders_per_customer",
     "order_stats",
+    "asof_latest_order",
 ]
 
 
