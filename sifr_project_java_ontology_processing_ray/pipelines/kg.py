@@ -45,6 +45,10 @@ PRED_TYPE = "rdf:type"
 PRED_LANG = "dc:language"
 PRED_MENTIONS = "sifr:mentions"
 PRED_COOCCURS = "sifr:cooccursWith"
+PRED_REL_BASE = "sifr:rel/"
+# relation-term vocabulary for OpenIE-style pattern extraction: a mention of
+# one of these between two other mentions yields (A, sifr:rel/<term>, C)
+REL_TERMS = frozenset({"join", "merge", "filter", "scan", "sort"})
 PRED_PREFLABEL = "skos:prefLabel"
 PRED_CUI = "umls:cui"
 COOCCUR_BUCKETS = 64
@@ -201,6 +205,62 @@ class PairTriples:
                 "prov_url": pa.array(urls, pa.string()),
                 "prov_ts": pa.array(tsn).cast(pa.timestamp("us")),
                 "prov_rule": pa.array(["cooccur"] * m, pa.string()),
+            }
+        )
+
+
+class PatternTriples:
+    """OpenIE-style pattern extraction, row-local (north rule: dependency-
+    pattern triple extraction): a mention whose surface is a RELATION TERM
+    and that sits between two other mentions yields
+    (uri(prev), sifr:rel/<term>, uri(next)). prev/next surfaces were
+    captured at extraction time where the page is atomic — no shuffle; the
+    dictionary-bounded output rides the small dedup stream."""
+
+    def __init__(self, maps_bc: Broadcast):
+        self.surface_map = maps_bc.value["surface"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = _flat_triples([], "sifr:rel", [], [], False, [], [], "pattern")
+        mask = pc.and_(
+            pc.and_(pc.is_valid(batch["prev_surface"]), pc.is_valid(batch["next_surface"])),
+            pc.is_in(batch["surface"], value_set=pa.array(sorted(REL_TERMS))),
+        )
+        t = batch.filter(mask)
+        if t.num_rows == 0:
+            return empty
+        prev = t["prev_surface"].to_pandas().map(self.surface_map)
+        nxt = t["next_surface"].to_pandas().map(self.surface_map)
+        ok = (prev.notna() & nxt.notna()).to_numpy()
+        if not ok.any():
+            return empty
+        a = prev.to_numpy(dtype=object)[ok]
+        c = nxt.to_numpy(dtype=object)[ok]
+        rel = np.asarray(t["surface"])[ok]
+        urls = np.asarray(t["url"])[ok]
+        tsn = t["warc_ts"].combine_chunks().cast(pa.int64()).to_numpy()[ok]
+        differ = a != c
+        a, c, rel, urls, tsn = a[differ], c[differ], rel[differ], urls[differ], tsn[differ]
+        if len(a) == 0:
+            return empty
+        preds = np.array([PRED_REL_BASE + r for r in rel], dtype=object)
+        order = np.lexsort((urls, c, preds, a))
+        a, preds, c, urls, tsn = a[order], preds[order], c[order], urls[order], tsn[order]
+        first = np.concatenate(
+            [[True], (a[1:] != a[:-1]) | (preds[1:] != preds[:-1]) | (c[1:] != c[:-1])]
+        )
+        a, preds, c, urls, tsn = a[first], preds[first], c[first], urls[first], tsn[first]
+        m = len(a)
+        return pa.table(
+            {
+                "subj": pa.array(a, pa.string()),
+                "pred": pa.array(preds, pa.string()),
+                "obj": pa.array(c, pa.string()),
+                "obj_lang": pa.array([None] * m, pa.string()),
+                "obj_is_literal": pa.array([False] * m, pa.bool_()),
+                "prov_url": pa.array(urls, pa.string()),
+                "prov_ts": pa.array(tsn).cast(pa.timestamp("us")),
+                "prov_rule": pa.array(["pattern"] * m, pa.string()),
             }
         )
 
@@ -377,10 +437,13 @@ def build_kg(
     )
 
     pair_emitter = PairTriples(maps_bc)
+    pattern_emitter = PatternTriples(maps_bc)
 
     def _emit_small(b: pa.Table) -> pa.Table:
         ents = apply_canon(b)
-        return pa.concat_tables([_label_triples(ents), pair_emitter(ents)])
+        return pa.concat_tables(
+            [_label_triples(ents), pair_emitter(ents), pattern_emitter(ents)]
+        )
 
     t_small = linked.map_batches(_emit_small, batch_format="pyarrow", batch_size=None)
     t_umls = rd.from_arrow(_umls_triples(maps["cui"], mrsty))

@@ -253,7 +253,7 @@ class MentionLinker:
 
         sc = self.scorer
         o_url, o_ts, o_surface, o_pos = [], [], [], []
-        o_cui, o_term, o_score, o_next = [], [], [], []
+        o_cui, o_term, o_score, o_next, o_prev = [], [], [], [], []
         for url, ts, text in zip(
             batch["url"].to_pylist(),
             batch["warc_ts"].to_pylist(),
@@ -291,6 +291,9 @@ class MentionLinker:
                             cui, term, score = c, t_, total
                 if len(o_url) > first_of_page:
                     o_next[-1] = surface  # successor pointer (page-local)
+                    o_prev.append(o_surface[-1])  # predecessor pointer
+                else:
+                    o_prev.append(None)
                 o_url.append(url)
                 o_ts.append(ts)
                 o_surface.append(surface)
@@ -310,5 +313,6 @@ class MentionLinker:
                 "term": pa.array(o_term, pa.string()),
                 "score": pa.array(o_score, pa.float64()),
                 "next_surface": pa.array(o_next, pa.string()),
+                "prev_surface": pa.array(o_prev, pa.string()),
             }
         )

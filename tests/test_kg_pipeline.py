@@ -214,3 +214,13 @@ def test_multi_file_input_invariance(ray_session, pages_small, umls, tmp_path):
         sa[["subj", "pred", "obj", "obj_lang", "obj_is_literal"]],
         sb[["subj", "pred", "obj", "obj_lang", "obj_is_literal"]],
     )
+
+
+def test_pattern_triples_emitted(triples_df):
+    """OpenIE-style pattern triples (A, sifr:rel/<term>, C) exist and only
+    use relation-term predicates."""
+    pat = triples_df[triples_df.pred.str.startswith("sifr:rel/")]
+    assert len(pat) > 0
+    rels = {p.split("/", 1)[1] for p in pat["pred"]}
+    assert rels <= {"join", "merge", "filter", "scan", "sort"}
+    assert (pat["subj"] != pat["obj"]).all()

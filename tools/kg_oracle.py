@@ -31,6 +31,10 @@ from sifr_project_java_ontology_processing_ray.stages.mentions import (  # noqa:
 )
 from sifr_project_java_ontology_processing_ray.functions.text import tokenize  # noqa: E402
 from sifr_project_java_ontology_processing_ray.state.unionfind import UnionFind  # noqa: E402
+from sifr_project_java_ontology_processing_ray.pipelines.kg import (  # noqa: E402
+    PRED_REL_BASE,
+    REL_TERMS,
+)
 
 UMLS_BASE = "http://bioportal.bioontology.org/ontologies/umls/"
 
@@ -136,6 +140,17 @@ def kg_oracle_triples(pages_path: str, mrconso, mrsty) -> set[tuple[str, str, st
                 continue
             lo, hi = (a, b) if a < b else (b, a)
             triples.add((lo, "sifr:cooccursWith", hi))
+        # OpenIE-style pattern triples: linked relation-term mention between
+        # two mentions whose surfaces canonicalize
+        for i in range(1, len(mentions) - 1):
+            sfc, cui = mentions[i]
+            if cui is None or sfc not in REL_TERMS:
+                continue
+            a = surface_map.get(mentions[i - 1][0])
+            c = surface_map.get(mentions[i + 1][0])
+            if a is None or c is None or a == c:
+                continue
+            triples.add((a, PRED_REL_BASE + sfc, c))
 
     # umls triples
     for cui, uri in cui_map.items():
