@@ -76,6 +76,16 @@ def run_bench() -> dict:
     n_triples = triples.count()
     t_kg = time.time() - t0
 
+    if os.environ.get("GRAFT_BENCH_KG_ONLY") == "1":
+        result = {
+            "metric": "kg_build_sec", "value": round(t_kg, 3), "unit": "sec",
+            "queries": {}, "sf": SF_DIR, "pages_replicate": replicate,
+            "num_cpus": NUM_CPUS, "n_triples": int(n_triples),
+            "triples_per_sec": round(n_triples / t_kg, 1),
+        }
+        ray.shutdown()
+        return result
+
     # enrichment cascade at 50k entities (the reference's flagship analog)
     from sifr_project_java_ontology_processing_ray.pipelines.enrichment import (
         EnrichConfig,
@@ -121,14 +131,21 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         # scaling runs use a larger input (800k pages) so parallel compute
-        # dominates fixed per-execution overhead — same input at BOTH levels
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # dominates fixed per-execution overhead — same input at BOTH
+        # levels; KG-only so the measured section is the whole process's
+        # work; min of 2 repetitions damps single-node cache/IO variance
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_KG_ONLY="1")
         env.setdefault("GRAFT_PAGES_REPLICATE", "160")
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        best = None
+        for _ in range(2):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        return best
 
     lo, hi = one(8), one(32)
     t_lo, t_hi = lo["value"], hi["value"]
