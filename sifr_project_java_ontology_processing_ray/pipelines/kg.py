@@ -270,11 +270,16 @@ def _umls_triples(cui_map: dict[str, str], mrsty: pa.Table) -> pa.Table:
     for every CUI observed in the corpus (≙ updateCUIs/updateTUIs,
     OntologyCUIProcessor.java:304-349)."""
     s, p, o = [], [], []
+    seen: set[tuple[str, str, str]] = set()
     for cui, uri in sorted(cui_map.items()):
         s.append(uri); p.append(PRED_CUI); o.append(cui)
+    # two CUIs merged into one union-find component can share a TUI → the
+    # same (uri, umls:tui, tui) twice; this stream skips the global dedup
+    # shuffle, so dedup the tiny driver-built table here (ADVICE r1)
     for cui, tui in sorted(zip(mrsty["cui"].to_pylist(), mrsty["tui"].to_pylist())):
         uri = cui_map.get(cui)
-        if uri is not None:
+        if uri is not None and (uri, PRED_TUI, tui) not in seen:
+            seen.add((uri, PRED_TUI, tui))
             s.append(uri); p.append(PRED_TUI); o.append(tui)
     n = len(s)
     return _flat_triples(

@@ -670,8 +670,8 @@ WITH d AS (
   FROM events
 ), s AS (
   SELECT user_id, value, event_id,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM d
 )
 SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS sum_value

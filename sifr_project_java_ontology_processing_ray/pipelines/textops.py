@@ -55,7 +55,10 @@ def q_token_counts(sf_dir: str):
 
 
 SQL_TOKEN_COUNTS = r"""
-SELECT lang, sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens,
+SELECT lang,
+       CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+            AS BIGINT) AS total_tokens,
        count(*) AS n_docs
 FROM documents GROUP BY lang
 """

@@ -60,6 +60,19 @@ def write_partitioned(
     os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
     done = completed_partitions(out_dir)
 
+    # A crash mid-write leaves orphan parquet files in manifest-less part
+    # dirs; the retry would write NEW uuid-named files alongside them and
+    # the manifest would then count both (duplicate rows on read). Purge
+    # incomplete part dirs before re-writing so resume stays exactly-once.
+    for part_dir in glob.glob(os.path.join(out_dir, f"{PART_COL}=*")):
+        try:
+            part = int(part_dir.rsplit("=", 1)[1])
+        except ValueError:
+            continue
+        if part not in done:
+            for f in glob.glob(os.path.join(part_dir, "*.parquet")):
+                os.remove(f)
+
     def add_part(batch: pa.Table) -> pa.Table:
         parts = partition_of(batch[key_col].to_pylist(), num_parts)
         return batch.append_column(PART_COL, pa.array(parts, pa.int32()))

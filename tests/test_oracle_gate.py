@@ -55,9 +55,14 @@ def test_query_matches_oracle(gate, sf_small, name):
     assert sorted(got.columns) == sorted(want.columns)
     a, b = _canon(got), _canon(want)
     assert len(a) == len(b)
-    # numeric columns compared with tolerance; strings exactly
+    # driver-strict: dtype KIND must agree (int64 3549 vs float64 3549.0
+    # stringifies differently in the driver's value hash — ADVICE r1), then
+    # floats compare with tolerance, everything else exactly
     for c in a.columns:
-        if pd.api.types.is_float_dtype(b[c]):
+        a_float = pd.api.types.is_float_dtype(a[c])
+        b_float = pd.api.types.is_float_dtype(b[c])
+        assert a_float == b_float, f"{c}: dtype kind drift {a[c].dtype} vs {b[c].dtype}"
+        if b_float:
             pd.testing.assert_series_equal(
                 a[c].astype(float), b[c].astype(float), atol=1e-6, check_names=False
             )

@@ -41,7 +41,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def value_hash(df: pd.DataFrame) -> str:
     df = canon(df)
-    payload = df.to_csv(index=False, float_format="%.6g").encode()
+    # no float_format: raw stringification so an int64 3549 vs float64 3549.0
+    # dtype drift FAILS here like it does in the driver's gate (ADVICE r1)
+    payload = df.to_csv(index=False).encode()
     return hashlib.md5(payload).hexdigest()
 
 

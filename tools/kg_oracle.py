@@ -58,11 +58,14 @@ def kg_oracle_triples(pages_path: str, mrconso, mrsty) -> set[tuple[str, str, st
         url, html, text, lang = row["url"], row["html"], row["text"], row["lang"]
         if not text:
             text = extract_text(html)
-        if not text:
-            continue
+        # page triples are METADATA-derived and emitted for every page —
+        # matching the engine's pruned (url, warc_ts, lang) page_meta read;
+        # only the content-derived mention scan requires non-empty text
         triples.add((url, "rdf:type", "web:Page"))
         if lang:
             triples.add((url, "dc:language", lang))
+        if not text:
+            continue
 
         # greedy longest-match mention scan + cascade + top-1 (sequential
         # re-statement of MentionLinker)
