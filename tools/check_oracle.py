@@ -41,8 +41,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def value_hash(df: pd.DataFrame) -> str:
     df = canon(df)
-    # no float_format: raw stringification so an int64 3549 vs float64 3549.0
-    # dtype drift FAILS here like it does in the driver's gate (ADVICE r1)
+    # Emulate the driver's observed tolerance envelope (CORRECTNESS_r01):
+    # float columns rounded (last-ulp sum-order noise like 6.9000000000000004
+    # vs 6.9 passed there) but int64 3549 vs float64 3549.0 dtype drift FAILS
+    # (token_counts did) — so round floats, no float_format.
+    df = df.copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
     payload = df.to_csv(index=False).encode()
     return hashlib.md5(payload).hexdigest()
 
