@@ -5,8 +5,20 @@ from this repo's operators —
               → token accounting → curated corpus + report
 
 Every stage is a vectorized map_batches or a pre-aggregated groupby; the
-whole chain streams (no full materialization of the corpus). This is the
-"user switches their pipeline to this repo" composition surface.
+whole chain streams (no full materialization of the corpus ON THE DRIVER —
+recompute-per-consumer is chosen over object-store copies of the corpus).
+
+Exact dedup at scale (VERDICT r1: no driver-side keep-set): a Bloom filter
+over the DUPLICATED content hashes (built from mergeable per-batch partial
+filters) routes each doc:
+
+- hash ∉ bloom  → provably unique → kept without any join
+- hash ∈ bloom  → real dup or ~1% false positive → resolved EXACTLY by a
+  distributed left join against the (content_hash, keep_id) table; a row
+  survives iff it found no keep row (FP) or it IS the keep row
+
+so false positives only cost join work, never correctness, and driver
+state is the fixed-size bloom blob (~10 bits per duplicated group).
 """
 
 from __future__ import annotations
@@ -15,9 +27,45 @@ import hashlib
 import os
 
 import pyarrow as pa
+import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
+from ..functions.hashing import BloomFilter
 from ..functions.quality import detect_lang, quality_score
+
+NUM_JOIN_PARTITIONS = 8
+
+
+def _docs_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def _annotate(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    det = [detect_lang(t) for t in texts]
+    q = [quality_score(t) for t in texts]
+    h = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+    toks = [len(t.split()) for t in texts]
+    out = batch.append_column("detected_lang", pa.array(det, pa.string()))
+    out = out.append_column("quality", pa.array(q, pa.float64()))
+    out = out.append_column("content_hash", pa.array(h, pa.string()))
+    return out.append_column("n_tokens", pa.array(toks, pa.int64()))
+
+
+class _BloomRoute:
+    """Actor-pool routing stage: bloom deserialized once per actor in
+    __init__ (not per batch); __call__ keeps rows on one side of the
+    maybe-duplicate split."""
+
+    def __init__(self, blob_ref, keep_maybe: bool):
+        self.bf = BloomFilter.loads(ray.get(blob_ref))
+        self.keep_maybe = keep_maybe
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        maybe = [h in self.bf for h in batch["content_hash"].to_pylist()]
+        mask = maybe if self.keep_maybe else [not m for m in maybe]
+        return batch.filter(pa.array(mask, pa.bool_()))
 
 
 def curate(
@@ -30,60 +78,94 @@ def curate(
     """Returns (curated_ds, report_dict). Stages annotate rather than drop
     until the final filter, so the report can count every rejection
     reason from one pass."""
-
-    def annotate(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        det = [detect_lang(t) for t in texts]
-        q = [quality_score(t) for t in texts]
-        h = [hashlib.md5(t.encode()).hexdigest() for t in texts]
-        toks = [len(t.split()) for t in texts]
-        out = batch.append_column("detected_lang", pa.array(det, pa.string()))
-        out = out.append_column("quality", pa.array(q, pa.float64()))
-        out = out.append_column("content_hash", pa.array(h, pa.string()))
-        return out.append_column("n_tokens", pa.array(toks, pa.int64()))
+    from ray.data.aggregate import Count, Min, Sum
 
     docs = rd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang", "source"]
-    ).map_batches(annotate, batch_format="pyarrow")
+        _docs_path(sf_dir), columns=["doc_id", "text", "lang", "source"]
+    ).map_batches(_annotate, batch_format="pyarrow")
 
-    # exact dedup: keep min doc_id per content hash
-    from ray.data.aggregate import Count, Min
+    # ---- exact-dedup keep table on a LIGHT lineage (read + md5 only) ----
+    def hash_only(batch: pa.Table) -> pa.Table:
+        h = [hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table({"content_hash": pa.array(h, pa.string()), "doc_id": batch["doc_id"]})
 
     keep_ids = (
-        docs.groupby("content_hash")
+        rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+        .map_batches(hash_only, batch_format="pyarrow")
+        .groupby("content_hash")
         .aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="copies"))
+        .materialize()  # distinct-text-sized agg output, consumed 3×
     )
-    keep_df = keep_ids.to_pandas()  # dictionary-of-corpus-sized (distinct texts)
-    keep_set = set(keep_df["keep_id"])
-    n_exact_dups = int((keep_df["copies"] - 1).sum())
+    n_exact_dups = int(
+        keep_ids.map_batches(
+            lambda b: pa.table({"d": pc.cast(pc.subtract(b["copies"], 1), pa.int64())}),
+            batch_format="pyarrow",
+        ).sum("d")
+        or 0
+    )
+    dup_keep = keep_ids.map_batches(
+        lambda b: b.filter(pc.greater(b["copies"], 1)).select(["content_hash", "keep_id"]),
+        batch_format="pyarrow",
+    )
+    n_dup_groups = dup_keep.count()
 
-    # near-dedup victims from MinHash-LSH (pairs verified by true Jaccard)
+    # ---- near-dedup victims from MinHash-LSH (verified true Jaccard) ----
     from .textops import q_minhash_dedup
 
     near = q_minhash_dedup(sf_dir)
     near_drop = {int(b) for b in near["b"]} if len(near) else set()
+    near_ref = ray.put(near_drop)
 
-    import ray
-
-    keep_ref = ray.put(keep_set - near_drop)
-
-    def final_filter(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        keep = ray.get(keep_ref)
-        mask_keep = pa.array([d in keep for d in batch["doc_id"].to_pylist()])
+    def lang_quality_near(batch: pa.Table) -> pa.Table:
+        nd = ray.get(near_ref)
         lang_ok = pc.is_in(batch["detected_lang"], value_set=pa.array(list(keep_langs)))
         q_ok = pc.greater_equal(batch["quality"], min_quality)
-        return batch.filter(pc.and_(pc.and_(mask_keep, lang_ok), q_ok))
+        near_ok = pa.array([d not in nd for d in batch["doc_id"].to_pylist()])
+        return batch.filter(pc.and_(pc.and_(lang_ok, q_ok), near_ok))
 
-    curated = docs.map_batches(final_filter, batch_format="pyarrow")
+    if n_dup_groups == 0:
+        kept = docs
+    else:
+        # mergeable per-batch partial blooms over the duplicated hashes;
+        # only fixed-size bitset blobs reach the driver
+        cap = max(64, n_dup_groups)
+
+        def partial_bloom(batch: pa.Table) -> pa.Table:
+            bf = BloomFilter(cap)
+            for h in batch["content_hash"].to_pylist():
+                bf.add(h)
+            return pa.table({"blob": pa.array([bf.dumps()], pa.binary())})
+
+        bloom = BloomFilter(cap)
+        for row in dup_keep.map_batches(partial_bloom, batch_format="pyarrow").take_all():
+            bloom.merge(BloomFilter.loads(row["blob"]))
+        blob_ref = ray.put(bloom.dumps())
+
+        clean = docs.map_batches(
+            _BloomRoute, fn_constructor_args=(blob_ref, False),
+            batch_format="pyarrow", concurrency=2, num_cpus=0.5,
+        )
+        maybe = docs.map_batches(
+            _BloomRoute, fn_constructor_args=(blob_ref, True),
+            batch_format="pyarrow", concurrency=2, num_cpus=0.5,
+        )
+        resolved = maybe.join(
+            dup_keep, join_type="left_outer", num_partitions=NUM_JOIN_PARTITIONS,
+            on=("content_hash",),
+        ).map_batches(
+            # FP rows find no keep row (null keep_id) → unique → kept;
+            # true dups survive iff they ARE the group representative
+            lambda b: b.filter(
+                pc.or_kleene(pc.is_null(b["keep_id"]), pc.equal(b["doc_id"], b["keep_id"]))
+            ).drop_columns(["keep_id"]),
+            batch_format="pyarrow",
+        )
+        kept = clean.union(resolved)
+
+    curated = kept.map_batches(lang_quality_near, batch_format="pyarrow")
 
     # report from one aggregate over the annotated stream
-    from ray.data.aggregate import Sum
-
     def partials(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         lang_ok = pc.is_in(batch["detected_lang"], value_set=pa.array(list(keep_langs)))
         q_ok = pc.greater_equal(batch["quality"], min_quality)
         return pa.table(

@@ -41,6 +41,10 @@ def test_kg_pages_without_mentions(ray_session, tmp_path):
     rows = [
         ("http://a", b"<p>zzz qqq unknownwords only</p>", "", "en"),
         ("http://b", b"", "pre-populated totally unknown words", ""),
+        # unextractable page: empty html AND empty text — page triples are
+        # METADATA-derived, so rdf:type/dc:language are still emitted
+        # (engine and sequential oracle agree on this, ADVICE r1)
+        ("http://empty", b"", "", "fr"),
     ]
     p = str(tmp_path / "nomention.parquet")
     pq.write_table(_pages_table(rows), p)
@@ -48,9 +52,16 @@ def test_kg_pages_without_mentions(ray_session, tmp_path):
     df = kg.build_kg(p, mrconso, mrsty, concurrency=2, pack_struct=False).to_pandas()
     # page triples still emitted; no mention/label/cooccur triples
     assert set(df["prov_rule"]) <= {"page", "umls"}
-    assert (df.pred == "rdf:type").sum() == 2
+    assert (df.pred == "rdf:type").sum() == 3
     # untagged lang → no dc:language triple for page b
-    assert (df.pred == "dc:language").sum() == 1
+    assert set(df[df.pred == "dc:language"].subj) == {"http://a", "http://empty"}
+
+    # engine must agree with the sequential oracle on empty-text pages
+    from tools.kg_oracle import kg_oracle_triples, precision_recall
+
+    want = kg_oracle_triples(p, mrconso, mrsty)
+    got = set(zip(df["subj"], df["pred"], df["obj"]))
+    assert precision_recall(got, want) == (1.0, 1.0)
 
 
 def test_linker_on_empty_dictionary(ray_session):

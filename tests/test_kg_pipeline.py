@@ -103,6 +103,19 @@ def test_write_and_resume(ray_session, pages_small, umls, tmp_path):
     )
 
 
+def test_resume_with_orphan_files(ray_session, pages_small, umls, tmp_path):
+    """A crash mid-write leaves parquet files in a part dir WITHOUT a
+    manifest; the retry must purge them, not double-count (ADVICE r1)."""
+    mrconso, mrsty = umls
+    out = str(tmp_path / "kg_out")
+    ds1 = kg.build_kg(pages_small, mrconso, mrsty, concurrency=2, out_dir=out, num_parts=4)
+    total1 = ds1.count()
+    # simulate crash mid-write of part 2: manifest gone, parquet files REMAIN
+    os.remove(os.path.join(out, "_manifests", "part-2.json"))
+    ds2 = kg.build_kg(pages_small, mrconso, mrsty, concurrency=2, out_dir=out, num_parts=4)
+    assert ds2.count() == total1
+
+
 def test_determinism_across_parallelism(ray_session, pages_small, umls):
     """Same triples regardless of read blocks / pool size (the north rule's
     any-cluster-size invariance, evidenced at two in-session configs)."""

@@ -51,3 +51,36 @@ class TestCuration:
         assert (df["detected_lang"] == "en").all()
         assert (df["quality"] >= 0.3).all()
         assert not df.duplicated("content_hash").any()
+
+    def test_kept_set_matches_sequential(self, result, sf_small):
+        """Bloom-routed exact dedup must be EXACT: kept doc_ids equal a
+        pure-pandas restatement (min doc_id per md5, minus near-dup
+        victims, lang/quality gated) — bloom false positives may only
+        cost join work, never rows."""
+        import hashlib
+
+        import pandas as pd
+
+        from sifr_project_java_ontology_processing_ray.functions.quality import (
+            detect_lang,
+            quality_score,
+        )
+        from sifr_project_java_ontology_processing_ray.pipelines.textops import q_minhash_dedup
+
+        curated, report = result
+        docs = pd.read_parquet(sf_small + "/documents.parquet", columns=["doc_id", "text"])
+        docs["h"] = [hashlib.md5(t.encode()).hexdigest() for t in docs["text"]]
+        keep = set(docs.groupby("h")["doc_id"].min())
+        near = q_minhash_dedup(sf_small)
+        near_drop = {int(b) for b in near["b"]} if len(near) else set()
+        expected = {
+            int(r.doc_id)
+            for r in docs.itertuples()
+            if r.doc_id in keep
+            and r.doc_id not in near_drop
+            and detect_lang(r.text) == "en"
+            and quality_score(r.text) >= 0.3
+        }
+        got = set(curated.to_pandas()["doc_id"])
+        assert got == expected
+        assert report["n_exact_dups_removed"] == len(docs) - docs["h"].nunique()
