@@ -137,34 +137,40 @@ def generate_skos(
     ranges = read_chapter_ranges(chapter_ranges_path) if chapter_ranges_path else []
     lookup = chapter_lookup(ranges)
 
+    # label/code cardinality is dictionary-scale and unbounded, so every
+    # grouped step runs BUCKETED (hash(key)%B python invocations, vectorized
+    # pandas inside — state/grouped.py), not one python call per key
+    from ..state.grouped import bucketed_map_groups
+
     if cfg.most_frequent_code:
         # A4: per label, keep the argmax-frequency code (ties → smallest)
-        def mfc(g: pd.DataFrame) -> pd.DataFrame:
-            counts = g.groupby("code").size().reset_index(name="cnt")
-            counts = counts.sort_values(["cnt", "code"], ascending=[False, True])
-            best = counts["code"].iloc[0]
-            return pd.DataFrame({"label": [g["label"].iloc[0]], "code": [best]})
+        def mfc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            counts = df.groupby(["label", "code"]).size().reset_index(name="cnt")
+            counts = counts.sort_values(
+                ["label", "cnt", "code"], ascending=[True, False, True]
+            )
+            best = counts.groupby("label", as_index=False, sort=False).first()
+            return best[["label", "code"]]
 
-        rows = rows.groupby("label").map_groups(mfc, batch_format="pandas")
+        rows = bucketed_map_groups(rows, ["label"], mfc_bucket)
     elif cfg.adapted:
         # A5: std labels with exactly one code, plus all raw labels per code
-        def adapted(g: pd.DataFrame) -> pd.DataFrame:
-            std_codes = sorted(set(g[g["kind"] == "std"]["code"]))
-            all_rows = g[["label", "code"]]
-            if len(std_codes) == 1:
-                return all_rows.drop_duplicates()
-            return all_rows[g["kind"] == "raw"].drop_duplicates()
+        def adapted_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            std_nuniq = df[df["kind"] == "std"].groupby("label")["code"].nunique()
+            single = set(std_nuniq[std_nuniq == 1].index)
+            is_single = df["label"].isin(single)
+            all_part = df[is_single][["label", "code"]]
+            raw_part = df[~is_single & (df["kind"] == "raw")][["label", "code"]]
+            return pd.concat([all_part, raw_part]).drop_duplicates()
 
-        rows = rows.groupby("label").map_groups(adapted, batch_format="pandas")
+        rows = bucketed_map_groups(rows, ["label"], adapted_bucket)
     else:
         rows = rows.map_batches(
             lambda b: b.select(["label", "code"]), batch_format="pyarrow"
         )
 
     # A2: group sorted distinct labels per code; M11 prefLabel; J7 chapter
-    def per_code(g: pd.DataFrame) -> pd.DataFrame:
-        code = g["code"].iloc[0]
-        labels = sorted(set(g["label"]))
+    def per_code(code: str, labels: list[str]) -> list[tuple]:
         pref = select_pref_label(labels)
         uri = CONCEPT_BASE + code
         chapter = lookup(code)
@@ -179,9 +185,18 @@ def generate_skos(
         for l in labels:
             if l != pref:
                 out.append((uri, "skos:altLabel", l, "fr"))
-        return pd.DataFrame(out, columns=["subj", "pred", "obj", "obj_lang"])
+        return out
 
-    triples = rows.groupby("code").map_groups(per_code, batch_format="pandas")
+    def per_code_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out: list[tuple] = []
+        for code, g in df.groupby("code", sort=False):
+            out.extend(per_code(code, sorted(set(g["label"]))))
+        return pd.DataFrame(out, columns=["subj", "pred", "obj", "obj_lang"]) if out else pd.DataFrame(
+            {"subj": pd.Series([], dtype="object"), "pred": pd.Series([], dtype="object"),
+             "obj": pd.Series([], dtype="object"), "obj_lang": pd.Series([], dtype="object")}
+        )
+
+    triples = bucketed_map_groups(rows, ["code"], per_code_bucket)
 
     # scheme + chapter skeleton triples (≙ :282-298 header + appendModel)
     header = [(SCHEME_URI, "rdf:type", "skos:ConceptScheme", None)]

@@ -411,18 +411,19 @@ SELECT DISTINCT name FROM (
 """
 
 
-# distinct pairs (A8)
+# distinct pairs (A8): per-batch distinct combiner → bucketed global distinct
 def q_distinct_flags(sf_dir: str):
+    from ..state.grouped import bucketed_map_groups
+
     def per_batch(b: pa.Table) -> pa.Table:
         return b.group_by(["l_returnflag", "l_linestatus"]).aggregate([])
 
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"]).map_batches(
         per_batch, batch_format="pyarrow"
     )
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    return bucketed_map_groups(
+        ds, ["l_returnflag", "l_linestatus"], lambda df: df.drop_duplicates()
     )
-    return out
 
 
 SQL_DISTINCT_FLAGS = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
@@ -433,20 +434,25 @@ SQL_DISTINCT_FLAGS = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
 # --------------------------------------------------------------------------
 
 def q_first_event(sf_dir: str):
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).head(1)
+    """user_id cardinality is unbounded → bucketed argmin, vectorized
+    pandas inside (state/grouped.py), not one python call per user."""
+    from ..state.grouped import bucketed_map_groups
+
+    def first_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        out = df.groupby("user_id", as_index=False, sort=False).first()
         return pd.DataFrame(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "first_event": [g["event_type"].iloc[0]],
-                "first_event_id": [int(g["event_id"].iloc[0])],
+                "user_id": out["user_id"].astype("int64"),
+                "first_event": out["event_type"],
+                "first_event_id": out["event_id"].astype("int64"),
             }
         )
 
-    return (
-        _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
-        .groupby("user_id")
-        .map_groups(per_group, batch_format="pandas")
+    return bucketed_map_groups(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]),
+        ["user_id"],
+        first_bucket,
     )
 
 
@@ -642,23 +648,27 @@ def q_event_sessions(sf_dir: str):
     map_groups over the ts-sorted group (Ray Data has no event-time
     windows; the ordering assumption is per-group sort, SURVEY §2.9)."""
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
-        sid = gap.cumsum().astype("int64")
+    from ..state.grouped import bucketed_map_groups
+
+    def sessions_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        gap = df.groupby("user_id", sort=False)["ts"].diff() > pd.Timedelta(
+            minutes=SESSION_GAP_MIN
+        )
+        sid = gap.astype("int64").groupby(df["user_id"], sort=False).cumsum()
         out = (
-            g.assign(session_id=sid)
-            .groupby("session_id", as_index=False)
+            df.assign(session_id=sid)
+            .groupby(["user_id", "session_id"], as_index=False, sort=False)
             .agg(n_events=("event_id", "size"), sum_value=("value", "sum"))
         )
-        out.insert(0, "user_id", int(g["user_id"].iloc[0]))
+        out["user_id"] = out["user_id"].astype("int64")
         out["sum_value"] = out["sum_value"].round(2)
-        return out
+        return out[["user_id", "session_id", "n_events", "sum_value"]]
 
-    return (
-        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
-        .groupby("user_id")
-        .map_groups(per_group, batch_format="pandas")
+    return bucketed_map_groups(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"]),
+        ["user_id"],
+        sessions_bucket,
     )
 
 

@@ -117,6 +117,24 @@ class TestCleaner:
         out = clean_multilingual(ds, "en").to_pandas()
         assert len(out) == 1  # fr kept: no en literal exists
 
+    def test_clean_multilingual_covers_all_properties(self, ray_session):
+        """M16 fidelity: the reference iterates EVERY property
+        (OWLOntologyCleaner.java:169-247), not a label allowlist — a
+        non-SKOS literal predicate in two languages keeps only the
+        target; resource-object triples are untouched."""
+        e = "http://x/e3"
+        ds = _triples_ds(
+            [
+                (e, "dc:description", "a lung disease", "en"),
+                (e, "dc:description", "une maladie pulmonaire", "fr"),
+                (e, "ex:relatedTo", "http://x/other", None),
+            ]
+        )
+        out = clean_multilingual(ds, "en").to_pandas()
+        desc = out[out.pred == "dc:description"]
+        assert set(desc["obj"]) == {"a lung disease"}
+        assert (out.pred == "ex:relatedTo").sum() == 1
+
     def test_repair_pref_labels(self, ray_session):
         e1, e2, e3 = "http://x/a", "http://x/b", "http://x/c"
         ds = _triples_ds(
