@@ -40,6 +40,42 @@ def normalize_code(code: str) -> str:
     return code
 
 
+# --- UMLS language codes ---------------------------------------------------
+
+# ≙ ontology/umls/UMLSLanguageCode.java:6-26 — the reference's exact pairs,
+# including its idiosyncratic short codes (cz/jp/kr/sw/no/hr, not ISO-639).
+UMLS_LANGUAGE_CODES = {
+    "ENG": "en", "FRE": "fr", "CZE": "cz", "FIN": "fi", "GER": "de",
+    "ITA": "it", "JPN": "jp", "POL": "pl", "POR": "pt", "RUS": "ru",
+    "SPA": "es", "SWE": "sw", "SCR": "hr", "DUT": "nl", "LAV": "lv",
+    "HUN": "hu", "KOR": "kr", "DAN": "da", "NOR": "no", "HEB": "he",
+    "BAQ": "eu",
+}
+_SHORT_TO_UMLS = {v: k for k, v in UMLS_LANGUAGE_CODES.items()}
+
+
+def umls_language_code(code: str | None) -> str | None:
+    """Either form → UMLS 3-letter code (``fr``/``FRE`` → ``FRE``);
+    unknown → None (≙ UMLSLanguageCode.getLanguageCode)."""
+    if not code:
+        return None
+    c = code.strip()
+    if c.upper() in UMLS_LANGUAGE_CODES:
+        return c.upper()
+    return _SHORT_TO_UMLS.get(c.lower())
+
+
+def short_language_code(code: str | None) -> str | None:
+    """Either form → the reference's 2-letter short code (``FRE`` → ``fr``);
+    unknown → None (≙ UMLSLanguageCode.getShortCode)."""
+    if not code:
+        return None
+    c = code.strip()
+    if c.lower() in _SHORT_TO_UMLS:
+        return c.lower()
+    return UMLS_LANGUAGE_CODES.get(c.upper())
+
+
 # --- code finders (M13-M15) ------------------------------------------------
 
 def code_from_uri(uri: str) -> str | None:

@@ -56,8 +56,19 @@ class EnrichConfig:
     disambiguate: bool = True        # -dc
     match_missing: bool = False      # -mc
     code_to_pref_label: bool = False  # -cpl
-    language: str = "ENG"            # -l (UMLS 3-letter code)
+    language: str = "ENG"            # -l (UMLS 3-letter OR 2-letter code)
     add_change_note: bool = True     # -hn history note
+
+    def __post_init__(self):
+        # ≙ umls/UMLSLanguageCode.java: page-level 2-letter tags map to
+        # UMLS 3-letter codes ('fr' → 'FRE'); unknown codes are an error
+        # rather than a silent zero-match run
+        from ..functions.codes import umls_language_code
+
+        norm = umls_language_code(self.language)
+        if norm is None:
+            raise ValueError(f"unknown language code: {self.language!r}")
+        self.language = norm
 
 
 # --------------------------------------------------------------------------

@@ -188,3 +188,29 @@ class TestBloom:
         a.merge(b)
         a2 = hashing.BloomFilter.loads(a.dumps())
         assert "x" in a2 and "y" in a2 and "z" not in a2
+
+
+class TestUMLSLanguageCodes:
+    """≙ ontology/umls/UMLSLanguageCode.java:6-26 (incl. non-ISO quirks)."""
+
+    def test_bidirectional(self):
+        from sifr_project_java_ontology_processing_ray.functions import codes
+
+        assert codes.umls_language_code("fr") == "FRE"
+        assert codes.umls_language_code("FRE") == "FRE"
+        assert codes.short_language_code("FRE") == "fr"
+        assert codes.short_language_code("en") == "en"
+        # reference quirks preserved: Czech is 'cz', Japanese 'jp'
+        assert codes.short_language_code("CZE") == "cz"
+        assert codes.umls_language_code("jp") == "JPN"
+        assert codes.umls_language_code("xx") is None
+
+    def test_enrich_config_normalizes(self):
+        from sifr_project_java_ontology_processing_ray.pipelines.enrichment import EnrichConfig
+
+        assert EnrichConfig(language="fr").language == "FRE"
+        assert EnrichConfig(language="ENG").language == "ENG"
+        import pytest
+
+        with pytest.raises(ValueError):
+            EnrichConfig(language="klingon")

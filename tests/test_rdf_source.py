@@ -1,13 +1,17 @@
-"""N-Triples source/sink round-trip tests (S1/S2)."""
+"""RDF source/sink tests: N-Triples, Turtle, RDF/XML, gzip/bz2 (S1/S2)."""
 
+import bz2
 import glob
 import gzip
 
 from sifr_project_java_ontology_processing_ray.sources.rdf import (
     parse_ntriples_line,
+    parse_turtle,
     read_ntriples,
+    read_rdf,
     triples_to_ntriples,
     write_ntriples,
+    write_rdfxml,
 )
 
 NT = """# comment
@@ -43,6 +47,74 @@ def test_read_gzip(ray_session, tmp_path):
     with gzip.open(p, "wt") as f:
         f.write('<http://a> <http://b> "v" .\n')
     assert read_ntriples(str(p)).count() == 1
+
+
+TTL = """@prefix skos: <http://www.w3.org/2004/02/skos/core#> .
+@prefix icd: <http://purl.bioontology.org/ontology/ICD10/> .
+# chapter-style fixture with the constructs the reference's inputs use
+icd:A01.12 a skos:Concept ;
+    skos:prefLabel "fi\\u00e8vre typho\\u00efde"@fr , "typhoid fever"@en ;
+    skos:notation "A01.12"^^<http://www.w3.org/2001/XMLSchema#string> ;
+    skos:broader <http://chapter.example/I> .
+<http://x/scheme> a skos:ConceptScheme .
+"""
+
+
+def test_parse_turtle_constructs():
+    rows = parse_turtle(TTL)
+    spo = {(s, p, o) for s, p, o, _, _ in rows}
+    skos = "http://www.w3.org/2004/02/skos/core#"
+    icd = "http://purl.bioontology.org/ontology/ICD10/A01.12"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    assert (icd, rdf_type, skos + "Concept") in spo            # 'a' + pname-with-dot
+    assert (icd, skos + "prefLabel", "fièvre typhoïde") in spo  # ',' + @fr + \\u escape
+    assert (icd, skos + "prefLabel", "typhoid fever") in spo
+    assert (icd, skos + "notation", "A01.12") in spo            # ^^ stripped (M4)
+    assert (icd, skos + "broader", "http://chapter.example/I") in spo
+    langs = {o: l for _, p, o, l, _ in rows if p == skos + "prefLabel"}
+    assert langs == {"fièvre typhoïde": "fr", "typhoid fever": "en"}
+
+
+def test_read_turtle_bz2(ray_session, tmp_path):
+    """≙ OntologyLoader.java:41-92: '.ttl' in name → Turtle, '.bz2' →
+    decompress. Round-trips into the triples schema (VERDICT r1 item 4)."""
+    p = tmp_path / "chapters.ttl.bz2"
+    with bz2.open(p, "wt", encoding="utf-8") as f:
+        f.write(TTL)
+    df = read_rdf(str(p)).to_pandas()
+    assert len(df) == 6
+    assert set(df.columns) == {"subj", "pred", "obj", "obj_lang", "obj_is_literal"}
+    # CURIE contraction applied on the way in
+    assert "skos:prefLabel" in set(df["pred"])
+    assert "icd:A01.12" in set(df["subj"])
+
+
+def test_read_reference_prefixes_ttl(ray_session):
+    """The reference's own prefixes.ttl parses without statements (it is
+    all @prefix directives) — the subset boundary the VERDICT named."""
+    assert parse_turtle(open("/root/reference/src/main/resources/prefixes.ttl").read()) == []
+
+
+def test_rdfxml_roundtrip(ray_session, tmp_path):
+    """write_rdfxml shard documents read back losslessly via read_rdf
+    (extension-sniffed RDF/XML path)."""
+    src = tmp_path / "src.nt"
+    src.write_text(NT)
+    ds = read_ntriples(str(src))
+    out = tmp_path / "rdfxml"
+    write_rdfxml(ds, str(out))
+    files = glob.glob(str(out / "*.rdf"))
+    assert files
+    a = ds.to_pandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    b = read_rdf(files).to_pandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    assert a[["subj", "pred", "obj", "obj_lang"]].equals(b[["subj", "pred", "obj", "obj_lang"]])
+
+
+def test_read_rdf_sniffs_ntriples_gz(ray_session, tmp_path):
+    p = tmp_path / "data.gz"  # no format extension → content sniff
+    with gzip.open(p, "wt") as f:
+        f.write('<http://a> <http://b> "v" .\n')
+    assert read_rdf(str(p)).count() == 1
 
 
 def test_roundtrip(ray_session, tmp_path):
