@@ -177,5 +177,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": textops.SQL_TOKEN_COUNTS,
         "exact_dedup": textops.SQL_EXACT_DEDUP,
         "quality_filter": textops.SQL_QUALITY_FILTER,
+        "pages_exact_dedup": textops.SQL_PAGES_EXACT_DEDUP,
         "knn_top10": ann.SQL_KNN_TOP10,
+        "knn_multi": ann.SQL_KNN_MULTI,
     }

@@ -53,6 +53,11 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # silence the benign "Failed to hash the schemas (for deduplication)"
+    # warning (provenance-struct metadata) so bench logs stay readable
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from sifr_project_java_ontology_processing_ray import testgen
@@ -129,25 +134,29 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    def one(ncpu: int) -> dict:
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+
+    def one(ncpu: int) -> tuple[dict, list[float]]:
         # scaling runs use a larger input (800k pages) so parallel compute
         # dominates fixed per-execution overhead — same input at BOTH
         # levels; KG-only so the measured section is the whole process's
-        # work; min of 2 repetitions damps single-node cache/IO variance
+        # work; min of N repetitions damps single-node cache/IO variance
+        # (all rep times are reported so the spread is visible)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_KG_ONLY="1")
         env.setdefault("GRAFT_PAGES_REPLICATE", "160")
-        best = None
-        for _ in range(2):
+        best, times = None, []
+        for _ in range(reps):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, check=True,
             ).stdout
             r = json.loads(out.strip().splitlines()[-1])
+            times.append(r["value"])
             if best is None or r["value"] < best["value"]:
                 best = r
-        return best
+        return best, times
 
-    lo, hi = one(8), one(32)
+    (lo, lo_times), (hi, hi_times) = one(8), one(32)
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (32 / 8)
     return {
@@ -156,6 +165,8 @@ def run_scaling() -> dict:
         "unit": "ratio",
         "sec_8cpu": t_lo,
         "sec_32cpu": t_hi,
+        "reps_8cpu": lo_times,
+        "reps_32cpu": hi_times,
         "triples_per_sec_8cpu": lo["triples_per_sec"],
         "triples_per_sec_32cpu": hi["triples_per_sec"],
         "sf": SF_DIR,

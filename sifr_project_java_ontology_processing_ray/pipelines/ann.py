@@ -73,11 +73,19 @@ LIMIT 10
 
 
 def q_knn_multi(sf_dir: str, n_queries: int = 4, k: int = 5):
-    """Batched brute-force: top-k for the first ``n_queries`` vectors via one
-    matmul per batch against the broadcast query matrix (rows-only check)."""
+    """Batched brute-force: top-k for query vectors vec_id 0..n_queries-1
+    via one matmul per batch against the broadcast query matrix
+    (SQL-checked against a windowed cross-join oracle)."""
     t = pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
-    ids = t["vec_id"].to_pylist()[:n_queries]
-    Q = np.vstack([np.asarray(v.as_py(), dtype=np.float64) for v in t["embedding"][:n_queries]])
+    want = set(range(n_queries))
+    rows = [
+        (vid, t["embedding"][i])
+        for i, vid in enumerate(t["vec_id"].to_pylist())
+        if vid in want
+    ]
+    rows.sort()
+    ids = [vid for vid, _ in rows]
+    Q = np.vstack([np.asarray(v.as_py(), dtype=np.float64) for _, v in rows])
     Qn = Q / np.where(np.linalg.norm(Q, axis=1, keepdims=True) == 0, 1.0, np.linalg.norm(Q, axis=1, keepdims=True))
     q_ref = ray.put((ids, Qn))
 
@@ -115,6 +123,22 @@ def q_knn_multi(sf_dir: str, n_queries: int = 4, k: int = 5):
     )
     df["cos"] = df["cos"].round(3)
     return df
+
+
+SQL_KNN_MULTI = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+), ranked AS (
+  SELECT q.query_id, e.vec_id,
+         round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 3) AS cos,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, cos FROM ranked WHERE rn <= 5
+"""
 
 
 def ivf_build_centroids(sf_dir: str, n_centroids: int = 16, seed: int = 42) -> np.ndarray:

@@ -287,6 +287,11 @@ def _umls_triples(cui_map: dict[str, str], mrsty: pa.Table) -> pa.Table:
     )
 
 
+def _coalesced_edge_keys(b: pa.Table) -> pa.Table:
+    t = b.group_by(["surface", "cui"]).aggregate([])  # re-distinct the coalesced batch
+    return pa.table({"edge_key": pc.binary_join_element_wise(t["surface"], t["cui"], "\x00")})
+
+
 DEDUP_BUCKETS = 64
 
 
@@ -397,16 +402,19 @@ def build_kg(
     )
 
     # --- canonicalization: distinct edges → union-find → broadcast maps ---
+    # per-batch distinct combiner first; the second map COALESCES the tiny
+    # per-block distinct outputs (batch_size ≫ block size) so unique()'s
+    # shuffle sees a handful of blocks, not one per linker block — this
+    # serial-path latency is the visible Amdahl term in the scaling number
     edge_keys = (
         linked.map_batches(
             lambda b: b.select(["surface", "cui"]).group_by(["surface", "cui"]).aggregate([]),
             batch_format="pyarrow",
         )
         .map_batches(
-            lambda b: pa.table(
-                {"edge_key": pc.binary_join_element_wise(b["surface"], b["cui"], "\x00")}
-            ),
+            _coalesced_edge_keys,
             batch_format="pyarrow",
+            batch_size=262144,
         )
         .unique("edge_key")
     )

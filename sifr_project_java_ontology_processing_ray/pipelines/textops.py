@@ -426,3 +426,25 @@ def q_pages_exact_dedup(sf_dir: str):
     df = out.to_pandas()
     df = df[df["dup_count"] > 1].sort_values(["representative_url"]).reset_index(drop=True)
     return df[["representative_url", "dup_count"]]
+
+
+# SQL restatement of the DERIVED pages corpus (testgen.pages_table_from_
+# documents replicate=4: replica 0 and r%10==3 keep the text verbatim, other
+# replicas rotate the word sequence by r) — checkable because extraction
+# recovers the document text byte-identically (the per-url invariant).
+SQL_PAGES_EXACT_DEDUP = r"""
+WITH reps AS (
+  SELECT doc_id, source, text, string_split(text, ' ') AS words, r
+  FROM documents CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(r)
+), pages AS (
+  SELECT CASE WHEN r = 0 THEN 'https://' || source || '.example/doc/' || doc_id
+              ELSE 'https://' || source || '.example/doc/' || doc_id || '?r=' || r END AS url,
+         CASE WHEN r = 0 OR r % 10 = 3 THEN text
+              ELSE array_to_string(
+                     list_concat(words[(r % greatest(1, len(words))) + 1 :],
+                                 words[1 : r % greatest(1, len(words))]), ' ') END AS ptext
+  FROM reps
+)
+SELECT min(url) AS representative_url, count(*) AS dup_count
+FROM pages GROUP BY ptext HAVING count(*) > 1
+"""

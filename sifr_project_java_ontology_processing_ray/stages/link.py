@@ -239,12 +239,15 @@ class MentionLinker:
     """
 
     def __init__(self, tables_bc: Broadcast):
-        from .mentions import CONTEXT_WINDOW, build_alias_index
+        from .mentions import CONTEXT_WINDOW, build_alias_index, trie_longest_match
 
         t = tables_bc.value
         state = build_alias_index(sorted(t["term"].keys()))
-        self.index = state["index"]
-        self.max_len = state["max_len"]
+        # token-trie scan (see build_alias_index): one dict probe per
+        # non-matching token instead of max_len tuple probes — the scan is
+        # the dominant per-page cost (VERDICT r1 item 9)
+        self.trie = state["trie"]
+        self.match = trie_longest_match
         self.ctx_window = CONTEXT_WINDOW
         self.scorer = CandidateScorer(tables_bc)
 
@@ -263,13 +266,9 @@ class MentionLinker:
             n = len(toks)
             i = 0
             first_of_page = len(o_url)
+            trie, match = self.trie, self.match
             while i < n:
-                matched = None
-                for L in range(min(self.max_len, n - i), 0, -1):
-                    term = self.index.get(tuple(toks[i : i + L]))
-                    if term is not None:
-                        matched = (term, L)
-                        break
+                matched = match(trie, toks, i)
                 if not matched:
                     i += 1
                     continue

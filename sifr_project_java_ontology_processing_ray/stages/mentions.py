@@ -19,9 +19,22 @@ from ..state.broadcast import Broadcast
 CONTEXT_WINDOW = 3  # tokens of context kept on each side of a mention
 
 
+# trie terminal sentinel: tokens are non-empty strings, so "" never collides
+_TERM = ""
+
+
 def build_alias_index(terms: list[str]) -> dict:
-    """{token_tuple: canonical term string} + max term token length."""
+    """{token_tuple: canonical term} + max length + a token-level TRIE.
+
+    The trie is the scan's hot structure (the Aho-Corasick automaton minus
+    failure links — unnecessary here because greedy longest-match consumes
+    the matched span and restarts AFTER it, so no overlapping-pattern
+    recovery is needed): a non-matching token costs ONE dict probe instead
+    of max_len tuple constructions. The flat tuple index is kept for the
+    independent sequential oracle (tools/kg_oracle.py) so engine and oracle
+    do not share the scan data structure."""
     index: dict[tuple[str, ...], str] = {}
+    trie: dict = {}
     max_len = 1
     for term in terms:
         toks = tuple(tokenize(term))
@@ -29,7 +42,28 @@ def build_alias_index(terms: list[str]) -> dict:
             continue
         index[toks] = term
         max_len = max(max_len, len(toks))
-    return {"index": index, "max_len": max_len}
+        node = trie
+        for t in toks:
+            node = node.setdefault(t, {})
+        node[_TERM] = term
+    return {"index": index, "max_len": max_len, "trie": trie}
+
+
+def trie_longest_match(trie: dict, toks: list[str], i: int) -> tuple[str, int] | None:
+    """Longest dictionary term starting at position i → (term, length)."""
+    node = trie
+    j = i
+    n = len(toks)
+    last = None
+    while j < n:
+        node = node.get(toks[j])
+        if node is None:
+            break
+        j += 1
+        term = node.get(_TERM)
+        if term is not None:
+            last = (term, j - i)
+    return last
 
 
 def find_mentions(text: str, index: dict[tuple[str, ...], str], max_len: int):
