@@ -31,6 +31,7 @@ from sifr_project_java_ontology_processing_ray.pipelines import (  # noqa: E402
     enrichment,
     generation,
     kg,
+    reconciler,
     relational,
     textops,
 )
@@ -148,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "enrichment_cascade": _q_enrichment,
         "skos_generation": _q_generation,
         "multilingual_clean": _q_cleaner,
+        "reconciliation": reconciler.q_reconciliation,
         "multimodal_decode": _q_multimodal,
     }
 

@@ -1,0 +1,144 @@
+"""Ontology reconciliation — the reference's fourth CLI
+(cli/OntologyReconciler.java).
+
+The reference ships it as a SKELETON: ``processSourceClass`` /
+``processTargetClass`` only count classes, ``findSourceCodes`` returns
+``Collections.emptyList()`` (OntologyReconciler.java:120-124), and the
+per-class UMLS comparison survives only as the commented-out
+``matchUMLSCodes`` (:230-288). This module implements the evident intent as
+dataflow, reusing the enrichment machinery:
+
+per class in BOTH models → discover CUIs through the own → altLabel-mined →
+mapping cascade (the cascade ``findSourceCodes``'s javadoc describes) →
+find the class code (M15 composite finder, ``codeFinder.getCode`` in the
+comments) → compare the class's CUI set against the dictionary's CUIs for
+that code — emitting the CUIOntologyStats-style counters the skeleton
+increments plus the cardinality comparison the comments describe
+(CLASSES_WITH_LESS/MORE_CUIS_THAN_UMLS, A7 analog).
+
+Shape: bucketed subject pivot per model → one stateful actor pass (lookup
+tables broadcast once) → per-batch counter partials → tiny Sum aggregate.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.codes import composite_code, mine_cuis, normalize_code
+from ..state.broadcast import Broadcast
+from ..state.grouped import bucketed_map_groups
+from .enrichment import build_enrich_tables, pivot_entities_bucket
+
+COUNTERS = (
+    "total_source_classes",
+    "total_target_classes",
+    "classes_with_cuis",
+    "classes_without_cuis",
+    "umls_codes_found",
+    "classes_with_less_cuis_than_umls",
+    "classes_with_more_cuis_than_umls",
+    "classes_with_same_cuis_as_umls",
+)
+
+
+class Reconciler:
+    """map_batches actor over pivoted entities (+ ``side`` column):
+    per-class CUI discovery + UMLS cardinality comparison → counter
+    partials (one row per batch)."""
+
+    def __init__(self, tables_bc: Broadcast):
+        self.t = tables_bc.value
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self.t
+        counts = dict.fromkeys(COUNTERS, 0)
+        for row in batch.to_pylist():
+            side = row["side"]
+            counts["total_source_classes" if side == "source" else "total_target_classes"] += 1
+            cuis = set(row["own_cuis"])
+            if not cuis:
+                cuis = set(mine_cuis(list(row["alt_labels"])))
+            if not cuis and side == "source":
+                for _prop, tgt in t["src_to_targets"].get(row["entity_uri"], []):
+                    cuis.update(t["tgt_cuis"].get(tgt, []))
+            counts["classes_with_cuis" if cuis else "classes_without_cuis"] += 1
+            code = composite_code(
+                list(row["notations"]) or None,
+                list(row["icd_codes"]) or None,
+                list(row["icpc_codes"]) or None,
+                row["entity_uri"],
+            )
+            if not code:
+                continue
+            umls_cuis = t["code_to_cuis"].get(code) or t["code_to_cuis"].get(
+                normalize_code(code)
+            )
+            if not umls_cuis:
+                continue
+            counts["umls_codes_found"] += 1
+            if len(umls_cuis) > len(cuis):
+                counts["classes_with_less_cuis_than_umls"] += 1
+            elif len(umls_cuis) < len(cuis):
+                counts["classes_with_more_cuis_than_umls"] += 1
+            else:
+                counts["classes_with_same_cuis_as_umls"] += 1
+        return pa.table({k: pa.array([v], pa.int64()) for k, v in counts.items()})
+
+
+def reconcile(
+    source_triples: pa.Table,
+    target_triples: pa.Table,
+    mrconso: pa.Table,
+    mrsty: pa.Table,
+    mappings: pa.Table,
+    *,
+    concurrency: int = 2,
+) -> dict[str, int]:
+    """Run the reconciliation; returns the counter dict (≙ CUIOntologyStats
+    for '<source>_<target>')."""
+    tables = build_enrich_tables(mrconso, mrsty, mappings, target_triples, "ENG")
+    tables_bc = Broadcast.put(tables)
+
+    def tag(side: str):
+        def _tag(b: pa.Table) -> pa.Table:
+            return b.append_column("side", pa.array([side] * b.num_rows, pa.string()))
+
+        return _tag
+
+    src = bucketed_map_groups(
+        rd.from_arrow(source_triples), ["subj"], pivot_entities_bucket
+    ).map_batches(tag("source"), batch_format="pyarrow")
+    tgt = bucketed_map_groups(
+        rd.from_arrow(target_triples), ["subj"], pivot_entities_bucket
+    ).map_batches(tag("target"), batch_format="pyarrow")
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        src.union(tgt)
+        .map_batches(
+            Reconciler,
+            fn_constructor_args=(tables_bc,),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            num_cpus=0.5,
+        )
+        .aggregate(*[Sum(c, alias_name=c) for c in COUNTERS])
+    )
+    return {c: int(agg[c] or 0) for c in COUNTERS}
+
+
+def q_reconciliation(sf_dir: str):
+    """Driver-contract wrapper over the ontology fixture (rows-only):
+    one row per counter, deterministic order."""
+    import pandas as pd
+
+    from .. import testgen
+
+    fx = testgen.ontology_fixture()
+    mrconso, mrsty = testgen.umls_tables()
+    counts = reconcile(
+        fx["source_triples"], fx["target_triples"], mrconso, mrsty, fx["mappings"]
+    )
+    return pd.DataFrame({"counter": list(COUNTERS), "value": [counts[c] for c in COUNTERS]})

@@ -3,9 +3,10 @@
 Pure-python streaming parser for WARC/1.0 ``response`` records (no warcio in
 this container). Each file is one read task (`rd.from_items(paths)` fan-out,
 like the XML/RDF sources); at crawl scale pass the full segment listing and
-let Ray schedule. Gzip handled by extension (.warc.gz assumed to be
-whole-file gzip, as in this repo's writer; real CC uses per-record gzip —
-a member-aware reader slots in here behind the same API).
+let Ray schedule. Gzip handled by extension: BOTH whole-file gzip and real
+Common Crawl's one-gzip-member-per-record layout decode through the same
+reader (python's gzip streams concatenated members transparently);
+``write_warc_cc`` produces the per-record-member layout for fixtures.
 """
 
 from __future__ import annotations
@@ -96,18 +97,32 @@ def read_warc(paths: str | list[str]) -> "rd.Dataset":
     )
 
 
+def _record_bytes(url: str, ts: "dt.datetime | None", payload: bytes) -> bytes:
+    ts_s = (ts or dt.datetime(2024, 1, 1)).strftime("%Y-%m-%dT%H:%M:%SZ")
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + payload
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        + f"WARC-Target-URI: {url}\r\n".encode()
+        + f"WARC-Date: {ts_s}\r\n".encode()
+        + f"Content-Length: {len(http)}\r\n".encode()
+        + _CRLF
+    )
+    return head + http + _CRLF + _CRLF
+
+
 def write_warc(rows: list[tuple[str, "dt.datetime", bytes]], path: str) -> None:
-    """Minimal WARC writer for fixtures/round-trip tests."""
+    """Minimal WARC writer for fixtures/round-trip tests (whole-file gzip
+    when the path ends in .gz)."""
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "wb") as f:
         for url, ts, payload in rows:
-            ts_s = (ts or dt.datetime(2024, 1, 1)).strftime("%Y-%m-%dT%H:%M:%SZ")
-            http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + payload
-            f.write(b"WARC/1.0\r\n")
-            f.write(b"WARC-Type: response\r\n")
-            f.write(f"WARC-Target-URI: {url}\r\n".encode())
-            f.write(f"WARC-Date: {ts_s}\r\n".encode())
-            f.write(f"Content-Length: {len(http)}\r\n".encode())
-            f.write(_CRLF)
-            f.write(http)
-            f.write(_CRLF + _CRLF)
+            f.write(_record_bytes(url, ts, payload))
+
+
+def write_warc_cc(rows: list[tuple[str, "dt.datetime", bytes]], path: str) -> None:
+    """Real Common-Crawl layout: ONE GZIP MEMBER PER RECORD, concatenated.
+    ``read_warc`` decodes it through the same gzip stream (multi-member)."""
+    with open(path, "wb") as f:
+        for url, ts, payload in rows:
+            f.write(gzip.compress(_record_bytes(url, ts, payload)))

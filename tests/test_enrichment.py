@@ -182,3 +182,54 @@ def test_large_ontology_scale_shape(ray_session):
         fx["source_triples"], mrconso, mrsty, fx["mappings"], fx["target_triples"]
     )
     assert t2.count() == len(df)
+
+
+class TestReconciler:
+    """cli/OntologyReconciler.java intent (skeleton + commented
+    matchUMLSCodes) — engine counters must equal a sequential pure-python
+    restatement over the same fixture."""
+
+    def test_counters_match_sequential(self, ray_session):
+        from sifr_project_java_ontology_processing_ray import testgen
+        from sifr_project_java_ontology_processing_ray.functions.codes import (
+            composite_code,
+            mine_cuis,
+            normalize_code,
+        )
+        from sifr_project_java_ontology_processing_ray.pipelines.enrichment import (
+            build_enrich_tables,
+            pivot_entities_bucket,
+        )
+        from sifr_project_java_ontology_processing_ray.pipelines.reconciler import reconcile
+
+        fx = testgen.ontology_fixture()
+        mrconso, mrsty = testgen.umls_tables()
+        got = reconcile(fx["source_triples"], fx["target_triples"], mrconso, mrsty, fx["mappings"])
+
+        t = build_enrich_tables(mrconso, mrsty, fx["mappings"], fx["target_triples"], "ENG")
+        want = {k: 0 for k in got}
+        for side, triples in (("source", fx["source_triples"]), ("target", fx["target_triples"])):
+            rows = pivot_entities_bucket(triples.to_pandas()).to_pylist()
+            for row in rows:
+                want["total_source_classes" if side == "source" else "total_target_classes"] += 1
+                cuis = set(row["own_cuis"]) or set(mine_cuis(list(row["alt_labels"])))
+                if not cuis and side == "source":
+                    for _p, tgt in t["src_to_targets"].get(row["entity_uri"], []):
+                        cuis.update(t["tgt_cuis"].get(tgt, []))
+                want["classes_with_cuis" if cuis else "classes_without_cuis"] += 1
+                code = composite_code(
+                    list(row["notations"]) or None, list(row["icd_codes"]) or None,
+                    list(row["icpc_codes"]) or None, row["entity_uri"],
+                )
+                if not code:
+                    continue
+                ucuis = t["code_to_cuis"].get(code) or t["code_to_cuis"].get(normalize_code(code))
+                if not ucuis:
+                    continue
+                want["umls_codes_found"] += 1
+                key = ("classes_with_less_cuis_than_umls" if len(ucuis) > len(cuis)
+                       else "classes_with_more_cuis_than_umls" if len(ucuis) < len(cuis)
+                       else "classes_with_same_cuis_as_umls")
+                want[key] += 1
+        assert got == want
+        assert got["total_source_classes"] > 0 and got["classes_with_cuis"] > 0

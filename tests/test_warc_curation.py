@@ -20,6 +20,21 @@ class TestWARC:
         assert set(df["url"]) == {"http://a.example/1", "http://a.example/2"}
         assert df[df.url == "http://a.example/1"]["html"].iloc[0] == b"<html><p>alpha beta</p></html>"
 
+    def test_per_record_gzip_members(self, ray_session, tmp_path):
+        """Real CC layout: one gzip member per record, concatenated."""
+        from sifr_project_java_ontology_processing_ray.sources.warc import read_warc, write_warc_cc
+
+        rows = [
+            ("http://cc.example/1", dt.datetime(2024, 3, 1), b"<html><p>one</p></html>"),
+            ("http://cc.example/2", dt.datetime(2024, 3, 2), b"<html><p>two</p></html>"),
+            ("http://cc.example/3", dt.datetime(2024, 3, 3), b"<html><p>three</p></html>"),
+        ]
+        p = str(tmp_path / "cc.warc.gz")
+        write_warc_cc(rows, p)
+        df = read_warc(p).to_pandas().sort_values("url").reset_index(drop=True)
+        assert list(df["url"]) == [r[0] for r in rows]
+        assert df["html"].tolist() == [r[2] for r in rows]
+
     def test_gzip_and_extract_chain(self, ray_session, tmp_path):
         from sifr_project_java_ontology_processing_ray.sources.warc import read_warc, write_warc
         from sifr_project_java_ontology_processing_ray.stages.extract import extract_text_batch
