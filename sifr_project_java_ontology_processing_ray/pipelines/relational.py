@@ -220,12 +220,16 @@ def q_customers_per_region(sf_dir: str):
     region = pa.parquet.read_table(_p(sf_dir, "region"))
     n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
     r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
-    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+    lookup = {k: r2name[v] for k, v in n2r.items()}
+    # broadcast as parallel key/value arrays → vectorized index_in+take join
+    lookup_ref = ray.put(
+        (pa.array(list(lookup.keys()), pa.int64()), pa.array(list(lookup.values()), pa.string()))
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        names = [lookup[k] for k in batch["c_nationkey"].to_pylist()]
-        t = pa.table({"r_name": pa.array(names, pa.string()), "c_acctbal": batch["c_acctbal"]})
+        keys, vals = ray.get(lookup_ref)
+        names = pc.take(vals, pc.index_in(batch["c_nationkey"], value_set=keys))
+        t = pa.table({"r_name": names, "c_acctbal": batch["c_acctbal"]})
         return (
             t.group_by("r_name")
             .aggregate([("c_acctbal", "sum"), ("c_acctbal", "count")])
@@ -258,13 +262,15 @@ GROUP BY r_name
 
 def q_revenue_by_brand(sf_dir: str):
     part = pa.parquet.read_table(_p(sf_dir, "part"), columns=["p_partkey", "p_brand"])
-    brand_ref = ray.put(dict(zip(part["p_partkey"].to_pylist(), part["p_brand"].to_pylist())))
+    brand_ref = ray.put(
+        (part["p_partkey"].combine_chunks(), part["p_brand"].combine_chunks())
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
-        brands = ray.get(brand_ref)
-        b = [brands.get(k) for k in batch["l_partkey"].to_pylist()]
+        keys, vals = ray.get(brand_ref)
+        b = pc.take(vals, pc.index_in(batch["l_partkey"], value_set=keys))
         rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        t = pa.table({"p_brand": pa.array(b, pa.string()), "rev": rev})
+        t = pa.table({"p_brand": b, "rev": rev})
         return (
             t.group_by("p_brand")
             .aggregate([("rev", "sum"), ("rev", "count")])
@@ -299,15 +305,17 @@ def q_orders_without_lineitems(sf_dir: str):
     side-output). Broadcasting the fact-side key set works because the
     DISTINCT key set of the probe side is dimension-sized; at 100TB the same
     shape ships a Bloom filter of the keys instead."""
-    orderkeys = set(
-        pa.parquet.read_table(_p(sf_dir, "lineitem"), columns=["l_orderkey"])["l_orderkey"].to_pylist()
+    orderkeys = pc.unique(
+        pa.parquet.read_table(_p(sf_dir, "lineitem"), columns=["l_orderkey"])["l_orderkey"]
+        .combine_chunks()
     )
     keys_ref = ray.put(orderkeys)
 
     def anti(batch: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        mask = [k not in keys for k in batch["o_orderkey"].to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        # vectorized hash-probe anti join (pc.is_in), no python row loop
+        return batch.filter(
+            pc.invert(pc.is_in(batch["o_orderkey"], value_set=ray.get(keys_ref)))
+        )
 
     return _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
         anti, batch_format="pyarrow"
@@ -322,15 +330,14 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
 
 # semi join (J1)
 def q_suppliers_in_customer_nations(sf_dir: str):
-    nkeys = set(
-        pa.parquet.read_table(_p(sf_dir, "customer"), columns=["c_nationkey"])["c_nationkey"].to_pylist()
+    nkeys = pc.unique(
+        pa.parquet.read_table(_p(sf_dir, "customer"), columns=["c_nationkey"])["c_nationkey"]
+        .combine_chunks()
     )
     keys_ref = ray.put(nkeys)
 
     def semi(batch: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        mask = [k in keys for k in batch["s_nationkey"].to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        return batch.filter(pc.is_in(batch["s_nationkey"], value_set=ray.get(keys_ref)))
 
     return _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]).map_batches(
         semi, batch_format="pyarrow"

@@ -35,8 +35,14 @@ def _p(sf_dir: str, name: str) -> str:
 
 def q_token_counts(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        counts = pa.array([len(t.split()) for t in texts], pa.int64())
+        # fully Arrow-kernel whitespace token count (no python row loop):
+        # len(t.split()) ≡ segments of trim(t) split on \s+, 0 for empty
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        counts = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+        counts = pc.cast(
+            pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int32()), counts),
+            pa.int64(),
+        )
         t = pa.table({"lang": batch["lang"], "tok": counts})
         return (
             t.group_by("lang")
