@@ -22,7 +22,11 @@ import os
 import sys
 
 
+_RAY_OWNED = False  # shut down only a session THIS process created
+
+
 def _init_ray(num_cpus: int | None):
+    global _RAY_OWNED
     import ray
 
     if not ray.is_initialized():
@@ -33,6 +37,7 @@ def _init_ray(num_cpus: int | None):
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+        _RAY_OWNED = True
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -126,6 +131,29 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_reconcile(args) -> int:
+    import pyarrow.parquet as pq
+
+    from . import testgen
+    from .pipelines.reconciler import reconcile
+
+    _init_ray(args.num_cpus)
+    if args.source:
+        src = pq.read_table(args.source)
+        tgt = pq.read_table(args.target)
+        mappings = pq.read_table(args.mappings) if args.mappings else testgen.ontology_fixture()["mappings"].slice(0, 0)
+    else:
+        fx = testgen.ontology_fixture()
+        src, tgt, mappings = fx["source_triples"], fx["target_triples"], fx["mappings"]
+    if args.mrconso:
+        mrconso, mrsty = pq.read_table(args.mrconso), pq.read_table(args.mrsty)
+    else:
+        mrconso, mrsty = testgen.umls_tables()
+    counts = reconcile(src, tgt, mrconso, mrsty, mappings)
+    print(json.dumps(counts, sort_keys=True))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="sifr_project_java_ontology_processing_ray")
     # shared options accepted before OR after the subcommand
@@ -170,6 +198,12 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("-l", default="en", help="target language")
     c.add_argument("--out", default=None)
     c.set_defaults(fn=cmd_clean)
+
+    r = sub.add_parser("reconcile", parents=[common],
+                       help="two-model CUI reconciliation stats (4th CLI)")
+    r.add_argument("--source"); r.add_argument("--target"); r.add_argument("--mappings")
+    r.add_argument("--mrconso"); r.add_argument("--mrsty")
+    r.set_defaults(fn=cmd_reconcile)
     return p
 
 
@@ -183,7 +217,7 @@ def main(argv: list[str] | None = None) -> int:
     finally:
         import ray
 
-        if ray.is_initialized():
+        if _RAY_OWNED and ray.is_initialized():
             ray.shutdown()
 
 

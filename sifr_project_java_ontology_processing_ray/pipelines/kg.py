@@ -36,7 +36,6 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..stages.canonicalize import ApplyCanonical, build_canonical_maps
-from ..stages.extract import extract_text_batch, non_empty_text
 from ..stages.link import MentionLinker, build_link_tables
 from ..state import manifest as mf
 from ..state.broadcast import Broadcast
@@ -156,6 +155,29 @@ def _label_triples(batch: pa.Table) -> pa.Table:
     )
 
 
+def _surface_lookup_arrays(surface_map: dict[str, str]) -> tuple[pa.Array, pa.Array]:
+    """Broadcast surface→URI dict as parallel arrays for vectorized
+    index_in+take lookups (python-object np.lexsort/dict.map over string
+    columns was the dominant emission cost at bench scale)."""
+    keys = pa.array(list(surface_map.keys()), pa.string())
+    vals = pa.array(list(surface_map.values()), pa.string())
+    return keys, vals
+
+
+def _first_url_per_key(tbl: pa.Table, key_cols: list[str]) -> pa.Table:
+    """Deterministic per-batch dedup: ONE hash group_by on the key with
+    independent min(prov_url), min(prov_ts). The kept provenance is
+    (min url, min ts over the key's batch rows) — deterministic at fixed
+    batching, and the cross-parallelism contract only covers the triple
+    columns (provenance batches differ by block layout by construction).
+    A two-level group_by+join tying ts to the min-url row measured 26×
+    slower (3.4M intermediate groups); this is a single tiny-output agg."""
+    res = tbl.group_by(key_cols).aggregate([("prov_url", "min"), ("prov_ts", "min")])
+    return res.rename_columns(key_cols + ["prov_url", "prov_ts_min"]).sort_by(
+        [(c, "ascending") for c in key_cols]
+    )
+
+
 class PairTriples:
     """Shuffle-free co-occurrence (≙ the salted-groupby canonicalization
     shuffle of SURVEY §7.3, made unnecessary): each mention row carries its
@@ -164,46 +186,38 @@ class PairTriples:
     map to canonical URIs via the broadcast surface map (every surface maps
     to exactly one union-find component, so surface_map[next] IS the
     successor's entity_uri). Pairs with an unlinkable end are dropped.
-    Per-batch dedup collapses the pair stream to ~|distinct pairs|."""
+    Per-batch dedup collapses the pair stream to ~|distinct pairs|.
+    Fully Arrow-vectorized (index_in lookup, element-wise min/max, hash
+    group_by) — no python-object sorts in the 40M-row emission pass."""
 
     def __init__(self, maps_bc: Broadcast):
-        self.surface_map = maps_bc.value["surface"]
+        self.keys, self.vals = _surface_lookup_arrays(maps_bc.value["surface"])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         empty = _flat_triples([], PRED_COOCCURS, [], [], False, [], [], "cooccur")
         t = batch.filter(pc.is_valid(batch["next_surface"]))
         if t.num_rows == 0:
             return empty
-        a = np.asarray(t["entity_uri"])
-        b_ser = t["next_surface"].to_pandas().map(self.surface_map)
-        ok = b_ser.notna().to_numpy()
-        if not ok.any():
+        b = pc.take(self.vals, pc.index_in(t["next_surface"], value_set=self.keys))
+        a = t["entity_uri"]
+        ok = pc.and_(pc.is_valid(b), pc.not_equal(a, b))
+        t2 = pa.table(
+            {"lo": pc.min_element_wise(a, b), "hi": pc.max_element_wise(a, b),
+             "prov_url": t["url"], "prov_ts": t["warc_ts"]}
+        ).filter(ok)
+        if t2.num_rows == 0:
             return empty
-        a = a[ok]
-        b = b_ser.to_numpy(dtype=object)[ok]
-        urls = np.asarray(t["url"])[ok]
-        tsn = t["warc_ts"].combine_chunks().cast(pa.int64()).to_numpy()[ok]
-        differ = a != b
-        a, b, urls, tsn = a[differ], b[differ], urls[differ], tsn[differ]
-        if len(a) == 0:
-            return empty
-        swap = b < a
-        lo = np.where(swap, b, a)
-        hi = np.where(swap, a, b)
-        order = np.lexsort((urls, hi, lo))
-        lo, hi, urls, tsn = lo[order], hi[order], urls[order], tsn[order]
-        first = np.concatenate([[True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])])
-        lo, hi, urls, tsn = lo[first], hi[first], urls[first], tsn[first]
-        m = len(lo)
+        res = _first_url_per_key(t2, ["lo", "hi"])
+        m = res.num_rows
         return pa.table(
             {
-                "subj": pa.array(lo, pa.string()),
+                "subj": res["lo"],
                 "pred": pa.array([PRED_COOCCURS] * m, pa.string()),
-                "obj": pa.array(hi, pa.string()),
+                "obj": res["hi"],
                 "obj_lang": pa.array([None] * m, pa.string()),
                 "obj_is_literal": pa.array([False] * m, pa.bool_()),
-                "prov_url": pa.array(urls, pa.string()),
-                "prov_ts": pa.array(tsn).cast(pa.timestamp("us")),
+                "prov_url": res["prov_url"],
+                "prov_ts": res["prov_ts_min"].combine_chunks().cast(pa.timestamp("us")),
                 "prov_rule": pa.array(["cooccur"] * m, pa.string()),
             }
         )
@@ -218,7 +232,7 @@ class PatternTriples:
     dictionary-bounded output rides the small dedup stream."""
 
     def __init__(self, maps_bc: Broadcast):
-        self.surface_map = maps_bc.value["surface"]
+        self.keys, self.vals = _surface_lookup_arrays(maps_bc.value["surface"])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         empty = _flat_triples([], "sifr:rel", [], [], False, [], [], "pattern")
@@ -229,37 +243,30 @@ class PatternTriples:
         t = batch.filter(mask)
         if t.num_rows == 0:
             return empty
-        prev = t["prev_surface"].to_pandas().map(self.surface_map)
-        nxt = t["next_surface"].to_pandas().map(self.surface_map)
-        ok = (prev.notna() & nxt.notna()).to_numpy()
-        if not ok.any():
-            return empty
-        a = prev.to_numpy(dtype=object)[ok]
-        c = nxt.to_numpy(dtype=object)[ok]
-        rel = np.asarray(t["surface"])[ok]
-        urls = np.asarray(t["url"])[ok]
-        tsn = t["warc_ts"].combine_chunks().cast(pa.int64()).to_numpy()[ok]
-        differ = a != c
-        a, c, rel, urls, tsn = a[differ], c[differ], rel[differ], urls[differ], tsn[differ]
-        if len(a) == 0:
-            return empty
-        preds = np.array([PRED_REL_BASE + r for r in rel], dtype=object)
-        order = np.lexsort((urls, c, preds, a))
-        a, preds, c, urls, tsn = a[order], preds[order], c[order], urls[order], tsn[order]
-        first = np.concatenate(
-            [[True], (a[1:] != a[:-1]) | (preds[1:] != preds[:-1]) | (c[1:] != c[:-1])]
+        a = pc.take(self.vals, pc.index_in(t["prev_surface"], value_set=self.keys))
+        c = pc.take(self.vals, pc.index_in(t["next_surface"], value_set=self.keys))
+        ok = pc.and_(pc.and_(pc.is_valid(a), pc.is_valid(c)), pc.not_equal(a, c))
+        n_all = t.num_rows
+        preds = pc.binary_join_element_wise(
+            pa.array([PRED_REL_BASE] * n_all, pa.string()), t["surface"], ""
         )
-        a, preds, c, urls, tsn = a[first], preds[first], c[first], urls[first], tsn[first]
-        m = len(a)
+        t2 = pa.table(
+            {"subj": a, "pred": preds, "obj": c,
+             "prov_url": t["url"], "prov_ts": t["warc_ts"]}
+        ).filter(ok)
+        if t2.num_rows == 0:
+            return empty
+        res = _first_url_per_key(t2, ["subj", "pred", "obj"])
+        m = res.num_rows
         return pa.table(
             {
-                "subj": pa.array(a, pa.string()),
-                "pred": pa.array(preds, pa.string()),
-                "obj": pa.array(c, pa.string()),
+                "subj": res["subj"],
+                "pred": res["pred"],
+                "obj": res["obj"],
                 "obj_lang": pa.array([None] * m, pa.string()),
                 "obj_is_literal": pa.array([False] * m, pa.bool_()),
-                "prov_url": pa.array(urls, pa.string()),
-                "prov_ts": pa.array(tsn).cast(pa.timestamp("us")),
+                "prov_url": res["prov_url"],
+                "prov_ts": res["prov_ts_min"].combine_chunks().cast(pa.timestamp("us")),
                 "prov_rule": pa.array(["pattern"] * m, pa.string()),
             }
         )
@@ -372,15 +379,15 @@ def build_kg(
     tables_bc = Broadcast.put(tables)
 
     pages = rd.read_parquet(pages_path, override_num_blocks=read_blocks)
-    pages_text = pages.map_batches(
-        extract_text_batch, batch_format="pyarrow", batch_size=extract_batch_size
-    ).map_batches(non_empty_text, batch_format="pyarrow")
 
     # FUSED extract→mention→link actor stage: one pool, no inter-stage
-    # row transfer, lazy context windows (see MentionLinker docstring)
-    linked_all = pages_text.map_batches(
+    # row transfer, lazy context windows (see MentionLinker docstring).
+    # Extraction runs INSIDE the pool — a separate extract stage would be
+    # limited to the few cores the pool leaves free and starve the actors
+    # (this was round 2's scaling ceiling: link phase 2.2× at 4× cpus).
+    linked_all = pages.map_batches(
         MentionLinker,
-        fn_constructor_args=(tables_bc,),
+        fn_constructor_args=(tables_bc, False),  # no term/score diagnostics
         batch_format="pyarrow",
         batch_size=extract_batch_size,
         concurrency=concurrency,
@@ -391,12 +398,12 @@ def build_kg(
     # page-atomic block invariant (see comment further down) must survive
     # every intermediate stage, so nothing may re-batch across block edges
     linked = linked_all.map_batches(
-        lambda b: b.filter(pc.is_valid(b["cui"])).drop_columns(["term", "score"]),
+        lambda b: b.filter(pc.is_valid(b["cui"])),
         batch_format="pyarrow",
         batch_size=None,
     )
     unmatched = linked_all.map_batches(
-        lambda b: b.filter(pc.is_null(b["cui"])).drop_columns(["cui", "term", "score", "next_surface"]),
+        lambda b: b.filter(pc.is_null(b["cui"])).drop_columns(["cui", "next_surface"]),
         batch_format="pyarrow",
         batch_size=None,
     )
@@ -480,7 +487,6 @@ def build_kg(
         .groupby("tbucket")
         .map_groups(_dedup_group, batch_format="pyarrow")
         .drop_columns(["tbucket"])
-        .materialize()
     )
     triples = t_pages.union(t_mentions, deduped_small, t_umls)
     if pack_struct:

@@ -75,28 +75,32 @@ def build_canonical_maps(edges: list[tuple[str, str]]) -> dict:
 
 class ApplyCanonical:
     """map_batches actor: add ``entity_uri`` from the broadcast maps.
-    Vectorized: pandas hash-map lookups (C speed), python fallback only for
+    Arrow-vectorized (index_in hash probe + take); python fallback only for
     the rare surface outside both maps."""
 
     def __init__(self, maps_bc: Broadcast):
         m = maps_bc.value
-        self.surface_map = m["surface"]
-        self.cui_map = m["cui"]
+        self.skeys = pa.array(list(m["surface"].keys()), pa.string())
+        self.svals = pa.array(list(m["surface"].values()), pa.string())
+        self.ckeys = pa.array(list(m["cui"].keys()), pa.string())
+        self.cvals = pa.array(list(m["cui"].values()), pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        surfaces = batch["surface"].to_pandas()
-        if "cui" in batch.column_names:
-            uris = batch["cui"].to_pandas().map(self.cui_map)
+        surf_uri = pc.take(self.svals, pc.index_in(batch["surface"], value_set=self.skeys))
+        if "cui" in batch.column_names and len(self.ckeys):
+            cui_uri = pc.take(self.cvals, pc.index_in(batch["cui"], value_set=self.ckeys))
+            uris = pc.coalesce(cui_uri, surf_uri)
         else:
-            uris = pd.Series([None] * len(surfaces), dtype=object)
-        missing = uris.isna()
-        if missing.any():
-            uris[missing] = surfaces[missing].map(self.surface_map)
-            still = uris.isna()
-            if still.any():
-                uris[still] = surfaces[still].map(entity_uri_for_surface)
-        return batch.append_column(
-            "entity_uri", pa.array(uris.to_numpy(dtype=object), pa.string())
-        )
+            uris = surf_uri
+        if pc.any(pc.is_null(uris)).as_py():
+            # surfaces outside both maps (unlinked, unseen in edges)
+            vals = uris.to_pylist()
+            surfaces = batch["surface"].to_pylist()
+            vals = [
+                v if v is not None else entity_uri_for_surface(s)
+                for v, s in zip(vals, surfaces)
+            ]
+            uris = pa.array(vals, pa.string())
+        else:
+            uris = uris.combine_chunks() if isinstance(uris, pa.ChunkedArray) else uris
+        return batch.append_column("entity_uri", uris)

@@ -225,8 +225,9 @@ def top1_per_mention(batch: pa.Table) -> pa.Table:
 
 
 class MentionLinker:
-    """FUSED pages → linked mentions: dictionary longest-match extraction +
-    candidate cascade + top-1 scoring in ONE actor stage.
+    """FUSED pages → linked mentions: HTML→text extraction + dictionary
+    longest-match scan + candidate cascade + top-1 scoring in ONE actor
+    stage.
 
     Why fused: mention rows never cross an operator boundary (no 50×-row
     inter-stage transfer), and the context window — needed only to break
@@ -234,11 +235,18 @@ class MentionLinker:
     surfaces (the vast majority) skip it entirely. Single-candidate scores
     are surface-only (context cannot change a 1-way argmax).
 
+    HTML extraction is fused IN (not a separate task-pool stage): the
+    linker pool reserves most of the node, so an upstream extract stage
+    would be squeezed into the leftover cores and starve the actors — the
+    observed 8→32-cpu scaling ceiling of round 2. Batches that arrive
+    without an ``html`` column (pre-extracted pipelines, unit tests) skip
+    the extraction step; pages whose extracted text is empty emit no rows.
+
     Emits one row per mention: (url, warc_ts, surface, position, cui, term,
     score, next_surface); cui is null for unmatched surfaces (S10).
     """
 
-    def __init__(self, tables_bc: Broadcast):
+    def __init__(self, tables_bc: Broadcast, emit_diagnostics: bool = True):
         from .mentions import CONTEXT_WINDOW, build_alias_index, trie_longest_match
 
         t = tables_bc.value
@@ -250,18 +258,30 @@ class MentionLinker:
         self.match = trie_longest_match
         self.ctx_window = CONTEXT_WINDOW
         self.scorer = CandidateScorer(tables_bc)
+        # term/score are diagnostic-only; the KG pipeline drops them in its
+        # first consumer, so skipping them saves two 40M-row columns of
+        # object-store traffic through the materialized linked stream
+        self.emit_diagnostics = emit_diagnostics
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.text import tokenize
+        from ..functions.text import extract_text, tokenize
 
+        texts = batch["text"].to_pylist()
+        if "html" in batch.column_names:
+            texts = [
+                t if t else extract_text(h)
+                for t, h in zip(texts, batch["html"].to_pylist())
+            ]
         sc = self.scorer
         o_url, o_ts, o_surface, o_pos = [], [], [], []
         o_cui, o_term, o_score, o_next, o_prev = [], [], [], [], []
         for url, ts, text in zip(
             batch["url"].to_pylist(),
             batch["warc_ts"].to_pylist(),
-            batch["text"].to_pylist(),
+            texts,
         ):
+            if not text:
+                continue
             toks = tokenize(text)
             n = len(toks)
             i = 0
@@ -302,16 +322,16 @@ class MentionLinker:
                 o_score.append(score)
                 o_next.append(None)
                 i += L
-        return pa.table(
-            {
-                "url": pa.array(o_url, pa.string()),
-                "warc_ts": pa.array(o_ts, pa.timestamp("us")),
-                "surface": pa.array(o_surface, pa.string()),
-                "position": pa.array(o_pos, pa.int32()),
-                "cui": pa.array(o_cui, pa.string()),
-                "term": pa.array(o_term, pa.string()),
-                "score": pa.array(o_score, pa.float64()),
-                "next_surface": pa.array(o_next, pa.string()),
-                "prev_surface": pa.array(o_prev, pa.string()),
-            }
-        )
+        cols = {
+            "url": pa.array(o_url, pa.string()),
+            "warc_ts": pa.array(o_ts, pa.timestamp("us")),
+            "surface": pa.array(o_surface, pa.string()),
+            "position": pa.array(o_pos, pa.int32()),
+            "cui": pa.array(o_cui, pa.string()),
+        }
+        if self.emit_diagnostics:
+            cols["term"] = pa.array(o_term, pa.string())
+            cols["score"] = pa.array(o_score, pa.float64())
+        cols["next_surface"] = pa.array(o_next, pa.string())
+        cols["prev_surface"] = pa.array(o_prev, pa.string())
+        return pa.table(cols)
