@@ -74,10 +74,15 @@ def curate(
     keep_langs: tuple[str, ...] = ("en",),
     min_quality: float = 0.3,
     jaccard_threshold: float = 0.6,
+    out_dir: str | None = None,
+    num_parts: int = 16,
 ):
     """Returns (curated_ds, report_dict). Stages annotate rather than drop
     until the final filter, so the report can count every rejection
-    reason from one pass."""
+    reason from one pass. With ``out_dir``, the curated corpus is written
+    hash-partitioned on content_hash with per-partition manifests — a
+    restarted run skips completed partitions (same resume contract as the
+    KG output, state/manifest.py)."""
     from ray.data.aggregate import Count, Min, Sum
 
     docs = rd.read_parquet(
@@ -194,6 +199,12 @@ def curate(
         "total_tokens": int(agg["total_tokens"]),
         "n_curated": curated.count(),
     }
+    if out_dir is not None:
+        from ..state import manifest as mf
+
+        mf.write_partitioned(curated, out_dir, key_col="content_hash", num_parts=num_parts)
+        mf.write_metrics(out_dir, report)
+        curated = mf.read_output(out_dir)
     return curated, report
 
 

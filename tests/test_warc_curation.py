@@ -67,6 +67,25 @@ class TestCuration:
         assert (df["quality"] >= 0.3).all()
         assert not df.duplicated("content_hash").any()
 
+    def test_resumable_output(self, ray_session, sf_small, tmp_path):
+        """Curated corpus written with per-partition manifests; a restart
+        with a missing manifest (+ orphan files) reproduces the same rows."""
+        import glob
+        import os
+
+        from sifr_project_java_ontology_processing_ray.pipelines.curation import curate
+
+        out = str(tmp_path / "curated")
+        ds1, rep1 = curate(sf_small, out_dir=out, num_parts=4)
+        n1 = ds1.count()
+        assert n1 == rep1["n_curated"]
+        # simulate crash: one manifest gone, parquet files remain
+        victim = sorted(glob.glob(os.path.join(out, "_manifests", "part-*.json")))[0]
+        os.remove(victim)
+        ds2, rep2 = curate(sf_small, out_dir=out, num_parts=4)
+        assert ds2.count() == n1
+        assert rep2 == rep1
+
     def test_kept_set_matches_sequential(self, result, sf_small):
         """Bloom-routed exact dedup must be EXACT: kept doc_ids equal a
         pure-pandas restatement (min doc_id per md5, minus near-dup
