@@ -190,6 +190,39 @@ def run_scaling() -> dict:
     }
 
 
+def run_weak_scaling() -> dict:
+    """Weak scaling: constant per-core work (200k pages at 8 cpus vs 800k
+    at 32) — the operative regime at 10^12-doc scale where data grows with
+    the cluster. Efficiency = tput(4N, 4×input) / (4 × tput(N, input))."""
+
+    def one(ncpu: int, replicate: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_KG_ONLY="1",
+                   GRAFT_PAGES_REPLICATE=str(replicate))
+        best = None
+        for _ in range(int(os.environ.get("GRAFT_SCALING_REPS", "4"))):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        return best
+
+    lo, hi = one(8, 40), one(32, 160)
+    eff = hi["triples_per_sec"] / (4 * lo["triples_per_sec"])
+    return {
+        "metric": "weak_scaling_efficiency_8to32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8cpu_x40": lo["value"],
+        "sec_32cpu_x160": hi["value"],
+        "triples_per_sec_8cpu": lo["triples_per_sec"],
+        "triples_per_sec_32cpu": hi["triples_per_sec"],
+        "sf": SF_DIR,
+    }
+
+
 def run_compute_scaling() -> dict:
     """Isolate the ACTOR-POOL COMPUTE phase (the stage that maps 1:1 onto
     multi-node workers): pages pre-loaded into the object store, linker
@@ -275,7 +308,9 @@ def run_compute_phase() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling-compute" in sys.argv:
+    if "--scaling-weak" in sys.argv:
+        print(json.dumps(run_weak_scaling()))
+    elif "--scaling-compute" in sys.argv:
         print(json.dumps(run_compute_scaling()))
     elif os.environ.get("GRAFT_COMPUTE_PHASE") == "1":
         print(json.dumps(run_compute_phase()))
