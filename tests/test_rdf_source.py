@@ -89,6 +89,27 @@ def test_read_turtle_bz2(ray_session, tmp_path):
     assert "icd:A01.12" in set(df["subj"])
 
 
+def test_parse_turtle_base_and_bnodes():
+    ttl = """@base <http://base.example/> .
+@prefix skos: <http://www.w3.org/2004/02/skos/core#> .
+<rel1> skos:broader <rel2> .
+_:b1 skos:prefLabel "from bnode"@en .
+<rel1> skos:related [ skos:prefLabel "anon inner" ] , ( <a> <b> ) .
+"""
+    rows = parse_turtle(ttl)
+    spo = {(s, p, o) for s, p, o, _, _ in rows}
+    skos = "http://www.w3.org/2004/02/skos/core#"
+    # relative IRIs resolve against @base
+    assert ("http://base.example/rel1", skos + "broader", "http://base.example/rel2") in spo
+    # labelled bnode subjects pass through
+    assert ("_:b1", skos + "prefLabel", "from bnode") in spo
+    # anonymous [ ] and ( ) objects become synthetic bnode labels with
+    # their inner content skipped (documented subset boundary)
+    anon_objs = {o for s, p, o, _, _ in rows
+                 if s == "http://base.example/rel1" and p == skos + "related"}
+    assert len(anon_objs) == 2 and all(o.startswith("_:anon") for o in anon_objs)
+
+
 def test_read_reference_prefixes_ttl(ray_session):
     """The reference's own prefixes.ttl parses without statements (it is
     all @prefix directives) — the subset boundary the VERDICT named."""
