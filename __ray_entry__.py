@@ -134,6 +134,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": textops.q_langid,
         "quality_scores": textops.q_quality_scores,
         "bpeish_tokens": textops.q_bpeish_tokens,
+        "train_val_split": textops.q_train_val_split,
+        "vocab_top50": textops.q_vocab_top50,
+        "neardup_clusters": textops.q_neardup_clusters,
         "minhash_dedup": textops.q_minhash_dedup,
         "simhash_dedup": textops.q_simhash_dedup,
         "fingerprints": textops.q_fingerprints,
@@ -180,6 +183,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": textops.SQL_EXACT_DEDUP,
         "quality_filter": textops.SQL_QUALITY_FILTER,
         "pages_exact_dedup": textops.SQL_PAGES_EXACT_DEDUP,
+        "train_val_split": textops.SQL_TRAIN_VAL_SPLIT,
+        "vocab_top50": textops.SQL_VOCAB_TOP50,
         "knn_top10": ann.SQL_KNN_TOP10,
         "knn_multi": ann.SQL_KNN_MULTI,
     }

@@ -130,6 +130,128 @@ GROUP BY source
 
 
 # --------------------------------------------------------------------------
+# deterministic train/val split (hash-based — the reproducible-split
+# operator an LLM-data pipeline needs; SQL-checkable via md5)
+# --------------------------------------------------------------------------
+
+def q_train_val_split(sf_dir: str):
+    """Content-hash split: ~10% 'val' (md5 hex prefix < '1a'), rest
+    'train' — deterministic under any partitioning/reordering because the
+    split key is the content itself, and duplicate texts always land in
+    the same split (no train/val leakage across copies)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        split = [
+            "val" if hashlib.md5(t.encode()).hexdigest()[:2] < "1a" else "train"
+            for t in batch["text"].to_pylist()
+        ]
+        t = pa.table(
+            {"source": batch["source"], "split": pa.array(split, pa.string()),
+             "n_chars": batch["n_chars"]}
+        )
+        return (
+            t.group_by(["source", "split"])
+            .aggregate([("n_chars", "sum"), ("n_chars", "count")])
+            .rename_columns(["source", "split", "p_chars", "p_n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["source", "text", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "split"])
+        .aggregate(Sum("p_n", alias_name="n_docs"), Sum("p_chars", alias_name="total_chars"))
+    )
+
+
+SQL_TRAIN_VAL_SPLIT = """
+SELECT source,
+       CASE WHEN substr(md5(text), 1, 2) < '1a' THEN 'val' ELSE 'train' END AS split,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# vocabulary build: token explode → partial counts → global top-k
+# --------------------------------------------------------------------------
+
+VOCAB_K = 50
+
+
+def q_vocab_top50(sf_dir: str):
+    """Top-50 whitespace tokens by document frequency-weighted count:
+    per-batch Counter combiner (the explode never leaves the task), small
+    groupby over distinct tokens, tiny global sort. (token, count) pairs
+    are unique, so the top-k boundary is deterministic."""
+    import collections
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: collections.Counter = collections.Counter()
+        for t in batch["text"].to_pylist():
+            counts.update(t.lower().split())
+        toks = sorted(counts)
+        return pa.table(
+            {"token": pa.array(toks, pa.string()),
+             "p_cnt": pa.array([counts[t] for t in toks], pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("p_cnt", alias_name="n"))
+    )
+    df = agg.to_pandas().sort_values(["n", "token"], ascending=[False, True]).head(VOCAB_K)
+    return df.reset_index(drop=True)
+
+
+SQL_VOCAB_TOP50 = r"""
+SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+)
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+"""
+
+
+# --------------------------------------------------------------------------
+# near-duplicate clustering: verified MinHash pairs → connected components
+# --------------------------------------------------------------------------
+
+def q_neardup_clusters(sf_dir: str):
+    """(doc_id, cluster_id) for every document in a near-dup component;
+    cluster_id = min doc_id of the component. Components computed with the
+    DISTRIBUTED min-label propagation (state/components — the open-
+    vocabulary path), not the driver union-find; sequential-oracle test in
+    tests/test_neardedup_oracle.py."""
+    from ..state.components import connected_components
+
+    pairs = q_minhash_dedup(sf_dir)
+    if not len(pairs):
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "cluster_id": pd.Series([], dtype="int64")}
+        )
+    # zero-pad so lexicographic min == numeric min for the string labels
+    edges = rd.from_arrow(
+        pa.table(
+            {"a": pa.array([f"{int(a):020d}" for a in pairs["a"]], pa.string()),
+             "b": pa.array([f"{int(b):020d}" for b in pairs["b"]], pa.string())}
+        )
+    )
+    labels = connected_components(edges).to_pandas()
+    out = pd.DataFrame(
+        {"doc_id": labels["node"].astype("int64"),
+         "cluster_id": labels["label"].astype("int64")}
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
 # language ID + quality scoring (heuristics — rows-only check)
 # --------------------------------------------------------------------------
 

@@ -74,3 +74,25 @@ def test_minhash_matches_sequential(ray_session, sf_small, docs):
     }
     assert got_pairs == want
     assert len(want) > 0
+
+
+def test_neardup_clusters_match_union_find(ray_session, sf_small):
+    """Distributed min-label propagation must equal a sequential
+    union-find over the same verified pair set."""
+    got = textops.q_neardup_clusters(sf_small)
+    pairs = textops.q_minhash_dedup(sf_small)
+    from sifr_project_java_ontology_processing_ray.state.unionfind import UnionFind
+
+    uf = UnionFind()
+    for a, b in zip(pairs["a"], pairs["b"]):
+        uf.union(int(a), int(b))
+    comp = uf.components()
+    want = {}
+    mins: dict = {}
+    for node, root in comp.items():
+        mins[root] = min(mins.get(root, node), node)
+    for node, root in comp.items():
+        want[int(node)] = int(mins[root])
+    got_map = dict(zip(got["doc_id"], got["cluster_id"]))
+    assert got_map == want
+    assert len(want) > 0
