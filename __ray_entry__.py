@@ -137,6 +137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_split": textops.q_train_val_split,
         "vocab_top50": textops.q_vocab_top50,
         "neardup_clusters": textops.q_neardup_clusters,
+        "doc_chunks": textops.q_doc_chunks,
+        "sequence_pack": textops.q_sequence_pack,
         "minhash_dedup": textops.q_minhash_dedup,
         "simhash_dedup": textops.q_simhash_dedup,
         "fingerprints": textops.q_fingerprints,
@@ -185,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_exact_dedup": textops.SQL_PAGES_EXACT_DEDUP,
         "train_val_split": textops.SQL_TRAIN_VAL_SPLIT,
         "vocab_top50": textops.SQL_VOCAB_TOP50,
+        "doc_chunks": textops.SQL_DOC_CHUNKS,
         "knn_top10": ann.SQL_KNN_TOP10,
         "knn_multi": ann.SQL_KNN_MULTI,
     }

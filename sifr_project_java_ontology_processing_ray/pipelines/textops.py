@@ -252,6 +252,137 @@ def q_neardup_clusters(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# context-window chunking (flat_map-shaped; SQL-checkable chunk counts)
+# --------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def chunk_token_spans(n_tokens: int, size: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP):
+    """Start offsets of overlapping windows covering n_tokens: stride
+    (size - overlap), first window always emitted, no window starting at
+    or past the end. Empty docs → no chunks."""
+    if n_tokens <= 0:
+        return []
+    stride = size - overlap
+    return list(range(0, max(1, n_tokens - overlap), stride))
+
+
+def chunk_documents(batch: pa.Table, size: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP) -> pa.Table:
+    """documents batch → one row per (doc_id, chunk_idx, chunk_text) —
+    the row-local chunk explode a context-window pipeline feeds to
+    tokenize/embed stages."""
+    doc_ids, idxs, texts_out = [], [], []
+    for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        toks = text.split()
+        for ci, start in enumerate(chunk_token_spans(len(toks), size, overlap)):
+            doc_ids.append(did)
+            idxs.append(ci)
+            texts_out.append(" ".join(toks[start : start + size]))
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()),
+         "chunk_idx": pa.array(idxs, pa.int32()),
+         "chunk_text": pa.array(texts_out, pa.string())}
+    )
+
+
+def q_doc_chunks(sf_dir: str):
+    """Per source: total chunk count + docs under the 64-token window with
+    16-token overlap (the closed-form count is SQL-expressible, so the
+    whole explode is oracle-checked)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = [len(chunk_token_spans(len(t.split()))) for t in batch["text"].to_pylist()]
+        t = pa.table({"source": batch["source"], "n_chunks": pa.array(n, pa.int64())})
+        return (
+            t.group_by("source")
+            .aggregate([("n_chunks", "sum"), ("n_chunks", "count")])
+            .rename_columns(["source", "p_chunks", "p_docs"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("p_chunks", alias_name="n_chunks"), Sum("p_docs", alias_name="n_docs"))
+    )
+
+
+# chunk count per doc = |{start ∈ {0, stride, 2·stride, ...} : start <
+# max(1, n_tokens - overlap)}| = ceil(max(1, n - 16) / 48) for n > 0
+SQL_DOC_CHUNKS = r"""
+SELECT source,
+       CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE CAST(ceil(greatest(1,
+                     len(regexp_split_to_array(trim(text), '\s+')) - 16) / 48.0)
+                     AS BIGINT) END) AS BIGINT) AS n_chunks,
+       count(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# sequence packing (greedy doc packing into fixed token budgets)
+# --------------------------------------------------------------------------
+
+PACK_BUDGET = 512
+PACK_BUCKETS = 16
+
+
+def q_sequence_pack(sf_dir: str):
+    """Greedy sample packing: docs are hash-bucketed, each bucket packs
+    its docs (doc_id order) into ≤512-token sequences; docs longer than
+    the budget get a pack of their own. Returns per-bucket packing stats.
+    Deterministic under any partitioning (bucket membership and order are
+    content-independent); the partitioning assumption — packing is
+    bucket-local, not globally optimal — is the standard trade-off.
+    Sequential-oracle test in tests/test_sequential_oracles.py."""
+    from ..functions.hashing import hash64
+    from ..state.grouped import bucketed_map_groups
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        toks = pa.array([len(t.split()) for t in batch["text"].to_pylist()], pa.int64())
+        bucket = pa.array(
+            [hash64(str(d)) % PACK_BUCKETS for d in batch["doc_id"].to_pylist()],
+            pa.int64(),
+        )
+        return pa.table({"pack_bucket": bucket, "doc_id": batch["doc_id"], "n_tok": toks})
+
+    def pack_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id")
+        n_packs, fill, waste = 0, 0, 0
+        for t in df["n_tok"]:
+            t = min(int(t), PACK_BUDGET)  # oversize docs truncate to one pack
+            if n_packs == 0 or fill + t > PACK_BUDGET:
+                if n_packs:
+                    waste += PACK_BUDGET - fill
+                n_packs += 1
+                fill = t
+            else:
+                fill += t
+        if n_packs:
+            waste += PACK_BUDGET - fill
+        return pd.DataFrame(
+            {"pack_bucket": [int(df["pack_bucket"].iloc[0])],
+             "n_docs": [len(df)],
+             "n_packs": [n_packs],
+             "wasted_tokens": [int(waste)]}
+        )
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+        with_bucket, batch_format="pyarrow"
+    )
+    out = bucketed_map_groups(ds, ["pack_bucket"], lambda df: pd.concat(
+        [pack_bucket(g) for _, g in df.groupby("pack_bucket", sort=False)],
+        ignore_index=True,
+    ))
+    return out.to_pandas().sort_values("pack_bucket").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
 # language ID + quality scoring (heuristics — rows-only check)
 # --------------------------------------------------------------------------
 

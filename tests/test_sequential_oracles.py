@@ -90,3 +90,58 @@ def test_fingerprints_match_sequential(ray_session, sf_small, docs):
     assert int(got["shared_fingerprints"].iloc[0]) == sum(
         1 for v in counts.values() if v > 1
     )
+
+
+def test_chunking_reconstructs_documents(ray_session, sf_small, docs):
+    """Chunk explode round-trip: stripping the 16-token overlap from every
+    chunk after the first reproduces each document's token stream."""
+    import ray.data as rd
+
+    chunks = (
+        rd.read_parquet(sf_small + "/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(textops.chunk_documents, batch_format="pyarrow")
+        .to_pandas()
+    )
+    stride = textops.CHUNK_TOKENS - textops.CHUNK_OVERLAP
+    rebuilt = {}
+    for did, g in chunks.sort_values(["doc_id", "chunk_idx"]).groupby("doc_id"):
+        toks = []
+        for ci, ctext in zip(g["chunk_idx"], g["chunk_text"]):
+            ctoks = ctext.split()
+            toks.extend(ctoks if ci == 0 else ctoks[len(toks) - ci * stride:])
+        rebuilt[did] = toks
+    for _, row in docs.iterrows():
+        expect = row["text"].split()
+        if expect:
+            assert rebuilt[row["doc_id"]] == expect
+        else:
+            assert row["doc_id"] not in rebuilt
+
+
+def test_sequence_pack_matches_sequential(ray_session, sf_small, docs):
+    got = textops.q_sequence_pack(sf_small)
+    from sifr_project_java_ontology_processing_ray.functions.hashing import hash64
+
+    buckets: dict = {}
+    for _, row in docs.sort_values("doc_id").iterrows():
+        b = hash64(str(row["doc_id"])) % textops.PACK_BUCKETS
+        buckets.setdefault(b, []).append(min(len(row["text"].split()), textops.PACK_BUDGET))
+    import pandas as pd
+
+    rows = []
+    for b in sorted(buckets):
+        n_packs, fill, waste = 0, 0, 0
+        for t in buckets[b]:
+            if n_packs == 0 or fill + t > textops.PACK_BUDGET:
+                if n_packs:
+                    waste += textops.PACK_BUDGET - fill
+                n_packs += 1
+                fill = t
+            else:
+                fill += t
+        waste += textops.PACK_BUDGET - fill
+        rows.append((b, len(buckets[b]), n_packs, waste))
+    want = pd.DataFrame(rows, columns=["pack_bucket", "n_docs", "n_packs", "wasted_tokens"])
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_names=False
+    )
