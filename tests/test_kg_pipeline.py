@@ -237,3 +237,19 @@ def test_pattern_triples_emitted(triples_df):
     rels = {p.split("/", 1)[1] for p in pat["pred"]}
     assert rels <= {"join", "merge", "filter", "scan", "sort"}
     assert (pat["subj"] != pat["obj"]).all()
+
+
+def test_knn_ivf_recall_floor(ray_session, sf_small):
+    """IVF probe (nprobe=4 of 16 centroids) keeps recall@10 high vs the
+    exact result, and the approximate scores are true cosines (every
+    returned vec appears in the exact ranking with the same score)."""
+    from sifr_project_java_ontology_processing_ray.pipelines.ann import q_knn_ivf, q_knn_top10
+
+    out = q_knn_ivf(sf_small)
+    assert len(out) == 10
+    assert out["recall_at_k"].iloc[0] >= 0.7
+    exact = q_knn_top10(sf_small)
+    exact_scores = dict(zip(exact["vec_id"], exact["cos"]))
+    for _, row in out.iterrows():
+        if row["vec_id"] in exact_scores:
+            assert abs(row["cos"] - exact_scores[row["vec_id"]]) < 1e-9

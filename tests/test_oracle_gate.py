@@ -20,6 +20,9 @@ SUBSET = [
     "event_sessions",
     "token_counts",
     "exact_dedup",
+    "train_val_split",
+    "vocab_top50",
+    "doc_chunks",
     "knn_top10",
     "orders_per_customer",
     "order_stats",
