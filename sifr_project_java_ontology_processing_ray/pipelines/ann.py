@@ -22,6 +22,18 @@ import ray.data as rd
 TOPK = 10
 
 
+def _list_col_to_matrix(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Arrow list<float> column → (n, dim) float64 matrix via flatten +
+    reshape (no per-row python list round-trip). Assumes fixed-length
+    lists (the embeddings invariant)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    return flat.reshape(n, len(flat) // n)
+
+
 def _emb_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "embeddings.parquet")
 
@@ -33,9 +45,7 @@ def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
 
 
 def _batch_scores(batch: pa.Table, q: np.ndarray) -> pa.Table:
-    mat = np.vstack(
-        [np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()]
-    )
+    mat = _list_col_to_matrix(batch["embedding"])
     norms = np.linalg.norm(mat, axis=1) * np.linalg.norm(q)
     norms = np.where(norms == 0, 1.0, norms)
     cos = (mat @ q) / norms
@@ -91,7 +101,7 @@ def q_knn_multi(sf_dir: str, n_queries: int = 4, k: int = 5):
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qids, Qn = ray.get(q_ref)
-        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()])
+        mat = _list_col_to_matrix(batch["embedding"])
         mn = np.linalg.norm(mat, axis=1, keepdims=True)
         mat = mat / np.where(mn == 0, 1.0, mn)
         scores = Qn @ mat.T  # (n_queries, batch)
@@ -188,7 +198,7 @@ def q_knn_ivf(sf_dir: str, k: int = TOPK, nprobe: int = 4):
 
     def probe_topk(batch: pa.Table) -> pa.Table:
         q, cent, probe_set = ray.get(state_ref)
-        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()])
+        mat = _list_col_to_matrix(batch["embedding"])
         d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
         assign = d.argmin(1)
         mask = np.array([int(a) in probe_set for a in assign])
@@ -240,7 +250,7 @@ def embedding_neardup_pairs(ds: "rd.Dataset", dim: int, threshold: float = 0.9,
 
     def bucketize(batch: pa.Table) -> pa.Table:
         P = ray.get(planes_ref)
-        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()])
+        mat = _list_col_to_matrix(batch["embedding"])
         signs = (mat @ P) > 0
         keys = (signs.astype(np.uint64) << np.arange(signs.shape[1], dtype=np.uint64)).sum(axis=1)
         n = np.linalg.norm(mat, axis=1, keepdims=True)
