@@ -1,6 +1,8 @@
 """Training-data text operations over the ``documents`` table: token
 counting, exact + near deduplication (MinHash-LSH, SimHash, n-gram
-Jaccard), language ID, quality scoring, fingerprinting.
+Jaccard), near-dup clustering, deterministic train/val splitting,
+vocabulary building, context-window chunking, greedy sequence packing,
+language ID, quality scoring, fingerprinting.
 
 These are the large-scale pipeline operators the engine adds beyond the
 reference's own inventory (prompt requirement); each is expressed as
