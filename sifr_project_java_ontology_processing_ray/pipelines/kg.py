@@ -30,7 +30,6 @@ Scale notes:
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -328,18 +327,23 @@ def _first_per_spo(tbl: pa.Table) -> pa.Table:
     then keep first occurrences. Arrow/numpy vectorized; equal (s,p,o) with
     different obj_lang collapse deliberately (Jena set semantics are on the
     object node)."""
-    if tbl.num_rows == 0:
+    n = tbl.num_rows
+    if n <= 1:
         return tbl
     tbl = tbl.sort_by(
         [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending"),
          ("prov_url", "ascending")]
     )
-    s = np.asarray(tbl["subj"])
-    p = np.asarray(tbl["pred"])
-    o = np.asarray(tbl["obj"])
-    same = (s[1:] == s[:-1]) & (p[1:] == p[:-1]) & (o[1:] == o[:-1])
-    mask = np.concatenate([[True], ~same])
-    return tbl.filter(pa.array(mask))
+    # neighbour equality via zero-copy arrow slices (no python-object
+    # string comparisons)
+    s, p, o = (tbl[c].combine_chunks() for c in ("subj", "pred", "obj"))
+    same = pc.and_(
+        pc.and_(pc.equal(s.slice(1), s.slice(0, n - 1)),
+                pc.equal(p.slice(1), p.slice(0, n - 1))),
+        pc.equal(o.slice(1), o.slice(0, n - 1)),
+    )
+    mask = pa.concat_arrays([pa.array([True]), pc.invert(same)])
+    return tbl.filter(mask)
 
 
 def _dedup_batch(batch: pa.Table) -> pa.Table:
