@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": textops.q_langid,
         "quality_scores": textops.q_quality_scores,
         "bpeish_tokens": textops.q_bpeish_tokens,
+        "repetition_stats": textops.q_repetition_stats,
         "train_val_split": textops.q_train_val_split,
         "vocab_top50": textops.q_vocab_top50,
         "neardup_clusters": textops.q_neardup_clusters,
@@ -185,6 +186,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": textops.SQL_EXACT_DEDUP,
         "quality_filter": textops.SQL_QUALITY_FILTER,
         "pages_exact_dedup": textops.SQL_PAGES_EXACT_DEDUP,
+        "repetition_stats": textops.SQL_REPETITION_STATS,
         "train_val_split": textops.SQL_TRAIN_VAL_SPLIT,
         "vocab_top50": textops.SQL_VOCAB_TOP50,
         "doc_chunks": textops.SQL_DOC_CHUNKS,

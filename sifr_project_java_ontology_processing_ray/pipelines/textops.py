@@ -132,6 +132,62 @@ GROUP BY source
 
 
 # --------------------------------------------------------------------------
+# repetition signals (Gopher-style quality heuristics; SQL-checkable)
+# --------------------------------------------------------------------------
+
+def q_repetition_stats(sf_dir: str):
+    """Per source: mean duplicate-word ratio (1 − distinct/total tokens)
+    and count of high-repetition docs (ratio > 0.5) — the within-document
+    repetition signal quality-filtering pipelines gate on."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ratios, high = [], []
+        for t in batch["text"].to_pylist():
+            toks = t.split()
+            r = 1.0 - len(set(toks)) / len(toks) if toks else 0.0
+            ratios.append(r)
+            high.append(int(r > 0.5))
+        t2 = pa.table(
+            {"source": batch["source"],
+             "r": pa.array(ratios, pa.float64()),
+             "h": pa.array(high, pa.int64())}
+        )
+        return (
+            t2.group_by("source")
+            .aggregate([("r", "sum"), ("h", "sum"), ("r", "count")])
+            .rename_columns(["source", "p_r", "p_h", "p_n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("p_r", alias_name="sum_r"), Sum("p_h", alias_name="n_high_rep"),
+                   Sum("p_n", alias_name="n_docs"))
+    )
+    df = out.to_pandas()
+    df["mean_dup_ratio"] = (df["sum_r"] / df["n_docs"]).round(4)
+    return df[["source", "n_docs", "n_high_rep", "mean_dup_ratio"]]
+
+
+SQL_REPETITION_STATS = r"""
+WITH d AS (
+  SELECT source,
+         CASE WHEN trim(text) = '' THEN 0.0
+              ELSE 1.0 - CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+                         / len(regexp_split_to_array(trim(text), '\s+')) END AS r
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN r > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_rep,
+       round(avg(r), 4) AS mean_dup_ratio
+FROM d GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # deterministic train/val split (hash-based — the reproducible-split
 # operator an LLM-data pipeline needs; SQL-checkable via md5)
 # --------------------------------------------------------------------------
