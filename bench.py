@@ -93,6 +93,9 @@ def run_bench() -> dict:
     triples = kg.build_kg(
         pages, mrconso, mrsty, read_blocks=read_blocks, pack_struct=False
     )
+    if os.environ.get("GRAFT_STATS") == "1":  # per-operator wall times
+        triples = triples.materialize()
+        print(triples.stats(), file=sys.stderr)
     n_triples = triples.count()
     t_kg = time.time() - t0
 
