@@ -101,3 +101,86 @@ class TestNTriples:
         assert parsed is not None
         s, p, o, l, is_lit = parsed
         assert (s, o, l, is_lit) == (subj, lit, lang, True)
+
+
+class TestTrieScanEquivalence:
+    """The token-trie scan must agree with the naive L-descending tuple
+    probe on every input (they are the same greedy longest-match)."""
+
+    @given(
+        st.lists(st.sampled_from("a b c aa ab bc abc".split()), min_size=1, max_size=6,
+                 unique=True),
+        st.lists(st.sampled_from("a b c d".split()), max_size=40),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_matches_tuple_probe(self, terms, toks):
+        from sifr_project_java_ontology_processing_ray.stages.mentions import (
+            build_alias_index,
+            trie_longest_match,
+        )
+
+        state = build_alias_index(terms)
+        index, max_len, trie = state["index"], state["max_len"], state["trie"]
+
+        def scan_tuple():
+            out, i, n = [], 0, len(toks)
+            while i < n:
+                m = None
+                for L in range(min(max_len, n - i), 0, -1):
+                    term = index.get(tuple(toks[i : i + L]))
+                    if term is not None:
+                        m = (term, L)
+                        break
+                if m:
+                    out.append((m[0], i))
+                    i += m[1]
+                else:
+                    i += 1
+            return out
+
+        def scan_trie():
+            out, i, n = [], 0, len(toks)
+            while i < n:
+                m = trie_longest_match(trie, toks, i)
+                if m:
+                    out.append((m[0], i))
+                    i += m[1]
+                else:
+                    i += 1
+            return out
+
+        assert scan_tuple() == scan_trie()
+
+
+class TestChunkSpans:
+    @given(st.integers(min_value=0, max_value=500))
+    @settings(max_examples=200, deadline=None)
+    def test_full_coverage_and_stride(self, n):
+        from sifr_project_java_ontology_processing_ray.pipelines.textops import (
+            CHUNK_OVERLAP,
+            CHUNK_TOKENS,
+            chunk_token_spans,
+        )
+
+        spans = chunk_token_spans(n)
+        if n == 0:
+            assert spans == []
+            return
+        # every token covered; stride constant; no chunk starts at/after end
+        covered = set()
+        for s in spans:
+            covered.update(range(s, min(n, s + CHUNK_TOKENS)))
+            assert s < n
+        assert covered == set(range(n))
+        strides = {b - a for a, b in zip(spans, spans[1:])}
+        assert strides <= {CHUNK_TOKENS - CHUNK_OVERLAP}
+
+
+class TestBloomProperties:
+    @given(st.sets(st.text(min_size=1, max_size=12), min_size=1, max_size=200))
+    @settings(max_examples=50, deadline=None)
+    def test_no_false_negatives(self, keys):
+        bf = hashing.BloomFilter(capacity=max(64, len(keys)))
+        for k in keys:
+            bf.add(k)
+        assert all(k in bf for k in keys)
