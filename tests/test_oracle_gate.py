@@ -23,6 +23,8 @@ SUBSET = [
     "train_val_split",
     "vocab_top50",
     "doc_chunks",
+    "repetition_stats",
+    "pages_exact_dedup",
     "knn_top10",
     "orders_per_customer",
     "order_stats",
