@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_windows": relational.q_event_windows,
         "order_stats": relational.q_order_stats,
         "event_sessions": relational.q_event_sessions,
+        "exact_distinct_users": relational.q_exact_distinct_users,
         "approx_distinct_users": relational.q_approx_distinct_users,
         "asof_latest_order": relational.q_asof_latest_order,
         # text / training-data ops
@@ -181,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
         "event_windows": relational.SQL_EVENT_WINDOWS,
         "order_stats": relational.SQL_ORDER_STATS,
         "event_sessions": relational.SQL_EVENT_SESSIONS,
+        "exact_distinct_users": relational.SQL_EXACT_DISTINCT_USERS,
         "asof_latest_order": relational.SQL_ASOF_LATEST_ORDER,
         "token_counts": textops.SQL_TOKEN_COUNTS,
         "exact_dedup": textops.SQL_EXACT_DEDUP,
