@@ -64,6 +64,22 @@ def cmd_kg(args) -> int:
     return 0
 
 
+def _load_triples(path: str):
+    """Parquet OR any RDF text format the reference loads (.ttl/.owl/.rdf/
+    .nt, gzip/bz2) → 4-column ontology-triples arrow table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if path.endswith((".parquet", ".pq")):
+        return pq.read_table(path)
+    from .sources.rdf import read_rdf
+
+    df = read_rdf(path).to_pandas()
+    return pa.Table.from_pandas(
+        df[["subj", "pred", "obj", "obj_lang"]], preserve_index=False
+    )
+
+
 def cmd_enrich(args) -> int:
     import pyarrow.parquet as pq
 
@@ -73,9 +89,9 @@ def cmd_enrich(args) -> int:
 
     _init_ray(args.num_cpus)
     if args.source:
-        src = pq.read_table(args.source)
+        src = _load_triples(args.source)
         mappings = pq.read_table(args.mappings) if args.mappings else testgen.ontology_fixture()["mappings"].slice(0, 0)
-        target = pq.read_table(args.target) if args.target else testgen.ontology_fixture()["target_triples"].slice(0, 0)
+        target = _load_triples(args.target) if args.target else testgen.ontology_fixture()["target_triples"].slice(0, 0)
     else:
         fx = testgen.ontology_fixture()
         src, mappings, target = fx["source_triples"], fx["mappings"], fx["target_triples"]
@@ -123,7 +139,10 @@ def cmd_clean(args) -> int:
     from .pipelines.cleaner import clean_multilingual, repair_missing_pref_labels
 
     _init_ray(args.num_cpus)
-    ds = rd.read_parquet(args.input)
+    if args.input.endswith((".parquet", ".pq")):
+        ds = rd.read_parquet(args.input)
+    else:  # RDF text formats, like the reference's cleaner input
+        ds = rd.from_arrow(_load_triples(args.input))
     out = repair_missing_pref_labels(clean_multilingual(ds, args.l))
     if args.out:
         out.write_parquet(args.out)
@@ -139,8 +158,8 @@ def cmd_reconcile(args) -> int:
 
     _init_ray(args.num_cpus)
     if args.source:
-        src = pq.read_table(args.source)
-        tgt = pq.read_table(args.target)
+        src = _load_triples(args.source)
+        tgt = _load_triples(args.target)
         mappings = pq.read_table(args.mappings) if args.mappings else testgen.ontology_fixture()["mappings"].slice(0, 0)
     else:
         fx = testgen.ontology_fixture()

@@ -21,3 +21,28 @@ def test_generate_cli_flag_validation(ray_session, capsys):
     # -a without -cr/-cs must fail validation (reference semantics)
     rc = main(["generate", "-a"])
     assert rc == 2
+
+
+def test_clean_cli_accepts_turtle(ray_session, capsys, tmp_path):
+    """The reference's cleaner takes an ontology FILE; so does ours —
+    a .ttl input goes through read_rdf, gets cleaned, and writes parquet."""
+    import json
+
+    import pandas as pd
+
+    from sifr_project_java_ontology_processing_ray.__main__ import main
+
+    ttl = """@prefix skos: <http://www.w3.org/2004/02/skos/core#> .
+<http://x/e1> skos:prefLabel "lung"@en , "poumon"@fr .
+<http://x/e2> skos:altLabel "only alt" .
+"""
+    src = tmp_path / "onto.ttl"
+    src.write_text(ttl)
+    out = str(tmp_path / "cleaned")
+    rc = main(["clean", "--input", str(src), "-l", "en", "--out", out])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip())["triples"] == 3
+    df = pd.read_parquet(out)
+    # fr label dropped (en present); e2 got a synthesized prefLabel
+    assert set(df[df.subj == "http://x/e1"]["obj"]) == {"lung"}
+    assert "only alt" in set(df[(df.subj == "http://x/e2") & (df.pred == "skos:prefLabel")]["obj"])
