@@ -38,10 +38,29 @@ def _emb_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "embeddings.parquet")
 
 
+def _query_vectors(sf_dir: str, vec_ids: list[int]) -> "pa.Table":
+    """Fetch the query vectors with parquet filter pushdown — only row
+    groups whose vec_id statistics cover the ids are read, never the full
+    table (VERDICT r2 #2)."""
+    return pq.read_table(
+        _emb_path(sf_dir), columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", list(vec_ids))],
+    )
+
+
 def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
-    t = pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    t = _query_vectors(sf_dir, [vec_id])
     idx = t["vec_id"].to_pylist().index(vec_id)
     return np.asarray(t["embedding"][idx].as_py(), dtype=np.float64)
+
+
+def _emb_dim(sf_dir: str) -> int:
+    """Embedding dimensionality from the FIRST record batch only (the
+    list<float> schema doesn't carry a fixed length) — no full-column
+    driver read."""
+    pf = pq.ParquetFile(_emb_path(sf_dir))
+    batch = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(batch["embedding"][0].as_py())
 
 
 def _batch_scores(batch: pa.Table, q: np.ndarray) -> pa.Table:
@@ -86,14 +105,8 @@ def q_knn_multi(sf_dir: str, n_queries: int = 4, k: int = 5):
     """Batched brute-force: top-k for query vectors vec_id 0..n_queries-1
     via one matmul per batch against the broadcast query matrix
     (SQL-checked against a windowed cross-join oracle)."""
-    t = pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
-    want = set(range(n_queries))
-    rows = [
-        (vid, t["embedding"][i])
-        for i, vid in enumerate(t["vec_id"].to_pylist())
-        if vid in want
-    ]
-    rows.sort()
+    t = _query_vectors(sf_dir, list(range(n_queries)))
+    rows = sorted(zip(t["vec_id"].to_pylist(), t["embedding"]))
     ids = [vid for vid, _ in rows]
     Q = np.vstack([np.asarray(v.as_py(), dtype=np.float64) for _, v in rows])
     Qn = Q / np.where(np.linalg.norm(Q, axis=1, keepdims=True) == 0, 1.0, np.linalg.norm(Q, axis=1, keepdims=True))
@@ -232,9 +245,9 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.9, n_planes: int = 12,
     """Near-duplicate vector pairs over the sf embeddings table (empty when
     the corpus has no near-dups — random vectors rarely exceed 0.9)."""
     ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
-    t = pq.read_table(_emb_path(sf_dir), columns=["embedding"])
-    dim = len(t["embedding"][0].as_py())
-    return embedding_neardup_pairs(ds, dim, threshold=threshold, n_planes=n_planes, seed=seed)
+    return embedding_neardup_pairs(
+        ds, _emb_dim(sf_dir), threshold=threshold, n_planes=n_planes, seed=seed
+    )
 
 
 def embedding_neardup_pairs(ds: "rd.Dataset", dim: int, threshold: float = 0.9,

@@ -33,6 +33,7 @@ import ray.data as rd
 
 from ..functions.hashing import BloomFilter
 from ..functions.quality import detect_lang, quality_score
+from ..state.broadcast import BloomRoute, merged_bloom
 
 NUM_JOIN_PARTITIONS = 8
 
@@ -51,21 +52,6 @@ def _annotate(batch: pa.Table) -> pa.Table:
     out = out.append_column("quality", pa.array(q, pa.float64()))
     out = out.append_column("content_hash", pa.array(h, pa.string()))
     return out.append_column("n_tokens", pa.array(toks, pa.int64()))
-
-
-class _BloomRoute:
-    """Actor-pool routing stage: bloom deserialized once per actor in
-    __init__ (not per batch); __call__ keeps rows on one side of the
-    maybe-duplicate split."""
-
-    def __init__(self, blob_ref, keep_maybe: bool):
-        self.bf = BloomFilter.loads(ray.get(blob_ref))
-        self.keep_maybe = keep_maybe
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        maybe = [h in self.bf for h in batch["content_hash"].to_pylist()]
-        mask = maybe if self.keep_maybe else [not m for m in maybe]
-        return batch.filter(pa.array(mask, pa.bool_()))
 
 
 def curate(
@@ -114,19 +100,34 @@ def curate(
     )
     n_dup_groups = dup_keep.count()
 
-    # ---- near-dedup victims from MinHash-LSH (verified true Jaccard) ----
-    from .textops import q_minhash_dedup
+    # ---- near-dedup victims from MinHash-LSH (verified true Jaccard),
+    # consumed as a distributed Dataset (VERDICT r2 #3: no ray.put victim
+    # set) — the 'b' side of each verified pair is dropped, resolved by the
+    # same bloom-route + left-join machinery as the exact dups below ----
+    from ray.data.aggregate import Count as _Count
 
-    near = q_minhash_dedup(sf_dir)
-    near_drop = {int(b) for b in near["b"]} if len(near) else set()
-    near_ref = ray.put(near_drop)
+    from .textops import minhash_verified_pairs
 
-    def lang_quality_near(batch: pa.Table) -> pa.Table:
-        nd = ray.get(near_ref)
+    victims = (
+        minhash_verified_pairs(sf_dir, threshold=jaccard_threshold)
+        .map_batches(lambda b: pa.table({"doc_id": b["b"]}), batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(_Count(alias_name="__vn"))  # distinct victim ids
+        .map_batches(
+            lambda b: pa.table(
+                {"doc_id": b["doc_id"],
+                 "__victim": pa.array([1] * b.num_rows, pa.int8())}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # verified-victim-sized; consumed by bloom + join
+    )
+    n_near_dups = victims.count()
+
+    def lang_quality(batch: pa.Table) -> pa.Table:
         lang_ok = pc.is_in(batch["detected_lang"], value_set=pa.array(list(keep_langs)))
         q_ok = pc.greater_equal(batch["quality"], min_quality)
-        near_ok = pa.array([d not in nd for d in batch["doc_id"].to_pylist()])
-        return batch.filter(pc.and_(pc.and_(lang_ok, q_ok), near_ok))
+        return batch.filter(pc.and_(lang_ok, q_ok))
 
     if n_dup_groups == 0:
         kept = docs
@@ -147,11 +148,11 @@ def curate(
         blob_ref = ray.put(bloom.dumps())
 
         clean = docs.map_batches(
-            _BloomRoute, fn_constructor_args=(blob_ref, False),
+            BloomRoute, fn_constructor_args=(blob_ref, "content_hash", False),
             batch_format="pyarrow", concurrency=2, num_cpus=0.5,
         )
         maybe = docs.map_batches(
-            _BloomRoute, fn_constructor_args=(blob_ref, True),
+            BloomRoute, fn_constructor_args=(blob_ref, "content_hash", True),
             batch_format="pyarrow", concurrency=2, num_cpus=0.5,
         )
         resolved = maybe.join(
@@ -167,7 +168,29 @@ def curate(
         )
         kept = clean.union(resolved)
 
-    curated = kept.map_batches(lang_quality_near, batch_format="pyarrow")
+    if n_near_dups == 0:
+        near_kept = kept
+    else:
+        v_blob_ref = ray.put(merged_bloom(victims, "doc_id", max(64, 2 * n_near_dups)))
+        v_clean = kept.map_batches(
+            BloomRoute, fn_constructor_args=(v_blob_ref, "doc_id", False),
+            batch_format="pyarrow", concurrency=2, num_cpus=0.5,
+        )
+        v_maybe = kept.map_batches(
+            BloomRoute, fn_constructor_args=(v_blob_ref, "doc_id", True),
+            batch_format="pyarrow", concurrency=2, num_cpus=0.5,
+        )
+        v_resolved = v_maybe.join(
+            victims, join_type="left_outer", num_partitions=NUM_JOIN_PARTITIONS,
+            on=("doc_id",),
+        ).map_batches(
+            # FP rows find no victim row (null __victim) → kept
+            lambda b: b.filter(pc.is_null(b["__victim"])).drop_columns(["__victim"]),
+            batch_format="pyarrow",
+        )
+        near_kept = v_clean.union(v_resolved)
+
+    curated = near_kept.map_batches(lang_quality, batch_format="pyarrow")
 
     # report from one aggregate over the annotated stream
     def partials(batch: pa.Table) -> pa.Table:
@@ -193,7 +216,7 @@ def curate(
     report = {
         "n_docs": int(agg["n_docs"]),
         "n_exact_dups_removed": n_exact_dups,
-        "n_near_dups_removed": len(near_drop),
+        "n_near_dups_removed": n_near_dups,
         "n_lang_rejected": int(agg["n_lang_rejected"]),
         "n_quality_rejected": int(agg["n_quality_rejected"]),
         "total_tokens": int(agg["total_tokens"]),

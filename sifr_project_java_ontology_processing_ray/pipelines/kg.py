@@ -382,7 +382,11 @@ def build_kg(
     tables = build_link_tables(mrconso)
     tables_bc = Broadcast.put(tables)
 
-    pages = rd.read_parquet(pages_path, override_num_blocks=read_blocks)
+    # lang rides only in the separate page_meta read below — pruned here
+    pages = rd.read_parquet(
+        pages_path, columns=["url", "warc_ts", "html", "text"],
+        override_num_blocks=read_blocks,
+    )
 
     # FUSED extract→mention→link actor stage: one pool, no inter-stage
     # row transfer, lazy context windows (see MentionLinker docstring).

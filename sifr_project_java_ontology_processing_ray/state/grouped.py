@@ -16,10 +16,35 @@ from typing import Callable
 
 import pandas as pd
 import pyarrow as pa
-
-from ..functions.hashing import hash64
+import pyarrow.compute as pc
 
 DEFAULT_BUCKETS = 64
+
+
+def bucket_ids(batch: pa.Table, key_cols: list[str], num_buckets: int) -> pa.Array:
+    """Vectorized, cross-process-stable bucket assignment: Arrow-kernel key
+    assembly (cast→binary_join) + polars' seeded vectorized 64-bit hash.
+
+    Process-stability contract (the memory-documented ``hash_pandas_object``
+    trap): polars ``Series.hash`` with a fixed seed is deterministic across
+    processes for a given polars build — every node in this container image
+    runs the same build, so all rows of a key land in one bucket regardless
+    of which task hashed them. Key columns must be string/integer typed
+    (float repr drift under cast is not defended — no caller uses floats).
+    """
+    import polars as pl
+
+    parts = [pc.cast(batch[c], pa.string()) for c in key_cols]
+    if len(parts) == 1:
+        keys = parts[0]
+    else:
+        keys = pc.binary_join_element_wise(
+            *parts, "\x00", null_handling="replace", null_replacement="\x01null\x01"
+        )
+    h = pl.from_arrow(
+        keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+    ).hash(seed=0)
+    return pa.array((h % num_buckets).cast(pl.Int32).to_numpy(), pa.int32())
 
 
 def bucketed_map_groups(
@@ -35,10 +60,9 @@ def bucketed_map_groups(
     def add_bucket(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch.append_column("__gbucket", pa.array([], pa.int32()))
-        parts = [batch[c].to_pylist() for c in key_cols]
-        keys = ["\x00".join(str(v) for v in row) for row in zip(*parts)]
-        buckets = pa.array([hash64(k) % num_buckets for k in keys], pa.int32())
-        return batch.append_column("__gbucket", buckets)
+        return batch.append_column(
+            "__gbucket", bucket_ids(batch, key_cols, num_buckets)
+        )
 
     def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return fn(g.drop(columns=["__gbucket"]))
