@@ -156,6 +156,10 @@ def cmd_reconcile(args) -> int:
     from . import testgen
     from .pipelines.reconciler import reconcile
 
+    if args.source and not args.target:
+        raise ValueError("--target is required when --source is given")
+    if args.mrconso and not args.mrsty:
+        raise ValueError("--mrsty is required when --mrconso is given")
     _init_ray(args.num_cpus)
     if args.source:
         src = _load_triples(args.source)

@@ -164,17 +164,34 @@ def _surface_lookup_arrays(surface_map: dict[str, str]) -> tuple[pa.Array, pa.Ar
 
 
 def _first_url_per_key(tbl: pa.Table, key_cols: list[str]) -> pa.Table:
-    """Deterministic per-batch dedup: ONE hash group_by on the key with
-    independent min(prov_url), min(prov_ts). The kept provenance is
-    (min url, min ts over the key's batch rows) — deterministic at fixed
-    batching, and the cross-parallelism contract only covers the triple
-    columns (provenance batches differ by block layout by construction).
-    A two-level group_by+join tying ts to the min-url row measured 26×
-    slower (3.4M intermediate groups); this is a single tiny-output agg."""
-    res = tbl.group_by(key_cols).aggregate([("prov_url", "min"), ("prov_ts", "min")])
-    return res.rename_columns(key_cols + ["prov_url", "prov_ts_min"]).sort_by(
-        [(c, "ascending") for c in key_cols]
+    """Deterministic per-batch dedup: ONE hash group_by on the key taking
+    the lexicographic min of the PACKED (url \\x1f ts) pair, so the kept
+    timestamp always belongs to the kept url's own source row — every
+    emitted provenance pair co-occurred in a real page (ADVICE r2; the
+    earlier independent min(url), min(ts) could pair a url with another
+    page's ts). The pack/unpack is three Arrow kernel passes; the
+    two-level group_by+join alternative measured 26× slower (3.4M
+    intermediate groups). Timestamp↔string casts are fixed-width and
+    lossless for timestamp[us], so string order == chronological order.
+    Deterministic at fixed batching; the cross-parallelism contract only
+    covers the triple columns (provenance batches differ by block layout
+    by construction)."""
+    packed = pc.binary_join_element_wise(
+        tbl["prov_url"], pc.cast(tbl["prov_ts"], pa.string()), "\x1f"
     )
+    res = (
+        tbl.select(key_cols)
+        .append_column("prov_pack", packed)
+        .group_by(key_cols)
+        .aggregate([("prov_pack", "min")])
+    )
+    split = pc.split_pattern(res["prov_pack_min"], "\x1f")
+    res = res.drop_columns(["prov_pack_min"])
+    res = res.append_column("prov_url", pc.list_element(split, 0))
+    res = res.append_column(
+        "prov_ts_min", pc.cast(pc.list_element(split, 1), pa.timestamp("us"))
+    )
+    return res.sort_by([(c, "ascending") for c in key_cols])
 
 
 class PairTriples:
@@ -483,11 +500,9 @@ def build_kg(
     # sort-shuffle over thousands of 10-row blocks pays per-task overhead
     # thousands of times (observed: 194s to dedup 24k rows at 8 cpus). The
     # big batch_size COALESCES blocks while deduping so the groupby sees a
-    # handful of blocks, and the result (dictionary-bounded, KBs) is
-    # materialized so the final union consumes a few compact blocks instead
-    # of re-driving the whole emitter chain. The umls triples are distinct
-    # by construction (driver-built from the dictionary, unique preds) and
-    # skip dedup entirely.
+    # handful of blocks. The umls triples are distinct by construction
+    # (driver-built from the dictionary, unique preds) and skip dedup
+    # entirely.
     deduped_small = (
         t_small
         .map_batches(_dedup_batch, batch_format="pyarrow", batch_size=262144)

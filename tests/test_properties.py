@@ -184,3 +184,44 @@ class TestBloomProperties:
         for k in keys:
             bf.add(k)
         assert all(k in bf for k in keys)
+
+
+# ---- vectorized bucket assignment (VERDICT r2 wrong #4) -------------------
+
+def test_bucket_ids_stable_and_key_consistent():
+    import pyarrow as pa
+
+    from sifr_project_java_ontology_processing_ray.state.grouped import bucket_ids
+
+    t = pa.table(
+        {"k": pa.array(["x", "y", "x", None, "z\x00w", "y"]),
+         "n": pa.array([1, 2, 1, 3, 4, 2], pa.int64())}
+    )
+    b1 = bucket_ids(t, ["k", "n"], 64).to_pylist()
+    b2 = bucket_ids(t, ["k", "n"], 64).to_pylist()
+    assert b1 == b2
+    assert b1[0] == b1[2] and b1[1] == b1[5]  # same key → same bucket
+    # chunked input assigns identically (task-boundary independence)
+    chunked = pa.Table.from_batches(t.to_batches(max_chunksize=2))
+    assert bucket_ids(chunked, ["k", "n"], 64).to_pylist() == b1
+
+
+def test_bucket_ids_cross_process_stable():
+    """The hash_pandas_object trap: bucket assignment must be identical in
+    a fresh interpreter (every Ray task is one)."""
+    import subprocess
+    import sys
+
+    prog = (
+        "import pyarrow as pa;"
+        "from sifr_project_java_ontology_processing_ray.state.grouped import bucket_ids;"
+        "t = pa.table({'k': pa.array(['alpha', 'beta', 'gamma'])});"
+        "print(bucket_ids(t, ['k'], 1024).to_pylist())"
+    )
+    outs = {
+        subprocess.run(
+            [sys.executable, "-c", prog], capture_output=True, text=True, check=True
+        ).stdout.strip()
+        for _ in range(2)
+    }
+    assert len(outs) == 1

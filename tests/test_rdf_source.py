@@ -150,3 +150,110 @@ def test_roundtrip(ray_session, tmp_path):
     a = ds.to_pandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
     b = ds2.to_pandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
     assert a[["subj", "pred", "obj", "obj_lang"]].equals(b[["subj", "pred", "obj", "obj_lang"]])
+
+
+# ---- round-3 parser fidelity (VERDICT r2 missing #1 + ADVICE) -------------
+
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+OWL = "http://www.w3.org/2002/07/owl#"
+
+
+def test_anonymous_bnode_contents_emitted():
+    """An anonymous OWL restriction's inner triples survive (Jena parity:
+    OntologyLoader.java:41-79 loads full Turtle)."""
+    from sifr_project_java_ontology_processing_ray.sources.rdf import parse_turtle_ex
+
+    rows, bad = parse_turtle_ex(
+        "@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+        "<http://x/A> owl:equivalentClass [ a owl:Restriction ;"
+        " owl:onProperty <http://x/p> ; owl:someValuesFrom [ a owl:Class ] ] .\n"
+    )
+    assert bad == 0
+    by_pred = {}
+    for s, p, o, _, _ in rows:
+        by_pred.setdefault(p, []).append((s, o))
+    eq = by_pred[OWL + "equivalentClass"]
+    assert len(eq) == 1 and eq[0][1].startswith("_:")
+    outer = eq[0][1]
+    assert (outer, OWL + "Restriction") in by_pred[RDF + "type"]
+    assert (outer, "http://x/p") in by_pred[OWL + "onProperty"]
+    inner = dict(by_pred[OWL + "someValuesFrom"])[outer]
+    assert inner.startswith("_:") and (inner, OWL + "Class") in by_pred[RDF + "type"]
+
+
+def test_collection_expands_to_first_rest_nil():
+    from sifr_project_java_ontology_processing_ray.sources.rdf import parse_turtle_ex
+
+    rows, bad = parse_turtle_ex(
+        "<http://x/B> <http://x/u> ( <http://x/A> \"lit\" 42 ) .\n"
+        "<http://x/E> <http://x/u> ( ) .\n"
+    )
+    assert bad == 0
+    d = {(s, p): (o, lit) for s, p, o, _, lit in rows}
+    head, _ = d[("http://x/B", "http://x/u")]
+    firsts, cell = [], head
+    for _ in range(3):
+        firsts.append(d[(cell, RDF + "first")])
+        cell, _ = d[(cell, RDF + "rest")]
+    assert firsts == [("http://x/A", False), ("lit", True), ("42", True)]
+    assert cell == RDF + "nil"
+    assert d[("http://x/E", "http://x/u")] == (RDF + "nil", False)
+
+
+def test_single_quoted_literals():
+    from sifr_project_java_ontology_processing_ray.sources.rdf import parse_turtle_ex
+
+    text = "<http://s> <http://p> 'one' .\n<http://s> <http://p> '''two\nlines'''@en .\n"
+    rows, bad = parse_turtle_ex(text)
+    assert bad == 0
+    assert ("http://s", "http://p", "one", None, True) in rows
+    assert ("http://s", "http://p", "two\nlines", "en", True) in rows
+
+
+def test_malformed_statement_skipped_not_fatal():
+    from sifr_project_java_ontology_processing_ray.sources.rdf import parse_turtle_ex
+
+    # unterminated string: remainder dropped, counted, no exception
+    rows, bad = parse_turtle_ex('<http://s> <http://p> "never closed\n')
+    assert rows == [] and bad >= 1
+    # garbage statement between two good ones: good first statement survives
+    rows, bad = parse_turtle_ex(
+        '<http://a> <http://p> "ok" .\n'
+        "; , ] stray tokens .\n"
+        '<http://b> <http://p> "also ok" .\n'
+    )
+    assert ("http://a", "http://p", "ok", None, True) in rows
+    assert ("http://b", "http://p", "also ok", None, True) in rows
+    assert bad >= 1
+
+
+def test_read_rdf_survives_bad_file(ray_session, tmp_path):
+    """One malformed .ttl must not kill the whole read (ADVICE r2)."""
+    good = tmp_path / "good.ttl"
+    good.write_text('<http://a> <http://p> "v" .\n')
+    bad = tmp_path / "bad.ttl"
+    bad.write_text('<http://never-closed <http://p> "x" .\n')
+    from sifr_project_java_ontology_processing_ray.sources.rdf import read_rdf
+
+    df = read_rdf([str(good), str(bad)], contract=False).to_pandas()
+    assert list(df["subj"]) == ["http://a"]
+
+
+def test_rdfxml_nodeid_and_id_resolution(ray_session, tmp_path):
+    """nodeID gets the '_:' bnode prefix on both sides; rdf:ID resolves
+    against xml:base (ADVICE r2)."""
+    xml = (
+        '<?xml version="1.0"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"\n'
+        '  xmlns:ex="http://ex/" xml:base="http://base.example/doc">\n'
+        '  <rdf:Description rdf:ID="frag"><ex:p rdf:nodeID="n1"/></rdf:Description>\n'
+        '  <rdf:Description rdf:nodeID="n1"><ex:q>v</ex:q></rdf:Description>\n'
+        "</rdf:RDF>\n"
+    )
+    p = tmp_path / "m.rdf"
+    p.write_text(xml)
+    from sifr_project_java_ontology_processing_ray.sources.rdf import parse_rdfxml
+
+    rows = parse_rdfxml(str(p))
+    assert ("http://base.example/doc#frag", "http://ex/p", "_:n1", None, False) in rows
+    assert ("_:n1", "http://ex/q", "v", None, True) in rows
