@@ -192,6 +192,8 @@ def oracle_sql() -> dict[str, str]:
         "train_val_split": textops.SQL_TRAIN_VAL_SPLIT,
         "vocab_top50": textops.SQL_VOCAB_TOP50,
         "doc_chunks": textops.SQL_DOC_CHUNKS,
+        "bpeish_tokens": textops.SQL_BPEISH_TOKENS,
+        "fingerprints": textops.SQL_FINGERPRINTS,
         "knn_top10": ann.SQL_KNN_TOP10,
         "knn_multi": ann.SQL_KNN_MULTI,
     }

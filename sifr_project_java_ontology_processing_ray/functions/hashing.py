@@ -96,10 +96,19 @@ def hamming64(a: int, b: int) -> int:
 def rolling_fingerprints(text: str, window: int = 16, mod_bits: int = 6) -> list[int]:
     """Winnowing-style document fingerprint: Rabin-Karp rolling hashes of
     byte windows, keeping hashes ≡ 0 mod 2**mod_bits (deterministic sparse
-    selection). Returns sorted distinct selected hashes."""
+    selection). Returns sorted distinct selected hashes.
+
+    Short docs (< window bytes) hash ALL their bytes with the same
+    polynomial, kept unconditionally — same hash family as the windows so
+    the whole function is SQL-restatable (textops.SQL_FINGERPRINTS)."""
     data = text.encode("utf-8")
     if len(data) < window:
-        return [hash64(data)] if data else []
+        if not data:
+            return []
+        h = 0
+        for c in data:
+            h = (h * 257 + c) % _MERSENNE
+        return [h]
     B, M = 257, _MERSENNE
     power = pow(B, window - 1, M)
     h = 0

@@ -99,7 +99,11 @@ def text_to_html(text: str, title: str = "", words_per_para: int = 20) -> bytes:
 
 _RE_TOKEN = re.compile(r"\w+", re.UNICODE)
 # A BPE-ish word/punct splitter in the GPT-2 style (public pattern shape).
-_RE_BPEISH = re.compile(r"'[a-z]+| ?\w+| ?[^\s\w]+|\s+(?!\S)|\s+")
+# RE2-compatible on purpose (no lookahead) so the DuckDB oracle can restate
+# it verbatim via regexp_extract_all; vs the lookahead form, counts differ
+# only on runs of ≥2 interior spaces (trailing-space attachment).
+_RE_BPEISH = re.compile(r"'[a-z]+| ?\w+| ?[^\s\w]+|\s+")
+BPEISH_PATTERN_SQL = r"'[a-z]+| ?\w+| ?[^\s\w]+|\s+"
 
 
 def tokenize(text: str) -> list[str]:

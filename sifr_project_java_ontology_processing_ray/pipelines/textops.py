@@ -500,7 +500,8 @@ def q_quality_scores(sf_dir: str):
 
 
 def q_bpeish_tokens(sf_dir: str):
-    """BPE-ish token counting (regex pre-tokenizer) — rows-only check."""
+    """BPE-ish token counting (regex pre-tokenizer; SQL-checkable — the
+    pattern is RE2-compatible by construction)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         counts = pa.array(
@@ -517,6 +518,23 @@ def q_bpeish_tokens(sf_dir: str):
         .groupby("lang")
         .aggregate(Sum("p_tok", alias_name="total_bpeish_tokens"))
     )
+
+
+def _sql_bpeish_tokens() -> str:
+    """The pre-tokenizer pattern is RE2-compatible by construction
+    (functions/text.BPEISH_PATTERN_SQL), so the oracle restates it
+    verbatim via regexp_extract_all."""
+    from ..functions.text import BPEISH_PATTERN_SQL
+
+    pat = BPEISH_PATTERN_SQL.replace("'", "''")
+    return (
+        "SELECT lang, CAST(sum(len(regexp_extract_all(text, '"
+        + pat
+        + "'))) AS BIGINT) AS total_bpeish_tokens FROM documents GROUP BY lang"
+    )
+
+
+SQL_BPEISH_TOKENS = _sql_bpeish_tokens()
 
 
 # --------------------------------------------------------------------------
@@ -738,7 +756,7 @@ def q_simhash_dedup(sf_dir: str, max_hamming: int = 6):
 
 
 # --------------------------------------------------------------------------
-# rolling-hash fingerprints (rows-only)
+# rolling-hash fingerprints (SQL-checkable: polynomial hash restated in DuckDB)
 # --------------------------------------------------------------------------
 
 def q_fingerprints(sf_dir: str):
@@ -769,6 +787,55 @@ def q_fingerprints(sf_dir: str):
             "shared_fingerprints": [int((df["n_docs"] > 1).sum())],
         }
     )
+
+
+def _sql_fingerprints() -> str:
+    """DuckDB restatement of rolling_fingerprints (hashing.py): the
+    Rabin-Karp polynomial h = Σ byte_j · 257^(w-1-j) mod 2^61-1 is plain
+    modular arithmetic, so each 16-byte window hash is a 16-term HUGEINT
+    sum against an embedded powers-of-257 table (max term < 2^69, sum
+    < 2^73 — inside HUGEINT). Corpus texts are ASCII, so ord(substr()) ==
+    byte value. Short docs hash all bytes unconditionally, mirroring the
+    python short-doc branch."""
+    M = (1 << 61) - 1
+    powers = ", ".join(f"({e}, {pow(257, e, M)}::HUGEINT)" for e in range(16))
+    return f"""
+WITH pw(e, p) AS (VALUES {powers}),
+b AS (SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) > 0),
+wins AS (
+  SELECT doc_id, text, unnest(generate_series(1, n - 15)) AS i FROM b WHERE n >= 16
+),
+wchars AS (
+  SELECT doc_id, i, text, unnest(generate_series(0, 15)) AS k FROM wins
+),
+winhash AS (
+  SELECT doc_id, i, sum(ord(substr(text, i + k, 1))::HUGEINT * pw.p) % {M} AS fp
+  FROM wchars JOIN pw ON pw.e = 15 - k
+  GROUP BY doc_id, i
+),
+shorts AS (
+  SELECT doc_id, n, text, unnest(generate_series(1, n)) AS j FROM b WHERE n < 16
+),
+short AS (
+  SELECT doc_id, sum(ord(substr(text, j, 1))::HUGEINT * pw.p) % {M} AS fp
+  FROM shorts JOIN pw ON pw.e = n - j
+  GROUP BY doc_id
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, fp FROM winhash WHERE fp % 64 = 0
+    UNION ALL SELECT doc_id, fp FROM short
+  )
+),
+agg AS (SELECT fp, count(*) AS n_docs FROM fps GROUP BY fp)
+SELECT count(*) AS distinct_fingerprints,
+       CAST(coalesce(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS shared_fingerprints
+FROM agg
+"""
+
+
+SQL_FINGERPRINTS = _sql_fingerprints()
 
 
 # --------------------------------------------------------------------------
