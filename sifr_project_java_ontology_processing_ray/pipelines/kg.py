@@ -410,20 +410,46 @@ def build_kg(
     # Extraction runs INSIDE the pool — a separate extract stage would be
     # limited to the few cores the pool leaves free and starve the actors
     # (this was round 2's scaling ceiling: link phase 2.2× at 4× cpus).
+    # emit_edge_partials=True: the canonicalization edge combiner runs
+    # inside the pool (per-block distinct rows tagged position = -1), so
+    # the post-barrier DRAM-bound hash pass over the full mention stream
+    # disappears (BASELINE.md strong-scaling cost (b)).
     linked_all = pages.map_batches(
         MentionLinker,
-        fn_constructor_args=(tables_bc, False),  # no term/score diagnostics
+        fn_constructor_args=(tables_bc, False, True),  # no diagnostics; edge partials
         batch_format="pyarrow",
         batch_size=extract_batch_size,
         concurrency=concurrency,
         num_cpus=1,
     ).materialize()  # consumed by edges + unmatched + entities; ≪ input size
 
+    # OVERLAP: page triples depend on nothing downstream of the linker, so
+    # their read+emit+materialize runs on a side thread while the driver
+    # collects edges and runs the (serial, dictionary-bounded) union-find —
+    # the two named Amdahl terms of BASELINE.md overlap cluster work.
+    import threading
+
+    page_meta = rd.read_parquet(pages_path, columns=["url", "warc_ts", "lang"])
+    _pages_box: dict = {}
+
+    def _materialize_pages():
+        try:
+            _pages_box["ds"] = page_meta.map_batches(
+                _page_triples, batch_format="pyarrow"
+            ).materialize()
+        except BaseException as exc:  # re-raised on join
+            _pages_box["err"] = exc
+
+    _pages_th = threading.Thread(target=_materialize_pages, daemon=True)
+    _pages_th.start()
+
     # batch_size=None (whole blocks) everywhere below the linker: the
     # page-atomic block invariant (see comment further down) must survive
     # every intermediate stage, so nothing may re-batch across block edges
     linked = linked_all.map_batches(
-        lambda b: b.filter(pc.is_valid(b["cui"])),
+        lambda b: b.filter(
+            pc.and_(pc.is_valid(b["cui"]), pc.greater_equal(b["position"], 0))
+        ),
         batch_format="pyarrow",
         batch_size=None,
     )
@@ -434,14 +460,15 @@ def build_kg(
     )
 
     # --- canonicalization: distinct edges → union-find → broadcast maps ---
-    # per-batch distinct combiner first; the second map COALESCES the tiny
-    # per-block distinct outputs (batch_size ≫ block size) so unique()'s
-    # shuffle sees a handful of blocks, not one per linker block — this
-    # serial-path latency is the visible Amdahl term in the scaling number
+    # the per-block distinct combiner already ran inside the linker pool;
+    # this pass only selects the tagged partial rows (a cheap filter on one
+    # int column of the materialized blocks) and COALESCES them so
+    # unique()'s shuffle sees a handful of blocks, not one per linker block
     edge_keys = (
-        linked.map_batches(
-            lambda b: b.select(["surface", "cui"]).group_by(["surface", "cui"]).aggregate([]),
+        linked_all.map_batches(
+            lambda b: b.filter(pc.equal(b["position"], -1)).select(["surface", "cui"]),
             batch_format="pyarrow",
+            batch_size=None,
         )
         .map_batches(
             _coalesced_edge_keys,
@@ -471,8 +498,10 @@ def build_kg(
     apply_canon = ApplyCanonical(maps_bc)
 
     # --- triple emission -------------------------------------------------
-    page_meta = rd.read_parquet(pages_path, columns=["url", "warc_ts", "lang"])
-    t_pages = page_meta.map_batches(_page_triples, batch_format="pyarrow")
+    _pages_th.join()
+    if "err" in _pages_box:
+        raise _pages_box["err"]
+    t_pages = _pages_box["ds"]
 
     def _emit_main(b: pa.Table) -> pa.Table:
         return _mention_triples(apply_canon(b))

@@ -16,6 +16,7 @@ the mention context as a tie-breaking secondary component.
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.codes import RE_CUI
 from ..functions.similarity import tverski
@@ -244,9 +245,22 @@ class MentionLinker:
 
     Emits one row per mention: (url, warc_ts, surface, position, cui, term,
     score, next_surface); cui is null for unmatched surfaces (S10).
+
+    With ``emit_edge_partials``, each output block additionally carries its
+    per-block DISTINCT (surface, cui) pairs as rows with ``position = -1``:
+    the canonicalization edge combiner then runs INSIDE the pool, in
+    parallel with linking, instead of as a separate post-barrier hash pass
+    over the whole mention stream (a named strong-scaling cost in
+    BASELINE.md — that pass was DRAM-bound on one node). Consumers filter
+    real mentions with ``position >= 0``.
     """
 
-    def __init__(self, tables_bc: Broadcast, emit_diagnostics: bool = True):
+    def __init__(
+        self,
+        tables_bc: Broadcast,
+        emit_diagnostics: bool = True,
+        emit_edge_partials: bool = False,
+    ):
         from .mentions import CONTEXT_WINDOW, build_alias_index, trie_longest_match
 
         t = tables_bc.value
@@ -262,6 +276,7 @@ class MentionLinker:
         # first consumer, so skipping them saves two 40M-row columns of
         # object-store traffic through the materialized linked stream
         self.emit_diagnostics = emit_diagnostics
+        self.emit_edge_partials = emit_edge_partials
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.text import extract_text, tokenize
@@ -334,4 +349,26 @@ class MentionLinker:
             cols["score"] = pa.array(o_score, pa.float64())
         cols["next_surface"] = pa.array(o_next, pa.string())
         cols["prev_surface"] = pa.array(o_prev, pa.string())
-        return pa.table(cols)
+        t = pa.table(cols)
+        if not self.emit_edge_partials:
+            return t
+        linked = t.filter(pc.is_valid(t["cui"]))
+        edges = (
+            linked.select(["surface", "cui"]).group_by(["surface", "cui"]).aggregate([])
+        )
+        m = edges.num_rows
+        if m == 0:
+            return t
+        ecols = {
+            "url": pa.array([""] * m, pa.string()),
+            "warc_ts": pa.array([None] * m, pa.timestamp("us")),
+            "surface": edges["surface"],
+            "position": pa.array([-1] * m, pa.int32()),
+            "cui": edges["cui"],
+        }
+        if self.emit_diagnostics:
+            ecols["term"] = pa.array([None] * m, pa.string())
+            ecols["score"] = pa.array([None] * m, pa.float64())
+        ecols["next_surface"] = pa.array([None] * m, pa.string())
+        ecols["prev_surface"] = pa.array([None] * m, pa.string())
+        return pa.concat_tables([t, pa.table(ecols)])
