@@ -16,7 +16,9 @@ rdflib is not in this container, so this module implements subset parsers:
   prefixes.ttl and SKOS/OWL fixtures incl. anonymous restrictions.
   Malformed statements are skipped with a surfaced count, never a crash.
 - an **RDF/XML subset** via xml.etree: rdf:Description/typed nodes,
-  rdf:about/resource/nodeID, nested nodes, xml:lang inheritance
+  rdf:about/resource/nodeID (nodeID → ``_:`` bnode labels, rdf:ID resolved
+  against xml:base), nested nodes, xml:lang inheritance, rdf:li → rdf:_n,
+  and parseType Resource/Collection/Literal
 
 ``read_rdf`` dispatches per file like the reference (extension first,
 content sniff fallback); gzip AND bz2 are transparent. Export:
@@ -425,8 +427,12 @@ def _expand_tag(tag: str) -> str:
 def parse_rdfxml(fileobj) -> list[tuple[str, str, str, str | None, bool]]:
     """RDF/XML subset → (subj, pred, obj, obj_lang, obj_is_literal) rows:
     rdf:Description + typed node elements, rdf:about/ID/nodeID subjects,
-    rdf:resource objects, nested node elements, xml:lang inheritance.
-    rdf:datatype is stripped (M4 semantics)."""
+    rdf:resource objects, nested node elements, xml:lang inheritance,
+    rdf:li container membership (→ rdf:_n), parseType="Resource"
+    (anonymous property list), parseType="Collection" (rdf:first/rest/nil
+    chain) and parseType="Literal" (inner XML as literal).
+    rdf:datatype is stripped (M4 semantics). Remaining subset boundary:
+    reification attributes (rdf:ID on property elements) are ignored."""
     import xml.etree.ElementTree as ET
 
     root = ET.parse(fileobj).getroot()
@@ -453,15 +459,56 @@ def parse_rdfxml(fileobj) -> list[tuple[str, str, str, str | None, bool]]:
         counter += 1
         return f"_:b{counter}"
 
+    def fresh_bnode() -> str:
+        nonlocal counter
+        counter += 1
+        return f"_:b{counter}"
+
     def walk(el, lang_inherit: str | None) -> str:
         subj = node_subject(el)
         tag = _expand_tag(el.tag)
         if tag != RDF_NS + "Description":
             out.append((subj, RDF_NS + "type", tag, None, False))
-        lang = el.get(XML_LANG, lang_inherit)
+        walk_props(el, subj, el.get(XML_LANG, lang_inherit))
+        return subj
+
+    def walk_props(el, subj: str, lang: str | None) -> None:
+        import xml.etree.ElementTree as ET
+
+        li_counter = 0
         for prop in el:
             pred = _expand_tag(prop.tag)
+            if pred == RDF_NS + "li":  # container membership: rdf:li → rdf:_n
+                li_counter += 1
+                pred = f"{RDF_NS}_{li_counter}"
             plang = prop.get(XML_LANG, lang)
+            ptype = prop.get(f"{{{RDF_NS}}}parseType")
+            if ptype == "Resource":
+                # the property element IS an anonymous node's property list
+                bnode = fresh_bnode()
+                out.append((subj, pred, bnode, None, False))
+                walk_props(prop, bnode, plang)
+                continue
+            if ptype == "Collection":
+                members = [walk(c, plang) for c in prop]
+                if not members:
+                    out.append((subj, pred, RDF_NS + "nil", None, False))
+                    continue
+                cells = [fresh_bnode() for _ in members]
+                out.append((subj, pred, cells[0], None, False))
+                for idx, (m, cell) in enumerate(zip(members, cells)):
+                    out.append((cell, RDF_NS + "first", m, None, False))
+                    nxt = cells[idx + 1] if idx + 1 < len(cells) else RDF_NS + "nil"
+                    out.append((cell, RDF_NS + "rest", nxt, None, False))
+                continue
+            if ptype == "Literal":
+                # inner XML verbatim as an XML-literal string (Jena keeps
+                # the exact serialization; datatype stripped per M4)
+                inner = (prop.text or "") + "".join(
+                    ET.tostring(c, encoding="unicode") for c in prop
+                )
+                out.append((subj, pred, inner, None, True))
+                continue
             res = prop.get(f"{{{RDF_NS}}}resource")
             if res is None:
                 nid = prop.get(f"{{{RDF_NS}}}nodeID")
@@ -474,7 +521,6 @@ def parse_rdfxml(fileobj) -> list[tuple[str, str, str, str | None, bool]]:
                 out.append((subj, pred, walk(children[0], plang), None, False))
                 continue
             out.append((subj, pred, prop.text or "", plang, True))
-        return subj
 
     for el in root:
         walk(el, None)

@@ -257,3 +257,45 @@ def test_rdfxml_nodeid_and_id_resolution(ray_session, tmp_path):
     rows = parse_rdfxml(str(p))
     assert ("http://base.example/doc#frag", "http://ex/p", "_:n1", None, False) in rows
     assert ("_:n1", "http://ex/q", "v", None, True) in rows
+
+
+def test_rdfxml_parsetypes_and_li(ray_session, tmp_path):
+    xml = (
+        '<?xml version="1.0"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"\n'
+        '  xmlns:ex="http://ex/">\n'
+        '  <rdf:Description rdf:about="http://s">\n'
+        '    <ex:r rdf:parseType="Resource"><ex:a>1</ex:a><ex:b rdf:resource="http://o"/></ex:r>\n'
+        '    <ex:c rdf:parseType="Collection">\n'
+        '      <rdf:Description rdf:about="http://m1"/>\n'
+        '      <rdf:Description rdf:about="http://m2"/>\n'
+        "    </ex:c>\n"
+        '    <ex:x rdf:parseType="Literal"><b>bold</b> text</ex:x>\n'
+        "  </rdf:Description>\n"
+        '  <rdf:Seq rdf:about="http://seq"><rdf:li>first</rdf:li><rdf:li>second</rdf:li></rdf:Seq>\n'
+        "</rdf:RDF>\n"
+    )
+    p = tmp_path / "pt.rdf"
+    p.write_text(xml)
+    from sifr_project_java_ontology_processing_ray.sources.rdf import parse_rdfxml
+
+    rows = parse_rdfxml(str(p))
+    d = {(s_, p_): (o, lit) for s_, p_, o, _, lit in rows}
+    # parseType=Resource: anonymous node with inner properties
+    rnode, _ = d[("http://s", "http://ex/r")]
+    assert rnode.startswith("_:")
+    assert d[(rnode, "http://ex/a")] == ("1", True)
+    assert d[(rnode, "http://ex/b")] == ("http://o", False)
+    # parseType=Collection: first/rest chain over the two members
+    head, _ = d[("http://s", "http://ex/c")]
+    assert d[(head, RDF + "first")] == ("http://m1", False)
+    cell2, _ = d[(head, RDF + "rest")]
+    assert d[(cell2, RDF + "first")] == ("http://m2", False)
+    assert d[(cell2, RDF + "rest")] == (RDF + "nil", False)
+    # parseType=Literal: inner XML serialized into the literal
+    lit, is_lit = d[("http://s", "http://ex/x")]
+    assert is_lit and "<b>bold</b>" in lit and lit.endswith(" text")
+    # rdf:li numbering
+    assert d[("http://seq", RDF + "_1")] == ("first", True)
+    assert d[("http://seq", RDF + "_2")] == ("second", True)
+    assert d[("http://seq", RDF + "type")] == (RDF + "Seq", False)
