@@ -151,8 +151,35 @@ def run_bench() -> dict:
     return result
 
 
+def raw_cpu_control(n_procs_hi: int = 30, n_procs_lo: int = 4) -> dict:
+    """Same-day hardware ceiling: per-process throughput retention of a
+    pure-arithmetic python loop at hi-way vs lo-way concurrency. On this
+    shared-host VM the retention itself swings between sessions (observed
+    0.65–0.81), so every scaling run embeds its own control — the engine's
+    ratio should be read against THIS number, not against 1.0."""
+    prog = "x=0\nfor i in range(40_000_000): x+=i*i"
+
+    def burn(n: int) -> float:
+        t0 = time.time()
+        procs = [subprocess.Popen([sys.executable, "-c", prog]) for _ in range(n)]
+        for p in procs:
+            p.wait()
+        return time.time() - t0
+
+    t_lo = burn(n_procs_lo)
+    t_hi = burn(n_procs_hi)
+    return {
+        "retention": round(t_lo / t_hi, 3),
+        "sec_lo": round(t_lo, 2),
+        "sec_hi": round(t_hi, 2),
+        "n_lo": n_procs_lo,
+        "n_hi": n_procs_hi,
+    }
+
+
 def run_scaling() -> dict:
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "4"))
+    control = raw_cpu_control()
 
     def one(ncpu: int) -> tuple[dict, list[float]]:
         # scaling runs use a larger input (800k pages) so parallel compute
@@ -189,6 +216,10 @@ def run_scaling() -> dict:
         "reps_32cpu": hi_times,
         "triples_per_sec_8cpu": lo["triples_per_sec"],
         "triples_per_sec_32cpu": hi["triples_per_sec"],
+        "raw_cpu_control": control,
+        "value_vs_control": round(eff / control["retention"], 3)
+        if control["retention"]
+        else None,
         "sf": SF_DIR,
     }
 
@@ -197,6 +228,7 @@ def run_weak_scaling() -> dict:
     """Weak scaling: constant per-core work (200k pages at 8 cpus vs 800k
     at 32) — the operative regime at 10^12-doc scale where data grows with
     the cluster. Efficiency = tput(4N, 4×input) / (4 × tput(N, input))."""
+    control = raw_cpu_control()
 
     def one(ncpu: int, replicate: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_KG_ONLY="1",
@@ -222,6 +254,10 @@ def run_weak_scaling() -> dict:
         "sec_32cpu_x160": hi["value"],
         "triples_per_sec_8cpu": lo["triples_per_sec"],
         "triples_per_sec_32cpu": hi["triples_per_sec"],
+        "raw_cpu_control": control,
+        "value_vs_control": round(eff / control["retention"], 3)
+        if control["retention"]
+        else None,
         "sf": SF_DIR,
     }
 
