@@ -548,26 +548,30 @@ JACCARD_THRESHOLD = 0.6
 
 def minhash_candidates(sf_dir: str, num_bands: int = NUM_BANDS):
     """documents → (band_id, band_hash, doc_id) rows → groupby bucket →
-    candidate pairs. Returns the candidate-pair Dataset."""
-    class Signatures:
-        def __init__(self):
-            self.mh = MinHasher(num_perm=NUM_PERM)
+    candidate pairs. Returns the candidate-pair Dataset.
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            doc_ids, bands_out, bhash = [], [], []
-            for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-                sig = self.mh.signature(shingles(text.split(), k=3))
-                for b_id, b_hash in enumerate(self.mh.bands(sig, num_bands)):
-                    doc_ids.append(did)
-                    bands_out.append(b_id)
-                    bhash.append(b_hash)
-            return pa.table(
-                {
-                    "doc_id": pa.array(doc_ids, pa.int64()),
-                    "band_id": pa.array(bands_out, pa.int32()),
-                    "band_hash": pa.array(np.array(bhash, dtype=np.uint64)),
-                }
-            )
+    Signatures run as a TASK-pool map with small batches, not an actor
+    pool: the MinHasher's permutation arrays are microseconds to build, so
+    there is no per-actor state worth amortizing, and a 2-actor pool was
+    the stage's parallelism cap (the documents file reads as ~2 row-group
+    blocks; small batch_size re-fans them across all cores)."""
+
+    def signatures(batch: pa.Table) -> pa.Table:
+        mh = MinHasher(num_perm=NUM_PERM)
+        doc_ids, bands_out, bhash = [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sig = mh.signature(shingles(text.split(), k=3))
+            for b_id, b_hash in enumerate(mh.bands(sig, num_bands)):
+                doc_ids.append(did)
+                bands_out.append(b_id)
+                bhash.append(b_hash)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "band_id": pa.array(bands_out, pa.int32()),
+                "band_hash": pa.array(np.array(bhash, dtype=np.uint64)),
+            }
+        )
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         """Vectorized over a hash-bucket of LSH groups: only (band_id,
@@ -588,7 +592,7 @@ def minhash_candidates(sf_dir: str, num_bands: int = NUM_BANDS):
     from ..state.grouped import bucketed_map_groups
 
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    sigs = ds.map_batches(Signatures, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+    sigs = ds.map_batches(signatures, batch_format="pyarrow", batch_size=256)
     return bucketed_map_groups(sigs, ["band_id", "band_hash"], bucket_pairs)
 
 
@@ -606,9 +610,12 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) ->
     to the pairs with Ray's hash join, and the true token-Jaccard check runs
     inside ``map_batches``. No pair list, text dict, or verify loop on the
     driver; only verified pairs (tiny) ever leave the cluster."""
+    import functools
+
     import ray
 
-    from ..state.broadcast import BloomRoute, merged_bloom
+    from ..functions.hashing import BloomFilter
+    from ..state.broadcast import merged_bloom
     from ..state.grouped import bucketed_map_groups
 
     cand = minhash_candidates(sf_dir).map_batches(
@@ -635,13 +642,21 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) ->
         pairs.map_batches(flat_ids, batch_format="pyarrow"), "id", max(64, 2 * n_pairs)
     )
     blob_ref = ray.put(blob)
-    # candidates + ~1% FPs; FP rows drop out at the inner joins below
+
+    # candidates + ~1% FPs; FP rows drop out at the inner joins below.
+    # TASK-pool route, not an actor pool: this bloom is bounded by the
+    # per-bucket pair caps (KBs), so per-task deserialize is negligible and
+    # the stage gets full read parallelism with no pool-spawn floor (the
+    # curation pipeline keeps the actor-pool BloomRoute for its
+    # corpus-sized bloom).
+    def _keep_in_bloom(batch: pa.Table, blob_ref=blob_ref) -> pa.Table:
+        bf = BloomFilter.loads(ray.get(blob_ref))
+        mask = [str(v) in bf for v in batch["doc_id"].to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
     cand_docs = (
         rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-        .map_batches(
-            BloomRoute, fn_constructor_args=(blob_ref, "doc_id", True),
-            batch_format="pyarrow", concurrency=2, num_cpus=0.5,
-        )
+        .map_batches(functools.partial(_keep_in_bloom), batch_format="pyarrow")
         .materialize()  # candidate-sized, consumed by both join sides
     )
     a_side = cand_docs.map_batches(
@@ -651,8 +666,8 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) ->
         lambda b: b.rename_columns(["b", "text_b"]), batch_format="pyarrow"
     )
     joined = pairs.join(
-        a_side, join_type="inner", num_partitions=8, on=("a",)
-    ).join(b_side, join_type="inner", num_partitions=8, on=("b",))
+        a_side, join_type="inner", num_partitions=4, on=("a",)
+    ).join(b_side, join_type="inner", num_partitions=4, on=("b",))
 
     def verify(batch: pa.Table) -> pa.Table:
         a_out, b_out, j_out = [], [], []
