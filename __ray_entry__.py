@@ -194,6 +194,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": textops.SQL_DOC_CHUNKS,
         "bpeish_tokens": textops.SQL_BPEISH_TOKENS,
         "fingerprints": textops.SQL_FINGERPRINTS,
+        "langid": textops.SQL_LANGID,
+        "quality_scores": textops.SQL_QUALITY_SCORES,
         "knn_top10": ann.SQL_KNN_TOP10,
         "knn_multi": ann.SQL_KNN_MULTI,
     }

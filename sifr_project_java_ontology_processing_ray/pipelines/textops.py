@@ -472,8 +472,83 @@ def q_langid(sf_dir: str):
     )
 
 
+def _sql_langid() -> str:
+    """DuckDB restatement of detect_lang (quality.py): word hits per
+    baked-in language profile, argmax with strict-> replacement over the
+    fixed language order (ties keep the earlier language), all-zero →
+    'und'. Profile lists are embedded from the SAME _LANG_PROFILES dict so
+    they cannot drift."""
+    from ..functions.quality import _LANG_PROFILES
+
+    def lst(lang: str) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES[lang])) + "]"
+
+    return rf"""
+WITH w AS (
+  SELECT doc_id, lang,
+         list_transform(regexp_extract_all(text, '[a-zA-ZÀ-ÿ]+'), x -> lower(x)) AS words
+  FROM documents
+), h AS (
+  SELECT doc_id, lang,
+    len(list_filter(words, x -> list_contains({lst('en')}, x))) AS h_en,
+    len(list_filter(words, x -> list_contains({lst('fr')}, x))) AS h_fr,
+    len(list_filter(words, x -> list_contains({lst('de')}, x))) AS h_de,
+    len(list_filter(words, x -> list_contains({lst('es')}, x))) AS h_es
+  FROM w
+), det AS (
+  SELECT lang,
+    CASE WHEN greatest(h_en, h_fr, h_de, h_es) = 0 THEN 'und'
+         WHEN h_en >= h_fr AND h_en >= h_de AND h_en >= h_es THEN 'en'
+         WHEN h_fr >= h_de AND h_fr >= h_es THEN 'fr'
+         WHEN h_de >= h_es THEN 'de'
+         ELSE 'es' END AS detected
+  FROM h
+)
+SELECT detected,
+       CAST(sum(CASE WHEN detected = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       count(*) AS n_docs
+FROM det GROUP BY detected
+"""
+
+
+SQL_LANGID = _sql_langid()
+
+
+# quality_score (quality.py) restated gate-by-gate: n=0 docs score 0 via
+# the n_words gate, mirrored by the explicit CASE. Python's unicode
+# str.isalpha()/\w vs RE2's ASCII classes agree on this corpus (ASCII by
+# construction — same assumption as SQL_FINGERPRINTS).
+SQL_QUALITY_SCORES = r"""
+WITH f AS (
+  SELECT source,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+    len(text) AS n,
+    len(regexp_extract_all(text, '[^\w\s]')) AS punct,
+    len(regexp_extract_all(text, '[A-Za-z]')) AS alpha,
+    CASE WHEN trim(text) = '' THEN 0.0
+         ELSE CAST(list_aggregate(list_transform(
+                regexp_split_to_array(trim(text), '\s+'), x -> len(x)), 'sum') AS DOUBLE)
+              / len(regexp_split_to_array(trim(text), '\s+')) END AS mwl
+  FROM documents
+), g AS (
+  SELECT source,
+    CASE WHEN n = 0 THEN 0.0 ELSE
+      least(1.0, n_words / 20.0)
+      * (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)
+      * greatest(0.0, 1.0 - 4.0 * punct / CAST(n AS DOUBLE))
+      * least(1.0, 0.25 + alpha / CAST(n AS DOUBLE))
+    END AS q
+  FROM f
+)
+SELECT source, count(*) AS n_docs, round(sum(q) / count(*), 4) AS mean_quality
+FROM g GROUP BY source
+"""
+
+
 def q_quality_scores(sf_dir: str):
-    """Quality-score summary per source (heuristic — rows-only check)."""
+    """Quality-score summary per source (SQL-checkable — gates restated
+    arithmetic-for-arithmetic in SQL_QUALITY_SCORES)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         scores = pa.array(

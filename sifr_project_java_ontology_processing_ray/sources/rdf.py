@@ -531,14 +531,59 @@ def parse_rdfxml(fileobj) -> list[tuple[str, str, str, str | None, bool]]:
 # sniffing multi-format reader (≙ OntologyLoader.loadModel dispatch)
 # --------------------------------------------------------------------------
 
+def _resolve_input(path: str) -> list[str]:
+    """One loadModel input → local file list (≙ OntologyLoader.java:41-79
+    branches: plain file, URL, or model directory):
+
+    - ``file://`` URLs are stripped to their path
+    - ``http(s)://`` URLs download to a temp file via urllib (this sandbox
+      has no network, so the attempt surfaces a clear URLError rather than
+      an opaque task crash; on a connected cluster it works)
+    - a DIRECTORY loads every RDF file inside it — the analog of the
+      reference's Jena TDB-directory mode (TDB's binary journal itself is
+      Jena-internal and out of scope; a directory of RDF shards — e.g. the
+      output of write_ntriples/write_rdfxml — is this engine's on-disk
+      model form)
+    """
+    import glob as _glob
+    import os as _os
+
+    if path.startswith("file://"):
+        path = path[len("file://") :]
+    elif path.startswith(("http://", "https://")):
+        import tempfile
+        import urllib.request
+
+        suffix = _os.path.splitext(path.split("?")[0])[1] or ".rdf"
+        fd, tmp = tempfile.mkstemp(suffix=suffix)
+        _os.close(fd)
+        urllib.request.urlretrieve(path, tmp)  # no network here → URLError
+        return [tmp]
+    if _os.path.isdir(path):
+        pats = ("*.nt", "*.ttl", "*.rdf", "*.owl", "*.xml")
+        files = sorted(
+            f
+            for pat in pats
+            for ext in ("", ".gz", ".bz2")
+            for f in _glob.glob(_os.path.join(path, pat + ext))
+        )
+        if not files:
+            raise ValueError(f"no RDF files found in directory {path!r}")
+        return files
+    return [path]
+
+
 def read_rdf(paths: str | list[str], contract: bool = True) -> "rd.Dataset":
     """Paths in any supported format/compression → triples Dataset.
     Per-file dispatch like the reference: '.ttl' in the name → Turtle,
     '.nt' → N-Triples, '.rdf'/'.owl'/'.xml' → RDF/XML; otherwise a
     content sniff ('<?xml'/'<rdf' → RDF/XML, '@prefix'/'PREFIX' → Turtle,
-    else N-Triples). One task per file (S8 fan-out)."""
+    else N-Triples). Inputs may also be ``file://``/``http(s)://`` URLs or
+    model DIRECTORIES (see ``_resolve_input`` — loadModel parity). One
+    task per file (S8 fan-out)."""
     if isinstance(paths, str):
         paths = [paths]
+    paths = [f for p in paths for f in _resolve_input(p)]
 
     def parse_file(path: str) -> tuple[list[tuple[str, str, str, str | None, bool]], int]:
         plain = _strip_compression(path)

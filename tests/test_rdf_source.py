@@ -299,3 +299,17 @@ def test_rdfxml_parsetypes_and_li(ray_session, tmp_path):
     assert d[("http://seq", RDF + "_1")] == ("first", True)
     assert d[("http://seq", RDF + "_2")] == ("second", True)
     assert d[("http://seq", RDF + "type")] == (RDF + "Seq", False)
+
+
+def test_read_rdf_directory_and_file_url(ray_session, tmp_path):
+    """loadModel parity: directory inputs read every RDF shard inside
+    (the engine's model-directory form), file:// URLs resolve."""
+    (tmp_path / "a.nt").write_text('<http://a> <http://p> "1" .\n')
+    (tmp_path / "b.ttl").write_text('<http://b> <http://p> "2" .\n')
+    (tmp_path / "notes.txt").write_text("ignored\n")
+    from sifr_project_java_ontology_processing_ray.sources.rdf import read_rdf
+
+    df = read_rdf(str(tmp_path), contract=False).to_pandas()
+    assert sorted(df["subj"]) == ["http://a", "http://b"]
+    df2 = read_rdf(f"file://{tmp_path}/a.nt", contract=False).to_pandas()
+    assert list(df2["subj"]) == ["http://a"]
