@@ -294,6 +294,22 @@ def embedding_neardup_pairs(ds: "rd.Dataset", dim: int, threshold: float = 0.9,
              "cos": np.round(sims[iu][mask], 4)}
         )
 
+    from ..state.grouped import bucketed_map_groups
+
+    def run_buckets(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per LSH bucket inside one hash-bucket group — not one
+        # python call per bucket key (up to 2^n_planes keys)
+        parts = [bucket_pairs(g) for _, g in df.groupby("bucket", sort=False)]
+        return (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                               "b": pd.Series([], dtype="int64"),
+                               "cos": pd.Series([], dtype="float64")})
+        )
+
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
-    out = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas").to_pandas()
+    out = bucketed_map_groups(bucketed, ["bucket"], run_buckets).to_pandas()
+    if "bucket" in out.columns:
+        out = out.drop(columns=["bucket"])
     return out.sort_values(["a", "b"]).reset_index(drop=True) if len(out) else out

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import hash64
 
@@ -41,18 +42,22 @@ def dedup_edges_salted(edges: "rd.Dataset", num_salts: int = NUM_SALTS) -> "rd.D
         out["salt"] = [hash64(x) % num_salts for x in out["b"]]
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["a", "b"])
+    from .grouped import bucketed_map_groups
 
-    salted = (
-        edges.map_batches(norm_batch, batch_format="pyarrow")
-        .groupby(["a", "salt"])
-        .map_groups(dedup_group, batch_format="pandas")
+    # two bucketed distinct passes (vectorized inside each bucket) — NOT
+    # per-key map_groups: the salted pass splits a hot node's edge list
+    # into S groups, the unsalted pass finishes the global distinct
+    salted = bucketed_map_groups(
+        edges.map_batches(norm_batch, batch_format="pyarrow"),
+        ["a", "salt"],
+        lambda df: df.drop_duplicates(["a", "b"]),
     )
-    return (
-        salted.groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-        .drop_columns(["salt"])
+    return bucketed_map_groups(
+        salted.map_batches(
+            lambda b: b.drop_columns(["salt"]), batch_format="pyarrow"
+        ),
+        ["a", "b"],
+        lambda df: df.drop_duplicates(["a", "b"]),
     )
 
 
@@ -63,18 +68,29 @@ def connected_components(
     min of the node's component. Deterministic; ``max_rounds`` bounds the
     component diameter handled (raise for chain-shaped graphs)."""
 
-    def seed_labels(batch: pa.Table) -> pa.Table:
+    from ray.data.aggregate import Min
+
+    from .grouped import bucketed_map_groups
+
+    def seed_nodes(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         nodes = pd.unique(pd.concat([df["a"], df["b"]], ignore_index=True))
-        return pa.Table.from_pandas(
-            pd.DataFrame({"node": nodes, "label": nodes}), preserve_index=False
-        )
+        return pa.table({"node": pa.array(list(nodes), pa.string())})
 
+    # distinct nodes via per-batch combiner + bucketed distinct (NOT
+    # per-key map_groups — that is one python call per node)
     labels = (
-        edges.map_batches(seed_labels, batch_format="pyarrow")
-        .groupby("node")
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-    ).materialize()
+        bucketed_map_groups(
+            edges.map_batches(seed_nodes, batch_format="pyarrow"),
+            ["node"],
+            lambda df: df.drop_duplicates(),
+        )
+        .map_batches(
+            lambda b: pa.table({"node": b["node"], "label": b["node"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
 
     # symmetric message edges (node ← peer)
     def sym(batch: pa.Table) -> pa.Table:
@@ -88,55 +104,63 @@ def connected_components(
 
     sym_edges = edges.map_batches(sym, batch_format="pyarrow").materialize()
 
+    _EMPTY_LABELS = pa.table(
+        {"node": pa.array([], pa.string()), "label": pa.array([], pa.string())}
+    )
+
+    def _norm(b: pa.Table) -> pa.Table:
+        # Ray's hash join/aggregate emit ZERO-COLUMN blocks for empty hash
+        # partitions; a downstream arrow join crashes on them ("no match
+        # for key field"). An EXPLICIT batch_size on the maps below makes
+        # Ray's batcher coalesce blocks (dropping the schema-less
+        # empties) instead of passing blocks through untouched — without
+        # it, map_batches never calls the UDF on an empty block at all.
+        if b.num_rows == 0 or "node" not in b.column_names:
+            return _EMPTY_LABELS
+        return b.select(["node", "label"])
+
     for _ in range(max_rounds):
-        # 1) attach each node's label to messages addressed to its peers:
-        #    group (sym_edges ∪ labels) by node → emit (peer, label(node))
-        def outbox(g: pd.DataFrame) -> pd.DataFrame:
-            lab = g.loc[g["kind"] == "label", "payload"]
-            if lab.empty:
-                return pd.DataFrame({"node": [], "label": []})
-            label = lab.min()
-            peers = g.loc[g["kind"] == "edge", "payload"]
-            return pd.DataFrame({"node": list(peers), "label": [label] * len(peers)})
-
-        tagged_edges = sym_edges.map_batches(
-            lambda b: pa.table(
-                {"node": b["node"], "kind": pa.array(["edge"] * b.num_rows),
-                 "payload": b["peer"]}
-            ),
+        # 1) each node's label flows to its peers: a hash JOIN of the edge
+        #    list against the label table (vectorized all the way — the
+        #    round-2 implementation grouped per node in python)
+        messages = sym_edges.join(
+            labels, join_type="inner", num_partitions=8, on=("node",)
+        ).map_batches(
+            lambda b: _EMPTY_LABELS
+            if b.num_rows == 0 or "peer" not in b.column_names
+            else pa.table({"node": b["peer"], "label": b["label"]}),
             batch_format="pyarrow",
-        )
-        tagged_labels = labels.map_batches(
-            lambda b: pa.table(
-                {"node": b["node"], "kind": pa.array(["label"] * b.num_rows),
-                 "payload": b["label"]}
-            ),
-            batch_format="pyarrow",
-        )
-        messages = tagged_edges.union(tagged_labels).groupby("node").map_groups(
-            outbox, batch_format="pandas"
+            batch_size=262144,
         )
 
-        # 2) new label = min(incoming labels ∪ own label)
-        def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {"node": [g["node"].iloc[0]], "label": [g["label"].min()]}
-            )
-
+        # 2) new label = min(incoming labels ∪ own label): native grouped
+        #    Min aggregate (arrow kernel), no per-key python
         new_labels = (
             messages.union(labels)
             .groupby("node")
-            .map_groups(reduce_min, batch_format="pandas")
+            .aggregate(Min("label", alias_name="label"))
+            .map_batches(_norm, batch_format="pyarrow", batch_size=262144)
         ).materialize()
 
-        # fixpoint check pulls the node-label table to the driver — fine
-        # for dimension-sized graphs; for huge graphs pass
-        # check_fixpoint=False and size max_rounds to the graph diameter
         if check_fixpoint:
-            old = labels.to_pandas().set_index("node")["label"]
-            new = new_labels.to_pandas().set_index("node")["label"]
+            # distributed fixpoint test: count changed labels via a join —
+            # only a scalar reaches the driver. Suffixed join directly on
+            # the two materialized label tables (an intermediate rename
+            # map_batches emitted schema-less empty blocks that crashed
+            # the join's arrow finalize on empty hash partitions).
+            changed = (
+                labels.join(
+                    new_labels, join_type="inner", num_partitions=8,
+                    on=("node",), left_suffix="_old", right_suffix="_new",
+                )
+                .map_batches(
+                    lambda b: b.filter(pc.not_equal(b["label_old"], b["label_new"])),
+                    batch_format="pyarrow",
+                )
+                .count()
+            )
             labels = new_labels
-            if old.sort_index().equals(new.sort_index()):
+            if changed == 0:
                 break
         else:
             labels = new_labels
