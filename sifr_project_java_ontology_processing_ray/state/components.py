@@ -119,7 +119,7 @@ def connected_components(
             return _EMPTY_LABELS
         return b.select(["node", "label"])
 
-    for _ in range(max_rounds):
+    for round_idx in range(max_rounds):
         # 1) each node's label flows to its peers: a hash JOIN of the edge
         #    list against the label table (vectorized all the way — the
         #    round-2 implementation grouped per node in python)
@@ -142,7 +142,9 @@ def connected_components(
             .map_batches(_norm, batch_format="pyarrow", batch_size=262144)
         ).materialize()
 
-        if check_fixpoint:
+        # round 0 always changes labels on any non-trivial graph — skip
+        # its fixpoint job (one fewer distributed round trip)
+        if check_fixpoint and round_idx > 0:
             # distributed fixpoint test: count changed labels via a join —
             # only a scalar reaches the driver. Suffixed join directly on
             # the two materialized label tables (an intermediate rename
