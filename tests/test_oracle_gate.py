@@ -29,6 +29,10 @@ SUBSET = [
     "orders_per_customer",
     "order_stats",
     "asof_latest_order",
+    "bpeish_tokens",
+    "fingerprints",
+    "langid",
+    "quality_scores",
 ]
 
 
