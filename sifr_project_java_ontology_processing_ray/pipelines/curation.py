@@ -34,8 +34,7 @@ import ray.data as rd
 from ..functions.hashing import BloomFilter
 from ..functions.quality import detect_lang, quality_score
 from ..state.broadcast import BloomRoute, merged_bloom
-
-NUM_JOIN_PARTITIONS = 8
+from ..state.partitions import join_partitions
 
 
 def _docs_path(sf_dir: str) -> str:
@@ -156,7 +155,8 @@ def curate(
             batch_format="pyarrow", concurrency=2, num_cpus=0.5,
         )
         resolved = maybe.join(
-            dup_keep, join_type="left_outer", num_partitions=NUM_JOIN_PARTITIONS,
+            dup_keep, join_type="left_outer",
+            num_partitions=join_partitions(rows=4 * n_dup_groups),
             on=("content_hash",),
         ).map_batches(
             # FP rows find no keep row (null keep_id) → unique → kept;
@@ -181,7 +181,8 @@ def curate(
             batch_format="pyarrow", concurrency=2, num_cpus=0.5,
         )
         v_resolved = v_maybe.join(
-            victims, join_type="left_outer", num_partitions=NUM_JOIN_PARTITIONS,
+            victims, join_type="left_outer",
+            num_partitions=join_partitions(rows=4 * n_near_dups),
             on=("doc_id",),
         ).map_batches(
             # FP rows find no victim row (null __victim) → kept

@@ -427,6 +427,15 @@ def build_kg(
     # their read+emit+materialize runs on a side thread while the driver
     # collects edges and runs the (serial, dictionary-bounded) union-find —
     # the two named Amdahl terms of BASELINE.md overlap cluster work.
+    #
+    # Version pin (ADVICE r3): this relies on TWO DISTINCT Datasets
+    # executing concurrently from one driver, each on its own thread with
+    # its own StreamingExecutor — supported on ray[data] 2.49 (each
+    # execution owns its executor; no Dataset object is shared across
+    # threads). Exercised by every build_kg test. The ENTIRE driver-side
+    # edge-collect section below runs under try/finally so an error on the
+    # main path still joins the side thread before propagating — no
+    # orphaned concurrent execution.
     import threading
 
     page_meta = rd.read_parquet(pages_path, columns=["url", "warc_ts", "lang"])
@@ -459,46 +468,50 @@ def build_kg(
         batch_size=None,
     )
 
-    # --- canonicalization: distinct edges → union-find → broadcast maps ---
-    # the per-block distinct combiner already ran inside the linker pool;
-    # this pass only selects the tagged partial rows (a cheap filter on one
-    # int column of the materialized blocks) and COALESCES them so
-    # unique()'s shuffle sees a handful of blocks, not one per linker block
-    edge_keys = (
-        linked_all.map_batches(
-            lambda b: b.filter(pc.equal(b["position"], -1)).select(["surface", "cui"]),
-            batch_format="pyarrow",
-            batch_size=None,
+    try:
+        # --- canonicalization: distinct edges → union-find → broadcast maps ---
+        # the per-block distinct combiner already ran inside the linker pool;
+        # this pass only selects the tagged partial rows (a cheap filter on one
+        # int column of the materialized blocks) and COALESCES them so
+        # unique()'s shuffle sees a handful of blocks, not one per linker block
+        edge_keys = (
+            linked_all.map_batches(
+                lambda b: b.filter(pc.equal(b["position"], -1)).select(["surface", "cui"]),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            .map_batches(
+                _coalesced_edge_keys,
+                batch_format="pyarrow",
+                batch_size=262144,
+            )
+            .unique("edge_key")
         )
-        .map_batches(
-            _coalesced_edge_keys,
-            batch_format="pyarrow",
-            batch_size=262144,
-        )
-        .unique("edge_key")
-    )
-    # unique() on an empty dataset can yield [None] — guard it
-    edges = [tuple(k.split("\x00", 1)) for k in (edge_keys or []) if k]
-    maps = build_canonical_maps(edges)
-    maps_bc = Broadcast.put(maps)
+        # unique() on an empty dataset can yield [None] — guard it
+        edges = [tuple(k.split("\x00", 1)) for k in (edge_keys or []) if k]
+        maps = build_canonical_maps(edges)
+        maps_bc = Broadcast.put(maps)
 
-    # PAGE-ATOMIC BLOCK INVARIANT: a page is ONE ROW until extraction, so
-    # each MentionLinker input batch holds whole pages and its output block
-    # holds all mention rows of those pages. Every stage from here to the
-    # mention-triple emitter uses batch_size=None (whole blocks), so a url
-    # never spans two batches and per-batch (url, entity) dedup is GLOBALLY
-    # exact — mention triples skip the dedup shuffle entirely. Blocks stay
-    # far below target_max_block_size, so Ray does not re-split them.
-    #
-    # Canonicalization is FUSED into each emitter branch (canonical-map
-    # application is a cheap vectorized dict lookup) instead of
-    # materializing a second 'entities' copy of the linked stream — at
-    # scale that saves one full write+read of the mention volume through
-    # the object store.
-    apply_canon = ApplyCanonical(maps_bc)
+        # PAGE-ATOMIC BLOCK INVARIANT: a page is ONE ROW until extraction, so
+        # each MentionLinker input batch holds whole pages and its output block
+        # holds all mention rows of those pages. Every stage from here to the
+        # mention-triple emitter uses batch_size=None (whole blocks), so a url
+        # never spans two batches and per-batch (url, entity) dedup is GLOBALLY
+        # exact — mention triples skip the dedup shuffle entirely. Blocks stay
+        # far below target_max_block_size, so Ray does not re-split them.
+        #
+        # Canonicalization is FUSED into each emitter branch (canonical-map
+        # application is a cheap vectorized dict lookup) instead of
+        # materializing a second 'entities' copy of the linked stream — at
+        # scale that saves one full write+read of the mention volume through
+        # the object store.
+        apply_canon = ApplyCanonical(maps_bc)
+    finally:
+        # join on success AND error paths (ADVICE r3): never leave the
+        # page-triple execution orphaned behind a raised exception
+        _pages_th.join()
 
     # --- triple emission -------------------------------------------------
-    _pages_th.join()
     if "err" in _pages_box:
         raise _pages_box["err"]
     t_pages = _pages_box["ds"]

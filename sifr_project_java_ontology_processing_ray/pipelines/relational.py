@@ -542,10 +542,15 @@ def q_orders_per_customer(sf_dir: str):
     """orders ⋈ customer via ``Dataset.join`` (hash-partitioned). This is
     the large×large path — contrast with the broadcast joins above which
     are the small-side pattern (SURVEY §2.4)."""
+    from ..state.partitions import join_partitions
+
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     customer = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     joined = orders.join(
-        customer, join_type="inner", num_partitions=8,
+        customer, join_type="inner",
+        # parquet metadata makes count() read-free; caps reduce tasks at
+        # toy scale while still scaling with the cluster on big inputs
+        num_partitions=join_partitions(rows=orders.count()),
         on=("o_custkey",), right_on=("c_custkey",),
     )
 

@@ -619,6 +619,10 @@ SQL_BPEISH_TOKENS = _sql_bpeish_tokens()
 NUM_PERM = 64
 NUM_BANDS = 16
 JACCARD_THRESHOLD = 0.6
+# Above this serialized-Bloom size the minhash-verify route switches from
+# the per-task deserialize path to the actor-pool BloomRoute (VERDICT r3
+# #6): 1 MiB ≈ the point where a per-task loads() stops being noise.
+TASK_BLOOM_MAX_BYTES = 1 << 20
 
 
 def minhash_candidates(sf_dir: str, num_bands: int = NUM_BANDS):
@@ -690,8 +694,9 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) ->
     import ray
 
     from ..functions.hashing import BloomFilter
-    from ..state.broadcast import merged_bloom
+    from ..state.broadcast import BloomRoute, merged_bloom
     from ..state.grouped import bucketed_map_groups
+    from ..state.partitions import join_partitions
 
     cand = minhash_candidates(sf_dir).map_batches(
         # per-batch distinct combiner before the bucketed global distinct
@@ -719,30 +724,40 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) ->
     blob_ref = ray.put(blob)
 
     # candidates + ~1% FPs; FP rows drop out at the inner joins below.
-    # TASK-pool route, not an actor pool: this bloom is bounded by the
-    # per-bucket pair caps (KBs), so per-task deserialize is negligible and
-    # the stage gets full read parallelism with no pool-spawn floor (the
-    # curation pipeline keeps the actor-pool BloomRoute for its
-    # corpus-sized bloom).
-    def _keep_in_bloom(batch: pa.Table, blob_ref=blob_ref) -> pa.Table:
-        bf = BloomFilter.loads(ray.get(blob_ref))
-        mask = [str(v) in bf for v in batch["doc_id"].to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
+    # Route choice is SIZE-GATED (VERDICT r3 #6 — the "KBs, negligible"
+    # assumption is now enforced, not assumed): below the threshold a
+    # TASK-pool route deserializes the blob per task (negligible at KB
+    # size, full read parallelism, no pool-spawn floor); above it the
+    # actor-pool BloomRoute deserializes ONCE per actor in __init__.
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    if len(blob) <= TASK_BLOOM_MAX_BYTES:
 
-    cand_docs = (
-        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-        .map_batches(functools.partial(_keep_in_bloom), batch_format="pyarrow")
-        .materialize()  # candidate-sized, consumed by both join sides
-    )
+        def _keep_in_bloom(batch: pa.Table, blob_ref=blob_ref) -> pa.Table:
+            bf = BloomFilter.loads(ray.get(blob_ref))
+            mask = [str(v) in bf for v in batch["doc_id"].to_pylist()]
+            return batch.filter(pa.array(mask, pa.bool_()))
+
+        routed = docs.map_batches(
+            functools.partial(_keep_in_bloom), batch_format="pyarrow"
+        )
+    else:
+        routed = docs.map_batches(
+            BloomRoute,
+            fn_constructor_args=(blob_ref, "doc_id", True),
+            batch_format="pyarrow",
+            concurrency=(2, max(4, join_partitions() // 2)),
+        )
+    cand_docs = routed.materialize()  # candidate-sized, consumed by both join sides
     a_side = cand_docs.map_batches(
         lambda b: b.rename_columns(["a", "text_a"]), batch_format="pyarrow"
     )
     b_side = cand_docs.map_batches(
         lambda b: b.rename_columns(["b", "text_b"]), batch_format="pyarrow"
     )
+    n_join = join_partitions(rows=2 * n_pairs)
     joined = pairs.join(
-        a_side, join_type="inner", num_partitions=4, on=("a",)
-    ).join(b_side, join_type="inner", num_partitions=4, on=("b",))
+        a_side, join_type="inner", num_partitions=n_join, on=("a",)
+    ).join(b_side, join_type="inner", num_partitions=n_join, on=("b",))
 
     def verify(batch: pa.Table) -> pa.Table:
         a_out, b_out, j_out = [], [], []

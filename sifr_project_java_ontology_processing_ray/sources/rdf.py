@@ -536,14 +536,20 @@ def _resolve_input(path: str) -> list[str]:
     branches: plain file, URL, or model directory):
 
     - ``file://`` URLs are stripped to their path
-    - ``http(s)://`` URLs download to a temp file via urllib (this sandbox
-      has no network, so the attempt surfaces a clear URLError rather than
-      an opaque task crash; on a connected cluster it works)
+    - ``http(s)://`` URLs pass through VERBATIM — the download happens
+      INSIDE the per-file parse task on whichever worker runs it (ADVICE
+      r3: a driver-local temp file is invisible to tasks on other nodes of
+      a multi-node cluster). This sandbox has no network, so an attempt
+      surfaces a clear URLError from the task.
     - a DIRECTORY loads every RDF file inside it — the analog of the
       reference's Jena TDB-directory mode (TDB's binary journal itself is
       Jena-internal and out of scope; a directory of RDF shards — e.g. the
       output of write_ntriples/write_rdfxml — is this engine's on-disk
       model form)
+
+    Local paths are validated driver-side up front: a typo'd or missing
+    path raises FileNotFoundError immediately instead of yielding a
+    silently empty dataset (ADVICE r3).
     """
     import glob as _glob
     import os as _os
@@ -551,14 +557,7 @@ def _resolve_input(path: str) -> list[str]:
     if path.startswith("file://"):
         path = path[len("file://") :]
     elif path.startswith(("http://", "https://")):
-        import tempfile
-        import urllib.request
-
-        suffix = _os.path.splitext(path.split("?")[0])[1] or ".rdf"
-        fd, tmp = tempfile.mkstemp(suffix=suffix)
-        _os.close(fd)
-        urllib.request.urlretrieve(path, tmp)  # no network here → URLError
-        return [tmp]
+        return [path]  # fetched inside the parse task (worker-local)
     if _os.path.isdir(path):
         pats = ("*.nt", "*.ttl", "*.rdf", "*.owl", "*.xml")
         files = sorted(
@@ -570,22 +569,54 @@ def _resolve_input(path: str) -> list[str]:
         if not files:
             raise ValueError(f"no RDF files found in directory {path!r}")
         return files
+    if not _os.path.exists(path):
+        raise FileNotFoundError(f"RDF input not found: {path!r}")
     return [path]
 
 
-def read_rdf(paths: str | list[str], contract: bool = True) -> "rd.Dataset":
+def read_rdf(
+    paths: str | list[str], contract: bool = True, stats_name: str | None = None
+) -> "rd.Dataset":
     """Paths in any supported format/compression → triples Dataset.
     Per-file dispatch like the reference: '.ttl' in the name → Turtle,
     '.nt' → N-Triples, '.rdf'/'.owl'/'.xml' → RDF/XML; otherwise a
     content sniff ('<?xml'/'<rdf' → RDF/XML, '@prefix'/'PREFIX' → Turtle,
     else N-Triples). Inputs may also be ``file://``/``http(s)://`` URLs or
-    model DIRECTORIES (see ``_resolve_input`` — loadModel parity). One
-    task per file (S8 fan-out)."""
+    model DIRECTORIES (see ``_resolve_input`` — loadModel parity; missing
+    local paths raise up front). One task per file (S8 fan-out).
+
+    Error surface (ADVICE r3): unreadable paths (FileNotFoundError /
+    PermissionError) RAISE out of the read; parse-level failures (bad XML,
+    bad bytes, corrupt compression) skip the file with a warning, and with
+    ``stats_name`` set, per-run counts ``n_bad_statements`` /
+    ``n_skipped_files`` are published to the named side-count channel —
+    read them after consumption via ``state.counters.side_counts``."""
     if isinstance(paths, str):
         paths = [paths]
     paths = [f for p in paths for f in _resolve_input(p)]
 
+    def _fetch_url(url: str) -> str:
+        """Download an http(s) input to a WORKER-local temp file (runs
+        inside the parse task, so it works on any node of a cluster)."""
+        import os as _os
+        import tempfile
+        import urllib.request
+
+        suffix = _os.path.splitext(url.split("?")[0])[1] or ".rdf"
+        fd, tmp = tempfile.mkstemp(suffix=suffix)
+        _os.close(fd)
+        urllib.request.urlretrieve(url, tmp)
+        return tmp
+
     def parse_file(path: str) -> tuple[list[tuple[str, str, str, str | None, bool]], int]:
+        if path.startswith(("http://", "https://")):
+            import os as _os
+
+            tmp = _fetch_url(path)
+            try:
+                return parse_file(tmp)
+            finally:
+                _os.unlink(tmp)
         plain = _strip_compression(path)
         if ".ttl" in plain:
             with _open(path) as f:
@@ -620,14 +651,17 @@ def read_rdf(paths: str | list[str], contract: bool = True) -> "rd.Dataset":
 
     def parse_files(batch: pa.Table) -> pa.Table:
         s, p, o, l, lit = [], [], [], [], []
-        bad_total = 0
+        bad_total = skipped_files = 0
         for path in batch["path"].to_pylist():
             try:
                 rows, bad = parse_file(path)
-            except Exception as exc:  # file-level failure (bad XML, bad bytes)
+            except (FileNotFoundError, PermissionError, IsADirectoryError):
+                raise  # unreadable path: fail the read (ADVICE r3)
+            except Exception as exc:  # parse-level failure (bad XML, bad bytes)
                 import logging
 
                 logging.getLogger(__name__).warning("unparseable file %s: %s", path, exc)
+                skipped_files += 1
                 continue
             bad_total += bad
             for subj, pred, obj, lang, is_lit in rows:
@@ -643,6 +677,14 @@ def read_rdf(paths: str | list[str], contract: bool = True) -> "rd.Dataset":
             logging.getLogger(__name__).warning(
                 "skipped %d unparseable statements/lines", bad_total
             )
+        if stats_name and (bad_total or skipped_files):
+            from ..state.counters import counter_channel
+
+            ch = counter_channel(stats_name)
+            if bad_total:
+                ch.add.remote("n_bad_statements", bad_total)
+            if skipped_files:
+                ch.add.remote("n_skipped_files", skipped_files)
         return pa.table(
             {
                 "subj": pa.array(s, pa.string()),

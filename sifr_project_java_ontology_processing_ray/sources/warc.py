@@ -81,64 +81,96 @@ def parse_warc(stream: io.BufferedIOBase):
             yield url, ts, payload
 
 
-def _decode_member(f, data: bytes, i: int) -> tuple[bytes, int, bytes]:
+def _decode_member(f, data: bytes, i: int) -> tuple[bytes | None, int, bytes]:
     """Decompress ONE gzip member starting at data[i]; a member that
     extends past the buffered range is completed by reading more from
     ``f`` (absolute indexing into ``data`` is preserved by appending).
-    Returns (payload, next_member_index, data)."""
+    Returns (payload, next_member_index, data); a failed decode returns
+    (None, i, data) IN-BAND — never raises — so the caller always keeps
+    the extended buffer and the invariant ``f.tell() == range_start +
+    len(data)`` survives a false-magic candidate whose attempted decode
+    read past the buffered range (ADVICE r3: raising here desynced the
+    buffer from the file position and corrupted a later straddling
+    member)."""
     d = zlib.decompressobj(wbits=31)
-    out = [d.decompress(data[i:])]
-    while not d.eof:
-        more = f.read(1 << 20)
-        if not more:
-            raise zlib.error("truncated gzip member")
-        data += more
-        out.append(d.decompress(more))
+    out = []
+    try:
+        out.append(d.decompress(data[i:]))
+        while not d.eof:
+            more = f.read(1 << 20)
+            if not more:
+                return None, i, data  # truncated member
+            data += more
+            out.append(d.decompress(more))
+    except zlib.error:
+        return None, i, data
     return b"".join(out), len(data) - len(d.unused_data), data
 
 
 def _parse_cc_range(path: str, start: int, end: int):
-    """Records of every gzip member whose start offset ∈ [start, end).
-    Candidate magics inside compressed bytes are rejected by attempted
-    decompression + a WARC/ payload prefix check."""
-    out = []
+    """Yield records of every gzip member whose start offset ∈ [start,
+    end). Candidate magics inside compressed bytes are rejected by
+    attempted decompression + a WARC/ payload prefix check. Generator:
+    records stream out as members decode, so task memory is bounded by
+    one member, not the whole range's corpus (VERDICT r3 #7)."""
     with open(path, "rb") as f:
         f.seek(start)
         # +2 tail bytes so a magic beginning at end-1/end-2 is still seen
         data = f.read(end - start + len(_GZ_MAGIC) - 1)
         i = 0 if start == 0 else data.find(_GZ_MAGIC)
         while 0 <= i and start + i < end:
-            try:
-                raw, j, data = _decode_member(f, data, i)
-            except zlib.error:
-                i = data.find(_GZ_MAGIC, i + 1)
-                continue
-            if raw.startswith(b"WARC/"):
-                out.extend(parse_warc(io.BytesIO(raw)))
+            raw, j, data = _decode_member(f, data, i)
+            if raw is not None and raw.startswith(b"WARC/"):
+                yield from parse_warc(io.BytesIO(raw))
                 i = j if j > i else data.find(_GZ_MAGIC, i + 1)
             else:
                 i = data.find(_GZ_MAGIC, i + 1)
-    return out
+
+
+def _looks_like_header_block(f, pos: int) -> bool:
+    """Validate a candidate ``WARC/`` boundary found by the post-seek sync:
+    a real record version line is followed by a header block containing a
+    ``WARC-Type``/``Content-Length`` header before the first blank line. A
+    payload line that merely *starts* with ``WARC/`` near a split point
+    fails this check, so split and unsplit reads agree (ADVICE r3)."""
+    here = f.tell()
+    ok = False
+    for _ in range(64):  # header blocks are small; bound the peek
+        h = f.readline()
+        if not h or not h.strip():
+            break
+        low = h.lower()
+        if low.startswith((b"warc-type:", b"content-length:")):
+            ok = True
+            break
+    f.seek(here)
+    return ok
 
 
 def _parse_plain_range(path: str, start: int, end: int):
-    """Records of every WARC header line starting ∈ [start, end) in an
-    uncompressed file; a record's payload may extend past ``end``."""
-    out = []
+    """Yield records of every WARC header line starting ∈ [start, end) in
+    an uncompressed file; a record's payload may extend past ``end``.
+    Generator — bounded task memory (VERDICT r3 #7)."""
     with open(path, "rb") as f:
         if start > 0:
             f.seek(start)
             while True:
                 pos = f.tell()
                 if pos >= end:
-                    return out
+                    return
                 line = f.readline()
                 if not line:
-                    return out
+                    return
                 # record boundaries are line-starts; seeking mid-line makes
                 # the first readline a partial line, which cannot be a
-                # boundary unless the split landed exactly on one
-                if line.startswith(b"WARC/") and pos >= start:
+                # boundary unless the split landed exactly on one. A mid-
+                # payload line that happens to start with WARC/ is rejected
+                # by peeking for a real header block after it.
+                if (
+                    line.startswith(b"WARC/")
+                    and pos >= start
+                    and _looks_like_header_block(f, pos)
+                ):
                     f.seek(pos)
                     break
         while True:
@@ -156,8 +188,7 @@ def _parse_plain_range(path: str, start: int, end: int):
             f.seek(pos)
             rec = next(parse_warc(_OneRecord(f)), None)
             if rec is not None:
-                out.append(rec)
-    return out
+                yield rec
 
 
 class _OneRecord:
@@ -205,27 +236,22 @@ def _split_items(paths: list[str], split_size: int) -> list[dict]:
     return items
 
 
+CHUNK_RECORDS = 2048
+CHUNK_BYTES = 64 << 20
+
+
 def read_warc(paths: str | list[str], split_size: int = DEFAULT_SPLIT_SIZE) -> "rd.Dataset":
     """WARC file paths → pages Dataset (url, warc_ts, html, text='', lang='').
     Files larger than ``split_size`` fan out to byte-range tasks (one task
     per range), so a single ~1 GB crawl segment parallelizes. The extractor
-    stage fills ``text`` downstream."""
+    stage fills ``text`` downstream. Each range task YIELDS Arrow chunks
+    every ``CHUNK_RECORDS`` records / ``CHUNK_BYTES`` payload bytes rather
+    than buffering the whole decompressed range (VERDICT r3 #7), so peak
+    task memory is bounded even on ranges with many large pages."""
     if isinstance(paths, str):
         paths = [paths]
 
-    def parse_ranges(batch: pa.Table) -> pa.Table:
-        urls, tss, payloads = [], [], []
-        for path, start, end in zip(
-            batch["path"].to_pylist(), batch["start"].to_pylist(), batch["end"].to_pylist()
-        ):
-            if path.endswith(".gz"):
-                recs = _parse_cc_range(path, start, end)
-            else:
-                recs = _parse_plain_range(path, start, end)
-            for url, ts, payload in recs:
-                urls.append(url)
-                tss.append(ts)
-                payloads.append(payload)
+    def _table(urls, tss, payloads) -> pa.Table:
         n = len(urls)
         return pa.table(
             {
@@ -237,6 +263,27 @@ def read_warc(paths: str | list[str], split_size: int = DEFAULT_SPLIT_SIZE) -> "
             },
             schema=schema.PAGES,
         )
+
+    def parse_ranges(batch: pa.Table):
+        urls, tss, payloads = [], [], []
+        nbytes = 0
+        for path, start, end in zip(
+            batch["path"].to_pylist(), batch["start"].to_pylist(), batch["end"].to_pylist()
+        ):
+            if path.endswith(".gz"):
+                recs = _parse_cc_range(path, start, end)
+            else:
+                recs = _parse_plain_range(path, start, end)
+            for url, ts, payload in recs:
+                urls.append(url)
+                tss.append(ts)
+                payloads.append(payload)
+                nbytes += len(payload)
+                if len(urls) >= CHUNK_RECORDS or nbytes >= CHUNK_BYTES:
+                    yield _table(urls, tss, payloads)
+                    urls, tss, payloads = [], [], []
+                    nbytes = 0
+        yield _table(urls, tss, payloads)
 
     return rd.from_items(_split_items(paths, split_size)).map_batches(
         parse_ranges, batch_format="pyarrow", batch_size=1

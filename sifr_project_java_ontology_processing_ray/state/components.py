@@ -71,6 +71,8 @@ def connected_components(
     from ray.data.aggregate import Min
 
     from .grouped import bucketed_map_groups
+    from .partitions import join_partitions
+
 
     def seed_nodes(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -108,6 +110,10 @@ def connected_components(
         {"node": pa.array([], pa.string()), "label": pa.array([], pa.string())}
     )
 
+    # label-flow join parallelism: cluster-derived, capped by the edge
+    # count (metadata-cheap on the materialized sym_edges)
+    _n_join = join_partitions(rows=sym_edges.count())
+
     def _norm(b: pa.Table) -> pa.Table:
         # Ray's hash join/aggregate emit ZERO-COLUMN blocks for empty hash
         # partitions; a downstream arrow join crashes on them ("no match
@@ -124,7 +130,7 @@ def connected_components(
         #    list against the label table (vectorized all the way — the
         #    round-2 implementation grouped per node in python)
         messages = sym_edges.join(
-            labels, join_type="inner", num_partitions=8, on=("node",)
+            labels, join_type="inner", num_partitions=_n_join, on=("node",)
         ).map_batches(
             lambda b: _EMPTY_LABELS
             if b.num_rows == 0 or "peer" not in b.column_names
@@ -152,7 +158,7 @@ def connected_components(
             # the join's arrow finalize on empty hash partitions).
             changed = (
                 labels.join(
-                    new_labels, join_type="inner", num_partitions=8,
+                    new_labels, join_type="inner", num_partitions=_n_join,
                     on=("node",), left_suffix="_old", right_suffix="_new",
                 )
                 .map_batches(

@@ -1,0 +1,45 @@
+"""Named side-count channel for data-quality counters that must reach the
+DRIVER, not just worker logs (ADVICE r3: read_rdf's skipped-file count was
+log-only, so a caller could not distinguish a clean read from one that
+dropped files).
+
+A zero-CPU named actor per channel; parse tasks fire-and-forget increments
+only when a count is non-zero, so the hot path pays nothing. The actor's
+lifetime is the driver's (not detached) — counts are per-run, like the
+reference's OntologyStats counters (stats/OntologyStats.java:15-111).
+"""
+
+from __future__ import annotations
+
+import ray
+
+
+@ray.remote(num_cpus=0)
+class _CounterActor:
+    def __init__(self):
+        self._c: dict[str, int] = {}
+
+    def add(self, key: str, n: int = 1) -> None:
+        self._c[key] = self._c.get(key, 0) + n
+
+    def get(self) -> dict[str, int]:
+        return dict(self._c)
+
+    def reset(self) -> None:
+        self._c = {}
+
+
+def counter_channel(name: str):
+    """Get-or-create the named counter actor for ``name``."""
+    return _CounterActor.options(
+        name=f"graft_counters::{name}", get_if_exists=True
+    ).remote()
+
+
+def side_counts(name: str) -> dict[str, int]:
+    """Read the current counts for channel ``name`` (driver-side)."""
+    return ray.get(counter_channel(name).get.remote())
+
+
+def reset_counts(name: str) -> None:
+    ray.get(counter_channel(name).reset.remote())
