@@ -24,6 +24,7 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sifr_project_java_ontology_processing_ray import testgen  # noqa: E402
+from sifr_project_java_ontology_processing_ray.stages import multimodal as _mm  # noqa: E402
 from sifr_project_java_ontology_processing_ray.pipelines import (  # noqa: E402
     ann,
     cleaner,
@@ -77,25 +78,53 @@ def _q_generation(sf_dir: str):
 
 
 def _q_cleaner(sf_dir: str):
+    import pyarrow as pa
     import ray.data as rd
 
     fx = testgen.ontology_fixture()
-    ds = rd.from_arrow(fx["source_triples"])
+    extra = testgen.cleaner_fixture()
+    ds = rd.from_arrow(pa.concat_tables([fx["source_triples"], extra]))
     return cleaner.repair_missing_pref_labels(cleaner.clean_multilingual(ds, "en"))
 
 
+def _q_kg_pr(sf_dir: str):
+    """Driver-visible precision/recall of the flagship KG pipeline against
+    the independent sequential oracle (tools/kg_oracle.py) — the engine
+    computes P/R in-process; the SQL oracle asserts the exact-match
+    expectation (north rule: P/R ≥ 0.95, target exact)."""
+    import pandas as pd
+
+    from tools.kg_oracle import kg_oracle_triples
+
+    pages = testgen.pages_path_for(sf_dir)
+    mrconso, mrsty = testgen.umls_tables()
+    ds = kg.build_kg(pages, mrconso, mrsty)
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in ds.select_columns(["subj", "pred", "obj"]).take_all()
+    }
+    want = kg_oracle_triples(pages, mrconso, mrsty)
+    tp = len(got & want)
+    precision = tp / len(got) if got else 0.0
+    recall = tp / len(want) if want else 0.0
+    return pd.DataFrame(
+        {"metric": ["precision", "recall"], "value": [precision, recall]}
+    )
+
+
 def _q_multimodal(sf_dir: str):
+    import os
+
     import ray.data as rd
 
     from sifr_project_java_ontology_processing_ray.stages.multimodal import (
         FakeImageDecoder,
-        make_media_table,
         resize_metadata,
     )
 
-    media = make_media_table(500)
+    media_path = os.path.join(testgen.fixture_dir(), "media.parquet")
     return (
-        rd.from_arrow(media)
+        rd.read_parquet(media_path)
         .map_batches(FakeImageDecoder, batch_format="pyarrow", batch_size=64,
                      concurrency=2, num_cpus=0.5)
         .map_batches(resize_metadata, batch_format="pyarrow")
@@ -153,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": ann.q_embedding_neardup,
         # KG construction + enrichment cascade + generator + cleaner
         "kg_triples": _q_kg,
+        "kg_pr": _q_kg_pr,
         "enrichment_cascade": _q_enrichment,
         "skos_generation": _q_generation,
         "multilingual_clean": _q_cleaner,
@@ -198,4 +228,16 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": textops.SQL_QUALITY_SCORES,
         "knn_top10": ann.SQL_KNN_TOP10,
         "knn_multi": ann.SQL_KNN_MULTI,
+        # fixture-driven restatements: the fixture files are materialized
+        # here so the SQL's read_csv/read_parquet inputs exist regardless
+        # of query/oracle execution order
+        "skos_generation": generation.sql_skos_generation(testgen.fixture_dir()),
+        "multilingual_clean": cleaner.sql_multilingual_clean(testgen.fixture_dir()),
+        "reconciliation": reconciler.sql_reconciliation(testgen.fixture_dir()),
+        "multimodal_decode": _mm.sql_multimodal_decode(testgen.fixture_dir()),
+        # engine-computed P/R vs the sequential oracle must be exactly 1.0
+        "kg_pr": (
+            "SELECT 'precision' AS metric, 1.0 AS value "
+            "UNION ALL SELECT 'recall', 1.0"
+        ),
     }

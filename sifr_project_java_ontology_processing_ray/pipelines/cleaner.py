@@ -72,3 +72,59 @@ def repair_missing_pref_labels(triples):
         return pd.concat([df, add], ignore_index=True)
 
     return bucketed_map_groups(triples, ["subj"], repair_bucket)
+
+
+def sql_multilingual_clean(fixture_root: str) -> str:
+    """DuckDB restatement of the driver-contract ``multilingual_clean``
+    query (clean_multilingual(target='en') → repair_missing_pref_labels)
+    over the fixture triples parquet — independent SQL derivations of the
+    M16 keep-lang-or-all window rule (OWLOntologyCleaner.java:169-247) and
+    the M17 repair chain (:95-167): camelCase split, lowercase, elision /
+    abbreviation fixes, whitespace collapse."""
+    # the repair chain on min(hiddenLabel), built inside-out
+    expr = "min(obj)"
+    # split_camel_case: both lookaround alternatives as capture-group forms
+    expr = f"regexp_replace({expr}, '([a-z0-9])([A-Z])', '\\1 \\2', 'g')"
+    expr = f"regexp_replace({expr}, '([A-Z])([A-Z][a-z])', '\\1 \\2', 'g')"
+    expr = f"lower({expr})"
+    fixes = [(r"\bl ''", "l''"), (r"\bd ''", "d''"),
+             (r"\bdlco\b", "DLCO"), (r"\bco2\b", "CO2")]
+    fixes += [(rf"\b{r}\b", r.upper())
+              for r in ("i", "ii", "iii", "iv", "v", "vi", "vii", "viii", "ix", "x")]
+    for pat, repl in fixes:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    return f"""
+WITH t AS (
+  SELECT subj, pred, obj, obj_lang
+  FROM read_parquet(['{fixture_root}/source_triples.parquet',
+                     '{fixture_root}/cleaner_extra_triples.parquet'])
+),
+cleaned AS (
+  SELECT subj, pred, obj, obj_lang FROM (
+    SELECT *, coalesce(obj_lang, '') AS lang,
+      bool_or(coalesce(obj_lang, '') = 'en')
+        OVER (PARTITION BY subj, pred) AS has_target
+    FROM t
+  )
+  WHERE (NOT has_target) OR lang = 'en' OR lang = ''
+),
+have AS (SELECT DISTINCT subj FROM cleaned WHERE pred = 'skos:prefLabel'),
+alt_new AS (
+  SELECT subj, min(obj) AS obj FROM cleaned
+  WHERE pred = 'skos:altLabel' AND subj NOT IN (SELECT subj FROM have)
+  GROUP BY subj
+),
+hid_new AS (
+  SELECT subj, {expr} AS obj FROM cleaned
+  WHERE pred = 'skos:hiddenLabel' AND subj NOT IN (SELECT subj FROM have)
+  GROUP BY subj
+)
+SELECT subj, pred, obj, obj_lang FROM cleaned
+UNION ALL
+SELECT subj, 'skos:prefLabel' AS pred, obj, CAST(NULL AS VARCHAR) AS obj_lang
+FROM alt_new
+UNION ALL
+SELECT subj, 'skos:prefLabel', obj, NULL FROM hid_new
+WHERE subj NOT IN (SELECT subj FROM alt_new)
+"""

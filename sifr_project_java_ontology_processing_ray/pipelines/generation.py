@@ -213,3 +213,91 @@ def generate_skos(
         }
     )
     return triples.union(rd.from_arrow(header_tbl))
+
+
+def sql_skos_generation(fixture_root: str) -> str:
+    """DuckDB restatement of the plain-mode generator (the driver-contract
+    ``skos_generation`` config: -d -cr -cs) over the fixture CSVs — an
+    independent SQL derivation of M10 normalize, M11 prefLabel, J7 range
+    join, A2 label grouping and the addConcept triple emission
+    (EHealth2017DictionaryToSkos.java:275-379, 394-425)."""
+    scheme = SCHEME_URI
+    base = CONCEPT_BASE
+    return f"""
+WITH dict_raw AS (
+  SELECT label, code, "secondCode" AS second_code
+  FROM read_csv('{fixture_root}/ehealth_dictionary.csv',
+                delim=';', header=true, all_varchar=true)
+),
+dict_rows AS (
+  SELECT label, code FROM dict_raw
+  WHERE coalesce(code, '') NOT IN ('', 'NULL')
+  UNION ALL
+  SELECT label, second_code AS code FROM dict_raw
+  WHERE coalesce(code, '') NOT IN ('', 'NULL')
+    AND coalesce(second_code, '') NOT IN ('', 'NULL')
+),
+corpus_raw AS (
+  SELECT * FROM read_csv('{fixture_root}/ehealth_corpus.csv',
+      delim=';', header=false, all_varchar=true,
+      names=['f0','f1','f2','f3','f4','f5','f6','f7','f8','f9','f10','f11'])
+  WHERE f0 <> 'DocID'
+),
+corpus_rows AS (
+  SELECT f6 AS label, f11 AS code FROM corpus_raw WHERE coalesce(f6, '') <> ''
+  UNION ALL
+  SELECT f10 AS label, f11 AS code FROM corpus_raw WHERE coalesce(f10, '') <> ''
+),
+lc AS (
+  SELECT DISTINCT label,
+         regexp_replace(code, '^([A-Z][0-9][0-9])([0-9][0-9]?)$', '\\1.\\2') AS code
+  FROM (SELECT * FROM dict_rows UNION ALL SELECT * FROM corpus_rows)
+),
+ranges AS (
+  SELECT column0 AS uri,
+         split_part(column1, '-', 2) AS hi,
+         column1 AS rng
+  FROM read_csv('{fixture_root}/chapter_ranges.csv',
+                delim=';', header=false, all_varchar=true)
+),
+prefs AS (
+  SELECT code, label AS pref FROM (
+    SELECT code, label, q,
+      row_number() OVER (
+        PARTITION BY code
+        ORDER BY q DESC,
+                 CASE WHEN q THEN length(label) END ASC,
+                 CASE WHEN q THEN label END ASC,
+                 label ASC
+      ) AS rn
+    FROM (
+      SELECT code, label,
+        length(regexp_replace(label, '[^A-Z]', '', 'g')) * 1.0
+          / length(label) < 0.25 AS q
+      FROM lc
+    )
+  ) WHERE rn = 1
+),
+chap AS (
+  SELECT p.code,
+         (SELECT r.uri FROM ranges r WHERE r.hi >= substr(p.code, 1, 3)
+          ORDER BY r.hi LIMIT 1) AS chapter
+  FROM prefs p
+),
+concept AS (SELECT code, '{base}' || code AS uri FROM prefs)
+SELECT c.uri AS subj, 'rdf:type' AS pred, 'skos:Concept' AS obj,
+       CAST(NULL AS VARCHAR) AS obj_lang FROM concept c
+UNION ALL SELECT c.uri, 'skos:inScheme', '{scheme}', NULL FROM concept c
+UNION ALL SELECT c.uri, 'skos:notation', c.code, NULL FROM concept c
+UNION ALL SELECT c.uri, 'skos:prefLabel', p.pref, 'fr'
+          FROM concept c JOIN prefs p USING (code)
+UNION ALL SELECT c.uri, 'skos:broader', ch.chapter, NULL
+          FROM concept c JOIN chap ch USING (code) WHERE ch.chapter IS NOT NULL
+UNION ALL SELECT c.uri, 'skos:altLabel', l.label, 'fr'
+          FROM concept c JOIN lc l USING (code) JOIN prefs p USING (code)
+          WHERE l.label <> p.pref
+UNION ALL SELECT '{scheme}', 'rdf:type', 'skos:ConceptScheme', NULL
+UNION ALL SELECT r.uri, 'rdf:type', 'skos:Concept', NULL FROM ranges r
+UNION ALL SELECT r.uri, 'skos:inScheme', '{scheme}', NULL FROM ranges r
+UNION ALL SELECT r.uri, 'skos:notation', r.rng, NULL FROM ranges r
+"""

@@ -371,6 +371,13 @@ def _dedup_group(group: pa.Table) -> pa.Table:
     return _first_per_spo(group)
 
 
+def _latest_page_bucket(df):
+    """Per url keep the row with max warc_ts (latest recrawl). Runs inside
+    a hash(url) bucket, vectorized — all rows of a url share a bucket."""
+    df = df.sort_values(["url", "warc_ts"], kind="stable")
+    return df.groupby("url", sort=False).tail(1)
+
+
 def build_kg(
     pages_path: str,
     mrconso: pa.Table,
@@ -384,6 +391,7 @@ def build_kg(
     link_batch_size: int = 4096,
     read_blocks: int | None = None,
     pack_struct: bool = True,
+    dedup_pages: bool = False,
 ) -> "rd.Dataset":
     """Run the flagship KG-construction pipeline; returns the triples
     Dataset (also written partitioned+manifested when ``out_dir`` given)."""
@@ -404,6 +412,17 @@ def build_kg(
         pages_path, columns=["url", "warc_ts", "html", "text"],
         override_num_blocks=read_blocks,
     )
+    if dedup_pages:
+        # recrawl handling (real at CC scale: the same url appears in many
+        # WARC segments): latest crawl wins per url. OPT-IN because it
+        # shuffles the full page payload once — prefer deduping at ingest
+        # (pages_exact_dedup / curation) when the corpus is prepared ahead.
+        # Contract: (url, warc_ts) identifies a crawl record — rows sharing
+        # both are assumed identical, so the max-ts pick is deterministic
+        # and the linker and page_meta paths (below) select the SAME row.
+        from ..state.grouped import bucketed_map_groups
+
+        pages = bucketed_map_groups(pages, ["url"], _latest_page_bucket)
 
     # FUSED extract→mention→link actor stage: one pool, no inter-stage
     # row transfer, lazy context windows (see MentionLinker docstring).
@@ -439,6 +458,10 @@ def build_kg(
     import threading
 
     page_meta = rd.read_parquet(pages_path, columns=["url", "warc_ts", "lang"])
+    if dedup_pages:
+        from ..state.grouped import bucketed_map_groups
+
+        page_meta = bucketed_map_groups(page_meta, ["url"], _latest_page_bucket)
     _pages_box: dict = {}
 
     def _materialize_pages():

@@ -142,3 +142,96 @@ def q_reconciliation(sf_dir: str):
         fx["source_triples"], fx["target_triples"], mrconso, mrsty, fx["mappings"]
     )
     return pd.DataFrame({"counter": list(COUNTERS), "value": [counts[c] for c in COUNTERS]})
+
+
+def sql_reconciliation(fixture_root: str) -> str:
+    """DuckDB restatement of the reconciliation counters over the fixture
+    parquets — an independent SQL derivation of the per-class cascade
+    (own CUIs → altLabel-mined → mapping 2-hop), the M15 composite code
+    finder, M10 normalization, and the UMLS cardinality comparison."""
+    preds = ", ".join(f"'{p}'" for p in (
+        "skos:exactMatch", "skos:closeMatch", "skos:relatedMatch",
+        "skos:broadMatch", "gold:freeTranslation", "gold:translation"))
+    return f"""
+WITH trip AS (
+  SELECT 'source' AS side, subj, pred, obj
+  FROM '{fixture_root}/source_triples.parquet'
+  UNION ALL
+  SELECT 'target', subj, pred, obj
+  FROM '{fixture_root}/target_triples.parquet'
+),
+ents AS (SELECT DISTINCT side, subj FROM trip),
+own AS (
+  SELECT side, subj,
+         count(DISTINCT regexp_replace(obj, '\\^\\^.*$', '')) AS n
+  FROM trip WHERE pred = 'umls:cui' GROUP BY side, subj
+),
+mined AS (
+  SELECT side, subj,
+         count(DISTINCT regexp_replace(obj, '\\^\\^.*$', '')) AS n
+  FROM trip
+  WHERE pred = 'skos:altLabel'
+    AND regexp_matches(regexp_replace(obj, '\\^\\^.*$', ''), '^C[0-9]{{7}}$')
+  GROUP BY side, subj
+),
+mapped AS (
+  SELECT m.source_class AS subj,
+         count(DISTINCT regexp_replace(t.obj, '\\^\\^.*$', '')) AS n
+  FROM '{fixture_root}/mappings.parquet' m
+  JOIN trip t ON t.side = 'target' AND t.subj = m.target_class
+             AND t.pred = 'umls:cui'
+  WHERE m.property IN ({preds})
+  GROUP BY m.source_class
+),
+ncuis AS (
+  SELECT e.side, e.subj,
+         coalesce(o.n, mi.n,
+                  CASE WHEN e.side = 'source' THEN ma.n END, 0) AS n_cuis
+  FROM ents e
+  LEFT JOIN own o USING (side, subj)
+  LEFT JOIN mined mi USING (side, subj)
+  LEFT JOIN mapped ma ON e.side = 'source' AND ma.subj = e.subj
+),
+codes AS (
+  SELECT side, subj,
+    regexp_replace(
+      coalesce(
+        min(CASE WHEN pred = 'skos:notation' THEN obj END),
+        min(CASE WHEN pred = 'icd:cdCode' THEN obj END),
+        min(CASE WHEN pred = 'icpc2p:ICPCCODE' THEN obj END),
+        nullif(split_part(regexp_extract(any_value(subj), '([^#/]*)$', 1),
+                          '_', 1), '')
+      ), '\\^\\^.*$', '') AS code
+  FROM trip GROUP BY side, subj
+),
+c2c AS (
+  SELECT code, count(DISTINCT cui) AS n
+  FROM '{fixture_root}/mrconso.parquet'
+  WHERE coalesce(code, '') <> '' GROUP BY code
+),
+umls AS (
+  SELECT c.side, c.subj,
+         coalesce(x.n, y.n) AS n_umls
+  FROM codes c
+  LEFT JOIN c2c x ON x.code = c.code
+  LEFT JOIN c2c y ON y.code =
+    regexp_replace(c.code, '^([A-Z][0-9][0-9])([0-9][0-9]?)$', '\\1.\\2')
+  WHERE c.code IS NOT NULL
+),
+joined AS (
+  SELECT n.side, n.subj, n.n_cuis, u.n_umls
+  FROM ncuis n LEFT JOIN umls u USING (side, subj)
+)
+SELECT 'total_source_classes' AS counter,
+       count(*) FILTER (side = 'source') AS value FROM joined
+UNION ALL SELECT 'total_target_classes', count(*) FILTER (side = 'target') FROM joined
+UNION ALL SELECT 'classes_with_cuis', count(*) FILTER (n_cuis > 0) FROM joined
+UNION ALL SELECT 'classes_without_cuis', count(*) FILTER (n_cuis = 0) FROM joined
+UNION ALL SELECT 'umls_codes_found', count(*) FILTER (n_umls IS NOT NULL) FROM joined
+UNION ALL SELECT 'classes_with_less_cuis_than_umls',
+       count(*) FILTER (n_umls > n_cuis) FROM joined
+UNION ALL SELECT 'classes_with_more_cuis_than_umls',
+       count(*) FILTER (n_umls IS NOT NULL AND n_umls < n_cuis) FROM joined
+UNION ALL SELECT 'classes_with_same_cuis_as_umls',
+       count(*) FILTER (n_umls = n_cuis) FROM joined
+"""

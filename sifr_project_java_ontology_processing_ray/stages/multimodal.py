@@ -119,3 +119,20 @@ def resize_metadata(batch: pa.Table, max_side: int = 64) -> pa.Table:
     return batch.append_column(
         "resized_w", pa.array((w * scale).astype(np.int32))
     ).append_column("resized_h", pa.array((h * scale).astype(np.int32)))
+
+
+def sql_multimodal_decode(fixture_root: str) -> str:
+    """DuckDB restatement of the multimodal plumbing query over the media
+    fixture parquet. The fake payload encodes (width, height, channels=3)
+    and the decoder must round-trip them — so the oracle derives decoded
+    dims from the metadata columns and independently restates the resize
+    math (scale = min(1, 64/max(w,h)), truncating like numpy's
+    astype(int32)). A decoder that misparsed the payload layout, dropped
+    rows, or mis-scaled would diverge."""
+    return f"""
+SELECT media_id, mime, width, height,
+       width AS decoded_w, height AS decoded_h, 3 AS channels,
+       CAST(trunc(width  * least(1.0, 64.0 / greatest(width, height))) AS INTEGER) AS resized_w,
+       CAST(trunc(height * least(1.0, 64.0 / greatest(width, height))) AS INTEGER) AS resized_h
+FROM '{fixture_root}/media.parquet'
+"""

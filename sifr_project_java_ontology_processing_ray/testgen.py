@@ -277,6 +277,122 @@ def ontology_fixture(seed: int = SEED) -> dict[str, pa.Table]:
     }
 
 
+# relation-term vocabulary mirrored from pipelines.kg.REL_TERMS (kept as a
+# literal to avoid a testgen→pipelines import cycle; test asserts equality)
+_REL_TERMS = ("filter", "join", "merge", "scan", "sort")
+
+
+def adversarial_pages_tables(
+    n: int = 4600, seed: int = SEED
+) -> tuple[pa.Table, pa.Table]:
+    """Adversarial pages fixture (~10× the sf0.001 pages corpus), returned
+    as TWO tables to be written as separate input files. Cases (VERDICT r3
+    #5): hot repeated surfaces, relation-term-only pages, empty and
+    whitespace-only pages, html-derived text, malformed html, unicode /
+    punctuation noise around mentions, and duplicate urls — both recrawls
+    of the same url at later warc_ts with rotated text (across BOTH files)
+    and exact (url, warc_ts) repeats with identical content."""
+    rng = np.random.RandomState(seed)
+    vocab = [w for w in _VOCAB if w not in ("the", "a")]
+    hot = ["hash join", "merge join", "table scan"]
+
+    rows_a: list[tuple] = []
+    rows_b: list[tuple] = []
+
+    def emit(i, url, ts_off, text, lang, html=None, to_b=False):
+        html_bytes = text_to_html(text, title=f"adv {i}") if html is None else html
+        row = (url, _EPOCH + dt.timedelta(seconds=ts_off), html_bytes, text, lang)
+        (rows_b if to_b else rows_a).append(row)
+
+    for i in range(n):
+        url = f"https://adv{i % 7}.example/page/{i}"
+        lang = ("en", "fr", "")[i % 3]
+        case = i % 10
+        if case == 0:  # hot surface: one multi-word term repeated many times
+            text = (" ".join([hot[i % len(hot)]] * 30)
+                    + " " + " ".join(rng.choice(vocab, 5)))
+        elif case == 1:  # relation terms ONLY (pattern-extraction edge)
+            text = " ".join(rng.choice(_REL_TERMS, 12))
+        elif case == 2:  # empty text AND empty html
+            emit(i, url, i, "", lang, html=b"", to_b=bool(i % 2))
+            continue
+        elif case == 3:  # whitespace-only text
+            text = "   \n\t  "
+        elif case == 4:  # unicode/punctuation noise around mentions
+            text = ("héllo — hash join, ünïcode! "
+                    + " ".join(rng.choice(vocab, 6)) + " …end")
+        elif case == 5:  # html-derived (empty text column)
+            body = " ".join(rng.choice(vocab, 20))
+            emit(i, url, i, "", lang,
+                 html=text_to_html(body, title=f"adv {i}"), to_b=bool(i % 2))
+            continue
+        elif case == 6:  # malformed/truncated html, text pre-populated
+            body = " ".join(rng.choice(vocab, 20))
+            h = text_to_html(body, title=f"adv {i}")
+            emit(i, url, i, body, lang, html=h[: len(h) // 2], to_b=bool(i % 2))
+            continue
+        else:  # plain word soup
+            text = " ".join(rng.choice(vocab, 25))
+        emit(i, url, i, text, lang, to_b=bool(i % 2))
+
+        if i % 9 == 0:  # recrawl in the OTHER file: later ts, rotated text
+            words = text.split()
+            emit(i, url, n + i, " ".join(words[3:] + words[:3]), lang,
+                 to_b=not bool(i % 2))
+        if i % 13 == 0:  # exact (url, ts) repeat with identical content
+            emit(i, url, i, text, lang, to_b=not bool(i % 2))
+
+    def tbl(rows):
+        return pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "html": pa.array([r[2] for r in rows], pa.binary()),
+                "text": pa.array([r[3] for r in rows], pa.string()),
+                "lang": pa.array([r[4] for r in rows], pa.string()),
+            },
+            schema=schema.PAGES,
+        )
+
+    return tbl(rows_a), tbl(rows_b)
+
+
+def cleaner_fixture() -> pa.Table:
+    """Extra triples exercising every cleaner branch (M16 keep-lang-or-all,
+    M17 repair via altLabel and via camelCase hiddenLabel) so the
+    ``multilingual_clean`` driver query has a DuckDB-restatable oracle.
+    Static — no RNG."""
+    C = "http://fixture.example/clean#"
+    rows: list[tuple[str, str, str, str | None]] = [
+        # c1: target-lang literal present → drop other langs, keep untagged
+        (C + "c1", "skos:prefLabel", "colour", "en"),
+        (C + "c1", "skos:prefLabel", "couleur", "fr"),
+        (C + "c1", "skos:prefLabel", "color-plain", None),
+        (C + "c1", "skos:altLabel", "tint", "en"),
+        (C + "c1", "skos:altLabel", "teinte", "fr"),
+        (C + "c1", "skos:altLabel", "shade", None),
+        # c2: no prefLabel, fr-only altLabels (kept — target absent);
+        # repair synthesizes prefLabel from the min altLabel
+        (C + "c2", "skos:altLabel", "zeta label", "fr"),
+        (C + "c2", "skos:altLabel", "alpha label", "fr"),
+        (C + "c2", "rdfs:comment", "une note", "fr"),
+        # c3: no prefLabel/altLabel → repair from camelCase hiddenLabel
+        # through the elision/abbreviation chain (dlco→DLCO, co2→CO2)
+        (C + "c3", "skos:hiddenLabel", "capaciteDlcoMesureeCo2", None),
+        # c4: foreign-only literal on a predicate → kept as-is
+        (C + "c4", "skos:prefLabel", "niveau", "fr"),
+    ]
+    return pa.table(
+        {
+            "subj": pa.array([r[0] for r in rows], pa.string()),
+            "pred": pa.array([r[1] for r in rows], pa.string()),
+            "obj": pa.array([r[2] for r in rows], pa.string()),
+            "obj_lang": pa.array([r[3] for r in rows], pa.string()),
+        },
+        schema=schema.ONTO_TRIPLES,
+    )
+
+
 # --------------------------------------------------------------------------
 # F7: eHealth-style generator inputs
 # --------------------------------------------------------------------------
@@ -323,7 +439,9 @@ def ehealth_fixture(seed: int = SEED) -> dict[str, str]:
 def fixture_dir(root: str = "/tmp/sifr_fixtures") -> str:
     """Write all static (scale-independent) fixtures once; return the dir."""
     os.makedirs(root, exist_ok=True)
-    marker = os.path.join(root, ".complete")
+    # versioned marker: bump when the fixture set grows so stale /tmp dirs
+    # regenerate (v2: + cleaner_extra_triples.parquet)
+    marker = os.path.join(root, ".complete_v2")
     if os.path.exists(marker):
         return root
     mrconso, mrsty = umls_tables()
@@ -331,6 +449,10 @@ def fixture_dir(root: str = "/tmp/sifr_fixtures") -> str:
     pq.write_table(mrsty, os.path.join(root, "mrsty.parquet"))
     for name, tbl in ontology_fixture().items():
         pq.write_table(tbl, os.path.join(root, f"{name}.parquet"))
+    pq.write_table(cleaner_fixture(), os.path.join(root, "cleaner_extra_triples.parquet"))
+    from .stages.multimodal import make_media_table
+
+    pq.write_table(make_media_table(500), os.path.join(root, "media.parquet"))
     for name, content in ehealth_fixture().items():
         with open(os.path.join(root, name), "w") as f:
             f.write(content)

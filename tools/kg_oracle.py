@@ -43,13 +43,24 @@ def entity_uri_for_surface(surface: str) -> str:
     return f"http://sifr-ray.example/entity/{surface.lower().replace(' ', '_')}"
 
 
-def kg_oracle_triples(pages_path: str, mrconso, mrsty) -> set[tuple[str, str, str]]:
+def kg_oracle_triples(
+    pages_path: str, mrconso, mrsty, dedup_pages: bool = False
+) -> set[tuple[str, str, str]]:
     tables = build_link_tables(mrconso)
     idx = build_alias_index(sorted(tables["term"].keys()))
     index, max_len = idx["index"], idx["max_len"]
     term_map, cui_term, cui_sig = tables["term"], tables["cui_term"], tables["cui_sig"]
 
     pages = pq.read_table(pages_path).to_pylist()
+    if dedup_pages:
+        # same recrawl semantics as build_kg(dedup_pages=True): latest
+        # warc_ts wins per url ((url, warc_ts) identifies a crawl record)
+        latest: dict = {}
+        for row in pages:
+            prev = latest.get(row["url"])
+            if prev is None or row["warc_ts"] > prev["warc_ts"]:
+                latest[row["url"]] = row
+        pages = list(latest.values())
     triples: set[tuple[str, str, str]] = set()
     edges: set[tuple[str, str]] = set()
     page_mentions: list[tuple[str, list[tuple[str, str | None]]]] = []
