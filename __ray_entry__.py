@@ -112,6 +112,86 @@ def _q_kg_pr(sf_dir: str):
     )
 
 
+def _q_enrichment_pr(sf_dir: str):
+    """Driver-visible P/R of the distributed enrichment cascade against the
+    independent sequential restatement (tools/enrichment_oracle.py), on the
+    branch-coverage fixture AND a 1000-entity synthetic ontology."""
+    import pandas as pd
+
+    from tools.enrichment_oracle import enrichment_oracle_triples
+
+    mrconso, mrsty = testgen.umls_tables()
+    rows = []
+    for tag, fx in (
+        ("fixture", testgen.ontology_fixture()),
+        ("large", testgen.large_ontology(1000)),
+    ):
+        triples, _ = enrichment.enrich_ontology(
+            fx["source_triples"], mrconso, mrsty, fx["mappings"], fx["target_triples"]
+        )
+        df = triples.to_pandas()
+        got = set(zip(df["subj"], df["pred"], df["obj"], df["obj_lang"]))
+        want = enrichment_oracle_triples(
+            fx["source_triples"], mrconso, mrsty, fx["mappings"], fx["target_triples"]
+        )
+        tp = len(got & want)
+        rows.append((f"precision_{tag}", tp / len(got) if got else 0.0))
+        rows.append((f"recall_{tag}", tp / len(want) if want else 0.0))
+    return pd.DataFrame(
+        {"metric": [r[0] for r in rows], "value": [r[1] for r in rows]}
+    )
+
+
+def _q_seq_oracle_pr(sf_dir: str):
+    """Driver-visible equality of the LSH / packing / curation family
+    against sequential pure-python restatements (tools/seq_oracles.py):
+    P/R per family, all expected exactly 1.0."""
+    import pandas as pd
+
+    from tools import seq_oracles as so
+
+    docs = so._docs(sf_dir)
+    rows: list[tuple[str, float]] = []
+
+    def add(tag, got, want):
+        p, r = so.pr(got, want)
+        rows.append((f"{tag}_precision", p))
+        rows.append((f"{tag}_recall", r))
+
+    mh = textops.q_minhash_dedup(sf_dir)
+    got_mh = {(int(a), int(b)) for a, b in zip(mh.get("a", []), mh.get("b", []))}
+    want_mh = so.minhash_pairs_seq(docs)
+    add("minhash", got_mh, want_mh)
+
+    sh = textops.q_simhash_dedup(sf_dir)
+    got_sh = {
+        (int(a), int(b), int(h))
+        for a, b, h in zip(sh.get("a", []), sh.get("b", []), sh.get("hamming", []))
+    }
+    add("simhash", got_sh, so.simhash_pairs_seq(docs))
+
+    cl = textops.q_neardup_clusters(sf_dir)
+    got_cl = {(int(d), int(c)) for d, c in zip(cl["doc_id"], cl["cluster_id"])}
+    add("clusters", got_cl, set(so.clusters_seq(want_mh).items()))
+
+    pk = textops.q_sequence_pack(sf_dir)
+    got_pk = {
+        (int(b), int(n), int(p), int(w))
+        for b, n, p, w in zip(
+            pk["pack_bucket"], pk["n_docs"], pk["n_packs"], pk["wasted_tokens"]
+        )
+    }
+    add("pack", got_pk, so.sequence_pack_seq(docs))
+
+    curated, _report = curation.curate(sf_dir)
+    got_keep = {int(d) for d in curated.to_pandas()["doc_id"]}
+    add("curation", got_keep, so.curated_keep_seq(docs))
+
+    return pd.DataFrame(
+        {"metric": [r[0] for r in rows], "value": [r[1] for r in rows]}
+    )
+
+
 def _q_multimodal(sf_dir: str):
     import os
 
@@ -175,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": textops.q_fingerprints,
         "pages_exact_dedup": textops.q_pages_exact_dedup,
         "corpus_curation": curation.q_corpus_curation,
+        "seq_oracle_pr": _q_seq_oracle_pr,
         # similarity search
         "knn_top10": ann.q_knn_top10,
         "knn_multi": ann.q_knn_multi,
@@ -184,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _q_kg,
         "kg_pr": _q_kg_pr,
         "enrichment_cascade": _q_enrichment,
+        "enrichment_pr": _q_enrichment_pr,
         "skos_generation": _q_generation,
         "multilingual_clean": _q_cleaner,
         "reconciliation": reconciler.q_reconciliation,
@@ -239,5 +321,16 @@ def oracle_sql() -> dict[str, str]:
         "kg_pr": (
             "SELECT 'precision' AS metric, 1.0 AS value "
             "UNION ALL SELECT 'recall', 1.0"
+        ),
+        "enrichment_pr": (
+            "SELECT 'precision_fixture' AS metric, 1.0 AS value "
+            "UNION ALL SELECT 'recall_fixture', 1.0 "
+            "UNION ALL SELECT 'precision_large', 1.0 "
+            "UNION ALL SELECT 'recall_large', 1.0"
+        ),
+        "seq_oracle_pr": " UNION ALL ".join(
+            f"SELECT '{fam}_{m}' AS metric, 1.0 AS value"
+            for fam in ("minhash", "simhash", "clusters", "pack", "curation")
+            for m in ("precision", "recall")
         ),
     }

@@ -33,6 +33,14 @@ SUBSET = [
     "fingerprints",
     "langid",
     "quality_scores",
+    # round-4 oracles (fixture-driven; independent of sf_dir except kg_pr)
+    "skos_generation",
+    "multilingual_clean",
+    "reconciliation",
+    "multimodal_decode",
+    "kg_pr",
+    "enrichment_pr",
+    "seq_oracle_pr",
 ]
 
 
