@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": textops.q_sequence_pack,
         "minhash_dedup": textops.q_minhash_dedup,
         "simhash_dedup": textops.q_simhash_dedup,
+        "ngram_jaccard": textops.q_ngram_jaccard,
         "fingerprints": textops.q_fingerprints,
         "pages_exact_dedup": textops.q_pages_exact_dedup,
         "corpus_curation": curation.q_corpus_curation,
@@ -260,7 +261,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top10": ann.q_knn_top10,
         "knn_multi": ann.q_knn_multi,
         "knn_ivf": ann.q_knn_ivf,
+        "ivf_recall": ann.q_ivf_recall,
         "embedding_neardup": ann.q_embedding_neardup,
+        "cosine_neardup_exact": ann.q_cosine_neardup_exact,
         # KG construction + enrichment cascade + generator + cleaner
         "kg_triples": _q_kg,
         "kg_pr": _q_kg_pr,
@@ -310,6 +313,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": textops.SQL_QUALITY_SCORES,
         "knn_top10": ann.SQL_KNN_TOP10,
         "knn_multi": ann.SQL_KNN_MULTI,
+        "ngram_jaccard": textops.SQL_NGRAM_JACCARD,
+        "cosine_neardup_exact": ann.SQL_COSINE_NEARDUP,
+        "ivf_recall": ann.SQL_IVF_RECALL,
         # fixture-driven restatements: the fixture files are materialized
         # here so the SQL's read_csv/read_parquet inputs exist regardless
         # of query/oracle execution order

@@ -238,6 +238,91 @@ def q_knn_ivf(sf_dir: str, k: int = TOPK, nprobe: int = 4):
 
 
 # --------------------------------------------------------------------------
+# exact embedding-cosine near-dup pairs (SQL-checkable brute-force baseline)
+# --------------------------------------------------------------------------
+
+# The synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.51 at
+# sf0.01), so the driver-gate default sits where the corpus HAS pairs —
+# real near-dup corpora run this with threshold ≥ 0.9.
+COSINE_NEARDUP_THRESHOLD = 0.45
+
+
+def q_cosine_neardup_exact(sf_dir: str, threshold: float = COSINE_NEARDUP_THRESHOLD):
+    """EXACT cosine high-similarity pairs (a, b, cos) — the brute-force
+    baseline of the embedding-dedup family; ``q_embedding_neardup`` is the
+    sign-LSH scale path over the same semantics.
+
+    Shape: the full normalized matrix is broadcast ONCE (``ray.put``; every
+    task reads the same object-store copy) and each streamed batch computes
+    one ``batch_unit @ M.T`` matmul, keeping pairs with a < b and
+    round(cos, 3) ≥ threshold — no python loop, no driver-side scoring.
+    Both sides threshold on the ROUNDED value so the engine and the DuckDB
+    oracle agree bit-for-bit at the boundary.
+
+    Scale boundary (documented, same contract as the kNN brute-force
+    baseline): O(n²) compute and an O(n·d) broadcast — exact all-pairs is
+    for corpora whose matrix fits the object store; beyond that, the LSH
+    variant."""
+    t = pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_numpy(), dtype=np.int64)
+    M = _list_col_to_matrix(t["embedding"])
+    mn = np.linalg.norm(M, axis=1, keepdims=True)
+    M = M / np.where(mn == 0, 1.0, mn)
+    mat_ref = ray.put((ids, M))
+
+    def batch_pairs(batch: pa.Table) -> pa.Table:
+        all_ids, Mn = ray.get(mat_ref)
+        sub = _list_col_to_matrix(batch["embedding"])
+        sn = np.linalg.norm(sub, axis=1, keepdims=True)
+        sub = sub / np.where(sn == 0, 1.0, sn)
+        vids = batch["vec_id"].to_numpy()
+        cos = np.round(sub @ Mn.T, 3)  # (batch, n_all)
+        keep = (cos >= threshold) & (vids[:, None] < all_ids[None, :])
+        bi, ai = np.nonzero(keep)
+        return pa.table(
+            {"a": pa.array(vids[bi], pa.int64()),
+             "b": pa.array(all_ids[ai], pa.int64()),
+             "cos": pa.array(cos[bi, ai], pa.float64())}
+        )
+
+    df = (
+        rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+        .map_batches(batch_pairs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if not len(df):
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "cos": pd.Series([], dtype="float64")})
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+SQL_COSINE_NEARDUP = f"""
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(CAST(list_cosine_similarity(x.embedding, y.embedding) AS DOUBLE), 3) AS cos
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE round(CAST(list_cosine_similarity(x.embedding, y.embedding) AS DOUBLE), 3)
+      >= {COSINE_NEARDUP_THRESHOLD}
+"""
+
+
+def q_ivf_recall(sf_dir: str, floor: float = 0.8):
+    """Driver-visible IVF quality gate: recall@10 of the IVF probe vs the
+    exact brute-force top-10 (both deterministic: seeded hash-sample
+    centroids, seeded Lloyd), emitted as a pass/fail metric row so the
+    DuckDB oracle can assert it — the same engine-computed-companion
+    pattern as ``approx_distinct_users`` and ``kg_pr``."""
+    approx = q_knn_ivf(sf_dir)
+    recall = float(approx["recall_at_k"].iloc[0]) if len(approx) else 0.0
+    return pd.DataFrame(
+        {"metric": [f"ivf_recall_ge_{floor}"], "value": [1.0 if recall >= floor else 0.0]}
+    )
+
+
+SQL_IVF_RECALL = "SELECT 'ivf_recall_ge_0.8' AS metric, 1.0 AS value"
+
+
+# --------------------------------------------------------------------------
 # embedding-cosine near-duplicate detection (random-hyperplane LSH buckets)
 # --------------------------------------------------------------------------
 

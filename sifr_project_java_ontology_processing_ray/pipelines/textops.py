@@ -861,6 +861,133 @@ def q_simhash_dedup(sf_dir: str, max_hamming: int = 6):
 
 
 # --------------------------------------------------------------------------
+# exact n-gram Jaccard near-dedup (SQL-checkable)
+# --------------------------------------------------------------------------
+
+NGRAM_JACCARD_THRESHOLD = 0.35
+
+
+def q_ngram_jaccard(sf_dir: str, threshold: float = NGRAM_JACCARD_THRESHOLD):
+    """EXACT 3-gram-shingle Jaccard near-duplicate pairs (a, b, jaccard) —
+    the non-approximate member of the dedup family (exact / MinHash /
+    SimHash / n-gram Jaccard / embedding-cosine), as a distributed
+    inverted-index co-occurrence count, never an all-pairs scan.
+
+    Shape: docs → (shingle, doc_id, set_size) rows (the doc's shingle-set
+    size rides on every row, so no size join later) → bucketed
+    groupby(shingle) emits co-occurring pairs with a per-bucket (a, b)
+    partial-count combine → bucketed groupby(a, b) sums partials into
+    |A ∩ B| and applies jaccard = inter / (|A| + |B| - inter) ≥ threshold
+    in the same vectorized callback (native multi-key
+    ``groupby().aggregate()`` measured 8× slower than the bucketed form
+    on this shape — see state/grouped.py).
+
+    Scale: cost is Σ_shingle df² — quadratic in per-shingle document
+    frequency only, never corpus size; near-dup families are what make df
+    exceed 1. Hot (stop-)shingles are the skew risk at web scale — the
+    standard mitigation is a df cutoff, which changes the measure to
+    "Jaccard over informative shingles"; this operator keeps textbook
+    semantics (= the DuckDB oracle) and the approximate family members
+    (MinHash/SimHash) are the skew-immune path."""
+    from ..state.grouped import bucketed_map_groups
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        s_out: list[str] = []
+        d_out: list[int] = []
+        sz_out: list[int] = []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sh = shingles(text.split(), k=3)
+            for s in sh:
+                s_out.append(s)
+                d_out.append(did)
+                sz_out.append(len(sh))
+        return pa.table(
+            {"s": pa.array(s_out, pa.string()),
+             "doc_id": pa.array(d_out, pa.int64()),
+             "sz": pa.array(sz_out, pa.int64())}
+        )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """Per hash-bucket of shingle groups: emit all co-occurring doc
+        pairs, then combine to per-bucket partial intersection counts —
+        the shuffle to the global (a, b) groupby moves partials."""
+        a_out, b_out, sa_out, sb_out = [], [], [], []
+        for _, g in df.groupby("s", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            szs = g["sz"].to_numpy()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a_out.append(ids[i]); b_out.append(ids[j])
+                    sa_out.append(szs[i]); sb_out.append(szs[j])
+        out = pd.DataFrame(
+            {"a": pd.Series(a_out, dtype="int64"), "b": pd.Series(b_out, dtype="int64"),
+             "sza": pd.Series(sa_out, dtype="int64"), "szb": pd.Series(sb_out, dtype="int64")}
+        )
+        if not len(out):
+            out["n"] = pd.Series([], dtype="int64")
+            return out
+        return out.groupby(["a", "b", "sza", "szb"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    def combine_finalize(df: pd.DataFrame) -> pd.DataFrame:
+        """Per hash-bucket of (a, b) pair groups: sum the partial
+        intersection counts (all partials of a pair land in one bucket),
+        then jaccard + threshold — vectorized, and the final shuffle output
+        is already the verified-pair set (tiny)."""
+        g = df.groupby(["a", "b"], as_index=False).agg(
+            inter=("n", "sum"), sza=("sza", "min"), szb=("szb", "min")
+        )
+        union = (g["sza"] + g["szb"] - g["inter"]).to_numpy().astype(np.float64)
+        jac = g["inter"].to_numpy().astype(np.float64) / np.where(union == 0, 1.0, union)
+        g["jaccard"] = jac
+        return g.loc[jac >= threshold, ["a", "b", "jaccard"]]
+
+    rows = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+        shingle_rows, batch_format="pyarrow", batch_size=256
+    )
+    partials = bucketed_map_groups(rows, ["s"], bucket_pairs)
+    df = bucketed_map_groups(partials, ["a", "b"], combine_finalize).to_pandas()
+    if not len(df):
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# DuckDB restatement: shingle slice t[i : min(i+2, len)] (1-based inclusive)
+# reproduces shingles() incl. the short-doc whole-text branch; the engine's
+# jaccard is the same single double division, so values hash-match.
+SQL_NGRAM_JACCARD = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[i : least(i + 2, len(t))], ' ') AS s
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+  ) u
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.a
+JOIN sz sb ON sb.doc_id = i.b
+WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {NGRAM_JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
 # rolling-hash fingerprints (SQL-checkable: polynomial hash restated in DuckDB)
 # --------------------------------------------------------------------------
 

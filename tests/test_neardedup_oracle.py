@@ -76,6 +76,56 @@ def test_minhash_matches_sequential(ray_session, sf_small, docs):
     assert len(want) > 0
 
 
+def test_ngram_jaccard_matches_sequential(ray_session, sf_small, docs):
+    """The EXACT dedup family member has no banding criterion — the
+    distributed inverted-index count must equal the textbook all-pairs
+    shingle Jaccard at every threshold crossing."""
+    got = textops.q_ngram_jaccard(sf_small)
+    got_set = {(int(a), int(b), float(j)) for a, b, j in
+               zip(got.get("a", []), got.get("b", []), got.get("jaccard", []))}
+    sh = {did: shingles(text.split(), k=3) for did, text in docs}
+    want = set()
+    for (a, sa), (b, sb) in itertools.combinations(sorted(sh.items()), 2):
+        if not sa or not sb:
+            continue
+        u = len(sa | sb)
+        j = len(sa & sb) / u if u else 0.0
+        if j >= textops.NGRAM_JACCARD_THRESHOLD:
+            want.add((a, b, j))
+    assert got_set == want
+    assert len(want) > 0  # fixture plants near-dups
+
+    # empty-result path: no pair reaches an impossible threshold
+    assert len(textops.q_ngram_jaccard(sf_small, threshold=1.1)) == 0
+
+
+def test_cosine_neardup_exact_matches_numpy(ray_session, sf_small):
+    """Brute-force cosine pair query equals a driver-side numpy all-pairs
+    restatement (same rounding, same threshold-on-rounded rule)."""
+    import numpy as np
+
+    from sifr_project_java_ontology_processing_ray.pipelines import ann
+
+    t = pq.read_table(sf_small + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_numpy(), dtype=np.int64)
+    M = np.vstack([np.asarray(v.as_py(), dtype=np.float64) for v in t["embedding"]])
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    M = M / np.where(n == 0, 1.0, n)
+    cos = np.round(M @ M.T, 3)
+    want = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and cos[i, j] >= ann.COSINE_NEARDUP_THRESHOLD:
+                want.add((int(ids[i]), int(ids[j]), float(cos[i, j])))
+    got = ann.q_cosine_neardup_exact(sf_small)
+    got_set = {(int(a), int(b), float(c)) for a, b, c in
+               zip(got.get("a", []), got.get("b", []), got.get("cos", []))}
+    assert got_set == want
+
+    # empty-result path
+    assert len(ann.q_cosine_neardup_exact(sf_small, threshold=1.01)) == 0
+
+
 def test_neardup_clusters_match_union_find(ray_session, sf_small):
     """Distributed min-label propagation must equal a sequential
     union-find over the same verified pair set."""

@@ -34,6 +34,9 @@ SUBSET = [
     "langid",
     "quality_scores",
     # round-4 oracles (fixture-driven; independent of sf_dir except kg_pr)
+    "ngram_jaccard",
+    "cosine_neardup_exact",
+    "ivf_recall",
     "skos_generation",
     "multilingual_clean",
     "reconciliation",
