@@ -76,6 +76,18 @@ def test_minhash_matches_sequential(ray_session, sf_small, docs):
     assert len(want) > 0
 
 
+def test_minhash_verify_paths_identical(ray_session, sf_small, monkeypatch):
+    """The size-gated verify must emit identical pairs on the broadcast
+    path (small candidate side) and the distributed-join path (forced by
+    zeroing the gate)."""
+    bcast = textops.q_minhash_dedup(sf_small)
+    monkeypatch.setattr(textops, "BROADCAST_VERIFY_MAX_BYTES", 0)
+    joined = textops.q_minhash_dedup(sf_small)
+    key = lambda df: sorted(zip(df["a"], df["b"], df["jaccard"]))  # noqa: E731
+    assert key(bcast) == key(joined)
+    assert len(bcast) > 0
+
+
 def test_ngram_jaccard_matches_sequential(ray_session, sf_small, docs):
     """The EXACT dedup family member has no banding criterion — the
     distributed inverted-index count must equal the textbook all-pairs
