@@ -148,9 +148,12 @@ def q_mfc_priority(sf_dir: str):
     """Per customer: most-frequent order priority (ties → lexicographically
     smallest), ≙ most-frequent-code selection EHealth...java:318-343.
 
-    Shape: partial (custkey, priority)→count aggregation per batch, then a
-    BUCKETED argmax (hash(custkey)%B groups, vectorized pandas inside) —
-    not one python call per customer (state/grouped.py rationale)."""
+    Shape: partial (custkey, priority)→count aggregation per batch, then ONE
+    bucketed shuffle on custkey whose vectorized callback both sums the
+    partials and takes the argmax (all partials of a custkey land in one
+    bucket) — the separate native multi-key ``groupby().aggregate(Sum)``
+    between the two was a second full shuffle and the query's dominant
+    cost (state/grouped.py rationale)."""
     from ..state.grouped import bucketed_map_groups
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -160,22 +163,22 @@ def q_mfc_priority(sf_dir: str):
             .rename_columns(["o_custkey", "o_orderpriority", "p_cnt"])
         )
 
-    from ray.data.aggregate import Sum
-
-    counts = (
-        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(["o_custkey", "o_orderpriority"])
-        .aggregate(Sum("p_cnt", alias_name="cnt"))
+    partials = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        partial, batch_format="pyarrow"
     )
 
-    def argmax_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["o_custkey", "cnt", "o_orderpriority"],
-                            ascending=[True, False, True])
-        out = df.groupby("o_custkey", as_index=False, sort=False).first()
+    def combine_argmax(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["o_custkey", "o_orderpriority"], as_index=False)["p_cnt"]
+            .sum()
+            .rename(columns={"p_cnt": "cnt"})
+        )
+        g = g.sort_values(["o_custkey", "cnt", "o_orderpriority"],
+                          ascending=[True, False, True])
+        out = g.groupby("o_custkey", as_index=False, sort=False).first()
         return out.rename(columns={"o_orderpriority": "mfc_priority", "cnt": "mfc_count"})
 
-    return bucketed_map_groups(counts, ["o_custkey"], argmax_bucket)
+    return bucketed_map_groups(partials, ["o_custkey"], combine_argmax)
 
 
 SQL_MFC_PRIORITY = """
@@ -596,13 +599,22 @@ def q_event_windows(sf_dir: str):
             .rename_columns(["user_id", "window_start", "p_sum", "p_n"])
         )
 
-    from ray.data.aggregate import Sum
+    from ..state.grouped import bucketed_map_groups
 
-    out = (
-        _read(sf_dir, "events", ["user_id", "ts", "value"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(["user_id", "window_start"])
-        .aggregate(Sum("p_sum", alias_name="sum_value"), Sum("p_n", alias_name="n_events"))
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        # all partials of a (user, window) key land in one bucket — the
+        # sum-combine folds into the single bucketed shuffle (native
+        # multi-key groupby().aggregate() costs a second full shuffle)
+        return df.groupby(["user_id", "window_start"], as_index=False).agg(
+            sum_value=("p_sum", "sum"), n_events=("p_n", "sum")
+        )
+
+    out = bucketed_map_groups(
+        _read(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["user_id", "window_start"],
+        combine,
     )
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return _round_col(t, "sum_value", 2)
