@@ -33,7 +33,9 @@ BENCH_QUERIES = [
     "token_counts",
     "exact_dedup",
     "minhash_dedup",
+    "ngram_jaccard",
     "knn_top10",
+    "cosine_neardup_exact",
     "event_sessions",
     "pages_exact_dedup",
 ]
