@@ -25,18 +25,33 @@ import sys
 _RAY_OWNED = False  # shut down only a session THIS process created
 
 
+def _ray_init_kwargs(addr: str, num_cpus: int | None) -> dict:
+    """ray.init kwargs for the two deployment modes (north rule: the same
+    CLI is the ``ray job submit`` entrypoint on a multi-node cluster).
+
+    - ``local`` (the sandbox / laptop default): start an in-process Ray,
+      where ``num_cpus`` and ``include_dashboard`` are valid.
+    - anything else (``auto`` or a ``ray://``/host:port address, which is
+      what ``ray job submit`` exports as $RAY_ADDRESS): CONNECT to the
+      existing cluster — resource limits belong to the cluster config, so
+      ``num_cpus``/``include_dashboard`` must not be passed."""
+    kwargs: dict = {
+        "address": addr,
+        "ignore_reinit_error": True,
+        "logging_level": "ERROR",
+    }
+    if addr == "local":
+        kwargs["num_cpus"] = num_cpus
+        kwargs["include_dashboard"] = False
+    return kwargs
+
+
 def _init_ray(num_cpus: int | None):
     global _RAY_OWNED
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=num_cpus,
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
+        ray.init(**_ray_init_kwargs(os.environ.get("RAY_ADDRESS", "local"), num_cpus))
         _RAY_OWNED = True
     from ray.data import DataContext
 

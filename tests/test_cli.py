@@ -5,6 +5,23 @@ only calls ray.init when not already initialized)."""
 import json
 
 
+def test_ray_init_kwargs_deployment_modes():
+    """north rule: the CLI is the ray-job-submit entrypoint. local mode
+    starts an in-process Ray with limits; a cluster $RAY_ADDRESS (what the
+    job runtime exports) must CONNECT — no num_cpus/include_dashboard,
+    which ray.init rejects when joining an existing cluster."""
+    from sifr_project_java_ontology_processing_ray.__main__ import _ray_init_kwargs
+
+    local = _ray_init_kwargs("local", 8)
+    assert local["address"] == "local" and local["num_cpus"] == 8
+    assert local["include_dashboard"] is False
+
+    for addr in ("auto", "ray://head:10001", "10.0.0.1:6379"):
+        cluster = _ray_init_kwargs(addr, 8)
+        assert cluster["address"] == addr
+        assert "num_cpus" not in cluster and "include_dashboard" not in cluster
+
+
 def test_reconcile_cli(ray_session, capsys):
     from sifr_project_java_ontology_processing_ray.__main__ import main
 
