@@ -212,6 +212,20 @@ def _q_multimodal(sf_dir: str):
     )
 
 
+def _q_frame_sample(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    from sifr_project_java_ontology_processing_ray.stages.multimodal import FakeFrameSampler
+
+    videos_path = os.path.join(testgen.fixture_dir(), "videos.parquet")
+    return rd.read_parquet(videos_path).map_batches(
+        FakeFrameSampler, batch_format="pyarrow", batch_size=64,
+        concurrency=2, num_cpus=0.5,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational operator suite (SQL-checked)
@@ -273,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multilingual_clean": _q_cleaner,
         "reconciliation": reconciler.q_reconciliation,
         "multimodal_decode": _q_multimodal,
+        "frame_sample": _q_frame_sample,
     }
 
 
@@ -323,6 +338,7 @@ def oracle_sql() -> dict[str, str]:
         "multilingual_clean": cleaner.sql_multilingual_clean(testgen.fixture_dir()),
         "reconciliation": reconciler.sql_reconciliation(testgen.fixture_dir()),
         "multimodal_decode": _mm.sql_multimodal_decode(testgen.fixture_dir()),
+        "frame_sample": _mm.sql_frame_sample(testgen.fixture_dir()),
         # engine-computed P/R vs the sequential oracle must be exactly 1.0
         "kg_pr": (
             "SELECT 'precision' AS metric, 1.0 AS value "

@@ -121,6 +121,110 @@ def resize_metadata(batch: pa.Table, max_side: int = 64) -> pa.Table:
     ).append_column("resized_h", pa.array((h * scale).astype(np.int32)))
 
 
+# --------------------------------------------------------------------------
+# video frame sampling (the fourth multimodal family member: decode /
+# feature-extract / resize / FRAME-SAMPLE). Same stubbing contract as the
+# image decoder: the codec is absent from this container, so the payload
+# parser is a deterministic fake and the Ray-side plumbing (schema, actor
+# signature, per-frame explode, batch sizing) is real and tested.
+# --------------------------------------------------------------------------
+
+VIDEO_MAGIC = b"FAKEVID"
+
+VIDEO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("n_frames", pa.int32()),
+        ("fps", pa.int32()),
+    ]
+)
+
+FRAMES_PER_VIDEO = 8
+
+
+def encode_fake_video(media_id: int, n_frames: int, fps: int) -> bytes:
+    return VIDEO_MAGIC + struct.pack("<IH", n_frames, fps) + media_id.to_bytes(8, "little")
+
+
+def make_video_table(n: int, seed: int = 43) -> pa.Table:
+    """Deterministic video fixture: n fake clips with varying length/fps."""
+    rng = np.random.RandomState(seed)
+    ids, payloads, frames, fps_out = [], [], [], []
+    for i in range(n):
+        nf = int(rng.randint(1, 600))
+        fps = int(rng.choice([24, 25, 30]))
+        ids.append(i)
+        payloads.append(encode_fake_video(i, nf, fps))
+        frames.append(nf)
+        fps_out.append(fps)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["video/x-fake"] * n, pa.string()),
+            "n_frames": pa.array(frames, pa.int32()),
+            "fps": pa.array(fps_out, pa.int32()),
+        },
+        schema=VIDEO_SCHEMA,
+    )
+
+
+class FakeFrameSampler:
+    """Actor stage: video payload → ≤ ``frames_per_video`` uniformly-strided
+    frame rows (media_id, frame_idx, ts_s) — a per-row EXPLODE inside
+    map_batches, the shape a real av/cv2 sampler shares. Sampling rule
+    (chosen to be driver-restatable): stride = max(1, n_frames //
+    frames_per_video); indices 0, stride, 2·stride, … capped at
+    frames_per_video; ts_s = round(idx / fps, 3).
+
+    Real-codec note: swap in a sampler whose __init__ opens the codec once
+    per actor; payloads being wide binary, keep batch_size small so
+    batch × concurrency fits the worker heap."""
+
+    def __init__(self, frames_per_video: int = FRAMES_PER_VIDEO):
+        self.k = frames_per_video
+
+    def parse(self, payload: bytes) -> tuple[int, int]:
+        if not payload.startswith(VIDEO_MAGIC):
+            raise ValueError("not a fake video payload")
+        nf, fps = struct.unpack("<IH", payload[len(VIDEO_MAGIC) : len(VIDEO_MAGIC) + 6])
+        return nf, fps
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, tss = [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
+            nf, fps = self.parse(payload)
+            stride = max(1, nf // self.k)
+            for i in list(range(0, nf, stride))[: self.k]:
+                ids.append(mid)
+                idxs.append(i)
+                tss.append(round(i / fps, 3))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "ts_s": pa.array(tss, pa.float64()),
+            }
+        )
+
+
+def sql_frame_sample(fixture_root: str) -> str:
+    """DuckDB restatement of the sampling rule over the videos fixture:
+    idx = k·stride for k in 0..frames_per_video-1, kept while idx <
+    n_frames — equivalent to range(0, n_frames, stride)[:k] because
+    stride·k ≥ n_frames ⟺ the python slice cap binds. The decoder must
+    round-trip (n_frames, fps) from the payload to match."""
+    ks = ", ".join(f"({k})" for k in range(FRAMES_PER_VIDEO))
+    return f"""
+SELECT media_id, CAST(k.k * greatest(1, n_frames // {FRAMES_PER_VIDEO}) AS INTEGER) AS frame_idx,
+       round(CAST(k.k * greatest(1, n_frames // {FRAMES_PER_VIDEO}) AS DOUBLE) / fps, 3) AS ts_s
+FROM '{fixture_root}/videos.parquet' CROSS JOIN (VALUES {ks}) AS k(k)
+WHERE k.k * greatest(1, n_frames // {FRAMES_PER_VIDEO}) < n_frames
+"""
+
+
 def sql_multimodal_decode(fixture_root: str) -> str:
     """DuckDB restatement of the multimodal plumbing query over the media
     fixture parquet. The fake payload encodes (width, height, channels=3)

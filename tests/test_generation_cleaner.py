@@ -199,3 +199,42 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             RealImageDecoder()
+
+    def test_frame_sampler_plumbing(self, ray_session):
+        from sifr_project_java_ontology_processing_ray.stages.multimodal import (
+            FakeFrameSampler,
+            make_video_table,
+        )
+
+        videos = make_video_table(60)
+        ds = rd.from_arrow(videos).map_batches(
+            FakeFrameSampler, batch_format="pyarrow", batch_size=16,
+            concurrency=2, num_cpus=0.5,
+        )
+        df = ds.to_pandas()
+        meta = videos.to_pandas().set_index("media_id")
+        # per-video: ≤8 frames, uniformly strided, capped by clip length
+        for mid, g in df.groupby("media_id"):
+            nf = int(meta.loc[mid, "n_frames"])
+            fps = int(meta.loc[mid, "fps"])
+            stride = max(1, nf // 8)
+            want = list(range(0, nf, stride))[:8]
+            assert sorted(g["frame_idx"]) == want
+            assert all(abs(t - round(i / fps, 3)) < 1e-12
+                       for i, t in zip(g["frame_idx"], g["ts_s"]))
+        assert set(df["media_id"]) == set(meta.index)  # no clip dropped
+
+    def test_frame_sampler_edge_lengths(self):
+        from sifr_project_java_ontology_processing_ray.stages.multimodal import (
+            FakeFrameSampler,
+            encode_fake_video,
+        )
+        import pyarrow as pa
+
+        s = FakeFrameSampler()
+        for nf, want in ((1, [0]), (7, list(range(7))), (8, list(range(8))),
+                         (9, [0, 1, 2, 3, 4, 5, 6, 7]), (17, [0, 2, 4, 6, 8, 10, 12, 14])):
+            batch = pa.table({"media_id": pa.array([0], pa.int64()),
+                              "payload": pa.array([encode_fake_video(0, nf, 25)], pa.binary())})
+            out = s(batch)
+            assert out["frame_idx"].to_pylist() == want, nf

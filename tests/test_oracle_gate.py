@@ -41,6 +41,7 @@ SUBSET = [
     "multilingual_clean",
     "reconciliation",
     "multimodal_decode",
+    "frame_sample",
     "kg_pr",
     "enrichment_pr",
     "seq_oracle_pr",
