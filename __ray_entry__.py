@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_prefix": relational.q_type_prefix,
         "orders_per_customer": relational.q_orders_per_customer,
         "event_windows": relational.q_event_windows,
+        "event_windows_sliding": relational.q_event_windows_sliding,
         "order_stats": relational.q_order_stats,
         "event_sessions": relational.q_event_sessions,
         "exact_distinct_users": relational.q_exact_distinct_users,
@@ -260,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpeish_tokens": textops.q_bpeish_tokens,
         "repetition_stats": textops.q_repetition_stats,
         "train_val_split": textops.q_train_val_split,
+        "stratified_sample": textops.q_stratified_sample,
         "vocab_top50": textops.q_vocab_top50,
         "neardup_clusters": textops.q_neardup_clusters,
         "doc_chunks": textops.q_doc_chunks,
@@ -310,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
         "type_prefix": relational.SQL_TYPE_PREFIX,
         "orders_per_customer": relational.SQL_ORDERS_PER_CUSTOMER,
         "event_windows": relational.SQL_EVENT_WINDOWS,
+        "event_windows_sliding": relational.SQL_EVENT_WINDOWS_SLIDING,
         "order_stats": relational.SQL_ORDER_STATS,
         "event_sessions": relational.SQL_EVENT_SESSIONS,
         "exact_distinct_users": relational.SQL_EXACT_DISTINCT_USERS,
@@ -320,6 +323,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_exact_dedup": textops.SQL_PAGES_EXACT_DEDUP,
         "repetition_stats": textops.SQL_REPETITION_STATS,
         "train_val_split": textops.SQL_TRAIN_VAL_SPLIT,
+        "stratified_sample": textops.SQL_STRATIFIED_SAMPLE,
         "vocab_top50": textops.SQL_VOCAB_TOP50,
         "doc_chunks": textops.SQL_DOC_CHUNKS,
         "bpeish_tokens": textops.SQL_BPEISH_TOKENS,

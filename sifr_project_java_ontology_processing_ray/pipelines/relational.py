@@ -628,6 +628,70 @@ FROM events GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# sliding (hopping) window aggregate (§2.9): 1 h windows every 15 min
+# --------------------------------------------------------------------------
+
+def q_event_windows_sliding(sf_dir: str):
+    """Per (event_type, 1-hour window hopping every 15 min): count +
+    sum(value). The streaming-engine window-ASSIGNMENT step is row-local:
+    each event explodes into size/hop = 4 window memberships inside
+    map_batches (window_start = 15-min floor of ts minus k·15 min,
+    k = 0..3, i.e. window_start ≤ ts < window_start + 1 h), then partials
+    combine in one bucketed shuffle — (window × type) is a large key space,
+    the bucketed side of the cardinality rule (SCALE.md round 4)."""
+    import datetime
+
+    from ..state.grouped import bucketed_map_groups
+
+    def partial(batch: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(batch["ts"], multiple=15, unit="minute")
+        parts = []
+        for k in range(4):
+            ws = pc.subtract(base, pa.scalar(datetime.timedelta(minutes=15 * k)))
+            parts.append(
+                pa.table({"window_start": ws, "event_type": batch["event_type"],
+                          "value": batch["value"]})
+            )
+        t = pa.concat_tables(parts)
+        return (
+            t.group_by(["window_start", "event_type"])
+            .aggregate([("value", "sum"), ("value", "count")])
+            .rename_columns(["window_start", "event_type", "p_sum", "p_n"])
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["window_start", "event_type"], as_index=False).agg(
+            sum_value=("p_sum", "sum"), n_events=("p_n", "sum")
+        )
+
+    out = bucketed_map_groups(
+        _read(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["window_start", "event_type"],
+        combine,
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _round_col(t, "sum_value", 2)
+
+
+# epoch arithmetic instead of time_bucket: 86400 % 900 == 0, so flooring
+# epoch seconds to 900 equals Arrow's midnight-anchored 15-min floor with
+# no origin-convention doubt; CAST strips the to_timestamp tz.
+SQL_EVENT_WINDOWS_SLIDING = """
+WITH hopped AS (
+  SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900) AS TIMESTAMP)
+           - k.k * INTERVAL '15 minutes' AS window_start,
+         event_type, value
+  FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+)
+SELECT window_start, event_type,
+       round(sum(value), 2) AS sum_value, count(*) AS n_events
+FROM hopped GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # grouped stats battery (A6: Count/Mean/Min/Max via Ray aggregates)
 # --------------------------------------------------------------------------
 

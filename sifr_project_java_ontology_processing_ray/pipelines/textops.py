@@ -232,6 +232,57 @@ FROM documents GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# deterministic stratified sampling (SQL-checkable)
+# --------------------------------------------------------------------------
+
+def q_stratified_sample(sf_dir: str):
+    """Per-stratum deterministic hash sampling — the training-data
+    mixture-reweighting primitive (sample source A at one rate, source B
+    at another, reproducibly across runs and cluster layouts). The keep
+    decision is a pure row function (md5 of a salted doc_id against the
+    stratum's hex threshold), so sampling needs NO shuffle and no RNG
+    state; rates here demonstrate two tiers keyed on the source name
+    (even-length names 12.5 %, odd 37.5 %). Output is the per-source
+    (n_total, n_sampled) audit — the sampled subset itself stays
+    distributed."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        srcs = batch["source"].to_pylist()
+        kept = [
+            hashlib.md5(f"smpl|{i}".encode()).hexdigest()[:2]
+            < ("20" if len(s) % 2 == 0 else "60")
+            for i, s in zip(batch["doc_id"].to_pylist(), srcs)
+        ]
+        t = pa.table(
+            {"source": batch["source"],
+             "k": pa.array([int(x) for x in kept], pa.int64())}
+        )
+        return (
+            t.group_by("source")
+            .aggregate([("k", "sum"), ("k", "count")])
+            .rename_columns(["source", "p_sampled", "p_n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("p_n", alias_name="n_total"), Sum("p_sampled", alias_name="n_sampled"))
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT source, count(*) AS n_total,
+       CAST(sum(CASE WHEN substr(md5('smpl|' || doc_id), 1, 2)
+                          < (CASE WHEN len(source) % 2 = 0 THEN '20' ELSE '60' END)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM documents GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # vocabulary build: token explode → partial counts → global top-k
 # --------------------------------------------------------------------------
 

@@ -37,6 +37,8 @@ SUBSET = [
     "ngram_jaccard",
     "cosine_neardup_exact",
     "ivf_recall",
+    "event_windows_sliding",
+    "stratified_sample",
     "skos_generation",
     "multilingual_clean",
     "reconciliation",
