@@ -212,6 +212,20 @@ def _q_multimodal(sf_dir: str):
     )
 
 
+def _q_audio_decode(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    from sifr_project_java_ontology_processing_ray.stages.multimodal import FakeAudioDecoder
+
+    audio_path = os.path.join(testgen.fixture_dir(), "audio.parquet")
+    return rd.read_parquet(audio_path).map_batches(
+        FakeAudioDecoder, batch_format="pyarrow", batch_size=64,
+        concurrency=2, num_cpus=0.5,
+    )
+
+
 def _q_frame_sample(sf_dir: str):
     import os
 
@@ -290,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reconciliation": reconciler.q_reconciliation,
         "multimodal_decode": _q_multimodal,
         "frame_sample": _q_frame_sample,
+        "audio_decode": _q_audio_decode,
     }
 
 
@@ -343,6 +358,7 @@ def oracle_sql() -> dict[str, str]:
         "reconciliation": reconciler.sql_reconciliation(testgen.fixture_dir()),
         "multimodal_decode": _mm.sql_multimodal_decode(testgen.fixture_dir()),
         "frame_sample": _mm.sql_frame_sample(testgen.fixture_dir()),
+        "audio_decode": _mm.sql_audio_decode(testgen.fixture_dir()),
         # engine-computed P/R vs the sequential oracle must be exactly 1.0
         "kg_pr": (
             "SELECT 'precision' AS metric, 1.0 AS value "

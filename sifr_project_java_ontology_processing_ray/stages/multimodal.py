@@ -225,6 +225,94 @@ WHERE k.k * greatest(1, n_frames // {FRAMES_PER_VIDEO}) < n_frames
 """
 
 
+# --------------------------------------------------------------------------
+# audio decode + resample planning (the third payload modality). Same
+# contract: deterministic fake payload, real Ray plumbing; a real codec
+# (soundfile/librosa, absent here) would slot into the same actor shape.
+# --------------------------------------------------------------------------
+
+AUDIO_MAGIC = b"FAKEAUD"
+
+AUDIO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("n_samples", pa.int32()),
+        ("sample_rate", pa.int32()),
+    ]
+)
+
+TARGET_RATE = 16000
+
+
+def encode_fake_audio(media_id: int, n_samples: int, sample_rate: int) -> bytes:
+    return AUDIO_MAGIC + struct.pack("<II", n_samples, sample_rate) + media_id.to_bytes(8, "little")
+
+
+def make_audio_table(n: int, seed: int = 44) -> pa.Table:
+    rng = np.random.RandomState(seed)
+    ids, payloads, samples, rates = [], [], [], []
+    for i in range(n):
+        sr = int(rng.choice([8000, 16000, 22050, 44100]))
+        ns = int(rng.randint(sr // 2, sr * 30))  # 0.5 s – 30 s clips
+        ids.append(i)
+        payloads.append(encode_fake_audio(i, ns, sr))
+        samples.append(ns)
+        rates.append(sr)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["audio/x-fake"] * n, pa.string()),
+            "n_samples": pa.array(samples, pa.int32()),
+            "sample_rate": pa.array(rates, pa.int32()),
+        },
+        schema=AUDIO_SCHEMA,
+    )
+
+
+class FakeAudioDecoder:
+    """Actor stage: audio payload → (duration_s, resampled length at the
+    16 kHz training rate). Drops the wide binary immediately after the
+    parse — the payload never rides past this stage."""
+
+    def __init__(self, target_rate: int = TARGET_RATE):
+        self.target_rate = target_rate
+
+    def parse(self, payload: bytes) -> tuple[int, int]:
+        if not payload.startswith(AUDIO_MAGIC):
+            raise ValueError("not a fake audio payload")
+        ns, sr = struct.unpack("<II", payload[len(AUDIO_MAGIC) : len(AUDIO_MAGIC) + 8])
+        return ns, sr
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        durs, resampled = [], []
+        for payload in batch["payload"].to_pylist():
+            ns, sr = self.parse(payload)
+            # integer milliseconds: float round() ties differ between
+            # python (banker's) and SQL (half-away) on exact dyadic values,
+            # so the contract stays in integer arithmetic
+            durs.append(1000 * ns // sr)
+            resampled.append(ns * self.target_rate // sr)
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("duration_ms", pa.array(durs, pa.int64()))
+        out = out.append_column("resampled_n", pa.array(resampled, pa.int64()))
+        return out
+
+
+def sql_audio_decode(fixture_root: str) -> str:
+    """DuckDB restatement over the audio fixture: the decoder must
+    round-trip (n_samples, sample_rate) from the payload; duration-ms and
+    the 16 kHz resample length are pure integer arithmetic on those."""
+    return f"""
+SELECT media_id, mime, n_samples, sample_rate,
+       1000 * CAST(n_samples AS BIGINT) // sample_rate AS duration_ms,
+       CAST(n_samples AS BIGINT) * {TARGET_RATE} // sample_rate AS resampled_n
+FROM '{fixture_root}/audio.parquet'
+"""
+
+
 def sql_multimodal_decode(fixture_root: str) -> str:
     """DuckDB restatement of the multimodal plumbing query over the media
     fixture parquet. The fake payload encodes (width, height, channels=3)

@@ -440,8 +440,9 @@ def fixture_dir(root: str = "/tmp/sifr_fixtures") -> str:
     """Write all static (scale-independent) fixtures once; return the dir."""
     os.makedirs(root, exist_ok=True)
     # versioned marker: bump when the fixture set grows so stale /tmp dirs
-    # regenerate (v2: + cleaner_extra_triples.parquet; v3: + videos.parquet)
-    marker = os.path.join(root, ".complete_v3")
+    # regenerate (v2: + cleaner_extra_triples.parquet; v3: + videos.parquet;
+    # v4: + audio.parquet)
+    marker = os.path.join(root, ".complete_v4")
     if os.path.exists(marker):
         return root
     mrconso, mrsty = umls_tables()
@@ -450,10 +451,11 @@ def fixture_dir(root: str = "/tmp/sifr_fixtures") -> str:
     for name, tbl in ontology_fixture().items():
         pq.write_table(tbl, os.path.join(root, f"{name}.parquet"))
     pq.write_table(cleaner_fixture(), os.path.join(root, "cleaner_extra_triples.parquet"))
-    from .stages.multimodal import make_media_table, make_video_table
+    from .stages.multimodal import make_audio_table, make_media_table, make_video_table
 
     pq.write_table(make_media_table(500), os.path.join(root, "media.parquet"))
     pq.write_table(make_video_table(200), os.path.join(root, "videos.parquet"))
+    pq.write_table(make_audio_table(200), os.path.join(root, "audio.parquet"))
     for name, content in ehealth_fixture().items():
         with open(os.path.join(root, name), "w") as f:
             f.write(content)

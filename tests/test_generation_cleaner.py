@@ -224,6 +224,26 @@ class TestMultimodal:
                        for i, t in zip(g["frame_idx"], g["ts_s"]))
         assert set(df["media_id"]) == set(meta.index)  # no clip dropped
 
+    def test_audio_decoder_plumbing(self, ray_session):
+        from sifr_project_java_ontology_processing_ray.stages.multimodal import (
+            FakeAudioDecoder,
+            make_audio_table,
+        )
+
+        audio = make_audio_table(40)
+        df = rd.from_arrow(audio).map_batches(
+            FakeAudioDecoder, batch_format="pyarrow", batch_size=16,
+            concurrency=2, num_cpus=0.5,
+        ).to_pandas()
+        assert len(df) == 40
+        assert "payload" not in df.columns
+        ns = df["n_samples"].astype("int64")  # int32 fixture col would overflow ×16000
+        assert (df["duration_ms"] == 1000 * ns // df["sample_rate"]).all()
+        assert (df["resampled_n"] == ns * 16000 // df["sample_rate"]).all()
+        # a 16 kHz clip resamples to itself
+        native = df[df["sample_rate"] == 16000]
+        assert (native["resampled_n"] == native["n_samples"]).all()
+
     def test_frame_sampler_edge_lengths(self):
         from sifr_project_java_ontology_processing_ray.stages.multimodal import (
             FakeFrameSampler,

@@ -44,6 +44,7 @@ SUBSET = [
     "reconciliation",
     "multimodal_decode",
     "frame_sample",
+    "audio_decode",
     "kg_pr",
     "enrichment_pr",
     "seq_oracle_pr",
