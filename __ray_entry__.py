@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_distinct_users": relational.q_exact_distinct_users,
         "approx_distinct_users": relational.q_approx_distinct_users,
         "asof_latest_order": relational.q_asof_latest_order,
+        "value_quantiles": relational.q_value_quantiles,
         # text / training-data ops
         "token_counts": textops.q_token_counts,
         "exact_dedup": textops.q_exact_dedup,
@@ -332,6 +333,7 @@ def oracle_sql() -> dict[str, str]:
         "event_sessions": relational.SQL_EVENT_SESSIONS,
         "exact_distinct_users": relational.SQL_EXACT_DISTINCT_USERS,
         "asof_latest_order": relational.SQL_ASOF_LATEST_ORDER,
+        "value_quantiles": relational.SQL_VALUE_QUANTILES,
         "token_counts": textops.SQL_TOKEN_COUNTS,
         "exact_dedup": textops.SQL_EXACT_DEDUP,
         "quality_filter": textops.SQL_QUALITY_FILTER,

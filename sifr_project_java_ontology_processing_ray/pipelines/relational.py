@@ -928,3 +928,93 @@ WITH od AS (
 SELECT e.event_id, e.user_id, od.okey AS last_orderkey
 FROM events e ASOF JOIN od ON e.user_id = od.key AND e.ts >= od.ots
 """
+
+
+# --------------------------------------------------------------------------
+# exact distributed quantiles via iterative histogram-refinement selection
+# (the scale-correct alternative to a full sort: O(log) streaming passes
+# over one column, a bins-sized driver combine per pass, no shuffle)
+# --------------------------------------------------------------------------
+
+QUANTILES = (0.5, 0.9, 0.99)
+_QUANTILE_BINS = 512
+_QUANTILE_COLLECT_MAX = 65536
+
+
+def distributed_kth_value(ds: "rd.Dataset", col: str, k: int) -> float:
+    """Exact k-th smallest (0-based) of ``ds[col]`` without sorting the
+    dataset: narrow a [lo, hi] candidate range by histogram passes (each a
+    streaming ``map_batches`` emitting a 512-bin partial, combined on the
+    driver — bins × blocks rows, never data rows), then collect only the
+    final sub-range (gated at {max} values) and pick locally. Float ranges
+    narrow geometrically, so passes are O(log((hi-lo)/ulp)) with early exit
+    once the surviving bin is small.""".format(max=_QUANTILE_COLLECT_MAX)
+    from ray.data.aggregate import Max, Min
+
+    stats = ds.aggregate(Min(col), Max(col))
+    lo, hi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
+    k_rem = k
+    for _ in range(64):
+        if lo == hi or not np.isfinite(hi - lo) or hi - lo <= 0:
+            return lo
+        edges = np.linspace(lo, hi, _QUANTILE_BINS + 1)
+        edges[-1] = np.nextafter(hi, np.inf)  # right-closed final bin
+
+        def hist(batch: pa.Table, edges=edges, lo=lo, hi=hi) -> pa.Table:
+            v = batch[col].to_numpy()
+            v = v[(v >= lo) & (v <= hi)]
+            c, _ = np.histogram(v, bins=edges)
+            return pa.table(
+                {"bin": pa.array(np.arange(_QUANTILE_BINS), pa.int32()),
+                 "c": pa.array(c, pa.int64())}
+            )
+
+        parts = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+        counts = parts.groupby("bin")["c"].sum().reindex(
+            range(_QUANTILE_BINS), fill_value=0
+        ).to_numpy()
+        cum = counts.cumsum()
+        b = int(np.searchsorted(cum, k_rem + 1))
+        k_rem -= int(cum[b - 1]) if b else 0
+        new_lo, new_hi = float(edges[b]), float(edges[b + 1])
+        in_bin = int(counts[b])
+        if in_bin <= _QUANTILE_COLLECT_MAX or (new_lo, new_hi) == (lo, hi):
+            vals = ds.map_batches(
+                lambda t, a=new_lo, c=new_hi: t.filter(
+                    pc.and_(pc.greater_equal(t[col], a), pc.less(t[col], np.nextafter(c, np.inf)))
+                ),
+                batch_format="pyarrow",
+            ).to_pandas()[col].to_numpy()
+            vals.sort()
+            return float(vals[k_rem])
+        lo, hi = new_lo, new_hi
+    raise RuntimeError("quantile refinement did not converge")
+
+
+def q_value_quantiles(sf_dir: str):
+    """Exact (q, value) rows for the discrete quantiles of events.value —
+    rank = floor(q·(n−1)), stated identically in the SQL oracle via a
+    row_number window so there is no quantile-definition ambiguity. The
+    single-column input is materialized once and each selection streams it;
+    at 10^12 rows this is the textbook distributed-selection shape (no
+    all-to-all; the driver only ever sees 512-bin partial counts)."""
+    ds = _read(sf_dir, "events", ["value"]).materialize()
+    n = ds.count()
+    out_q, out_v = [], []
+    for q in QUANTILES:
+        k = int(np.floor(q * (n - 1)))
+        out_q.append(q)
+        out_v.append(distributed_kth_value(ds, "value", k))
+    return pd.DataFrame({"q": out_q, "value": out_v})
+
+
+SQL_VALUE_QUANTILES = """
+WITH s AS (
+  SELECT value, row_number() OVER (ORDER BY value) - 1 AS r,
+         count(*) OVER () AS n
+  FROM events
+)
+SELECT q, value FROM s
+JOIN (VALUES (0.5), (0.9), (0.99)) AS qs(q)
+  ON r = CAST(floor(q * (n - 1)) AS BIGINT)
+"""

@@ -214,3 +214,39 @@ class TestUMLSLanguageCodes:
 
         with pytest.raises(ValueError):
             EnrichConfig(language="klingon")
+
+
+class TestDistributedQuantiles:
+    def test_kth_matches_numpy_with_forced_refinement(self, ray_session, sf_small, monkeypatch):
+        """Histogram-refinement selection must equal numpy's sorted pick at
+        every tested rank — with the collect gate shrunk so the loop
+        actually refines through multiple histogram levels (at fixture
+        scale the default gate collects on the first pass)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from sifr_project_java_ontology_processing_ray.pipelines import relational
+
+        vals = pq.read_table(sf_small + "/events.parquet", columns=["value"])["value"].to_numpy()
+        svals = np.sort(vals)
+        n = len(svals)
+        ds = rd.read_parquet(sf_small + "/events.parquet", columns=["value"]).materialize()
+
+        monkeypatch.setattr(relational, "_QUANTILE_COLLECT_MAX", 8)
+        for k in (0, 1, n // 3, n // 2, n - 2, n - 1):
+            got = relational.distributed_kth_value(ds, "value", k)
+            assert got == float(svals[k]), k
+
+    def test_quantile_rows_match_window_definition(self, ray_session, sf_small):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from sifr_project_java_ontology_processing_ray.pipelines import relational
+
+        vals = np.sort(
+            pq.read_table(sf_small + "/events.parquet", columns=["value"])["value"].to_numpy()
+        )
+        df = relational.q_value_quantiles(sf_small)
+        for q, v in zip(df["q"], df["value"]):
+            assert v == float(vals[int(np.floor(q * (len(vals) - 1)))])

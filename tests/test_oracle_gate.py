@@ -39,6 +39,7 @@ SUBSET = [
     "ivf_recall",
     "event_windows_sliding",
     "stratified_sample",
+    "value_quantiles",
     "skos_generation",
     "multilingual_clean",
     "reconciliation",
