@@ -90,13 +90,15 @@ def q_knn_top10(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+# ::DOUBLE[] before the cosine — same float32-accumulation hazard as
+# SQL_COSINE_NEARDUP (the engine side computes in float64)
 SQL_KNN_TOP10 = """
 SELECT e.vec_id,
-       round(CAST(list_cosine_similarity(e.embedding,
-             (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 3) AS cos
+       round(list_cosine_similarity(e.embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 3) AS cos
 FROM embeddings e
-ORDER BY list_cosine_similarity(e.embedding,
-         (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, e.vec_id ASC
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+         (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, e.vec_id ASC
 LIMIT 10
 """
 
@@ -150,13 +152,14 @@ def q_knn_multi(sf_dir: str, n_queries: int = 4, k: int = 5):
 
 SQL_KNN_MULTI = """
 WITH q AS (
-  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS embedding
+  FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
 ), ranked AS (
   SELECT q.query_id, e.vec_id,
-         round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 3) AS cos,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding), 3) AS cos,
          row_number() OVER (
            PARTITION BY q.query_id
-           ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id ASC
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding) DESC, e.vec_id ASC
          ) AS rn
   FROM embeddings e CROSS JOIN q
 )
@@ -297,11 +300,15 @@ def q_cosine_neardup_exact(sf_dir: str, threshold: float = COSINE_NEARDUP_THRESH
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+# embeddings are list<float32>; the engine computes in float64, so the
+# oracle must CAST to DOUBLE[] BEFORE the cosine — float32 accumulation
+# differs by up to ~3e-7, enough to flip rounded-to-3 values (measured: 2
+# of 124,750 pairs at sf0.001 before the cast).
 SQL_COSINE_NEARDUP = f"""
 SELECT x.vec_id AS a, y.vec_id AS b,
-       round(CAST(list_cosine_similarity(x.embedding, y.embedding) AS DOUBLE), 3) AS cos
+       round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 3) AS cos
 FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
-WHERE round(CAST(list_cosine_similarity(x.embedding, y.embedding) AS DOUBLE), 3)
+WHERE round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 3)
       >= {COSINE_NEARDUP_THRESHOLD}
 """
 

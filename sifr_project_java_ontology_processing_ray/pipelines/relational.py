@@ -941,21 +941,46 @@ _QUANTILE_BINS = 512
 _QUANTILE_COLLECT_MAX = 65536
 
 
-def distributed_kth_value(ds: "rd.Dataset", col: str, k: int) -> float:
+def distributed_kth_value(
+    ds: "rd.Dataset", col: str, k: int,
+    bounds: tuple[float, float] | None = None,
+) -> float:
     """Exact k-th smallest (0-based) of ``ds[col]`` without sorting the
     dataset: narrow a [lo, hi] candidate range by histogram passes (each a
     streaming ``map_batches`` emitting a 512-bin partial, combined on the
     driver — bins × blocks rows, never data rows), then collect only the
-    final sub-range (gated at {max} values) and pick locally. Float ranges
-    narrow geometrically, so passes are O(log((hi-lo)/ulp)) with early exit
-    once the surviving bin is small.""".format(max=_QUANTILE_COLLECT_MAX)
+    final sub-range (size-gated) and pick locally. Float ranges narrow
+    geometrically, so passes are O(log((hi-lo)/ulp)) with early exit once
+    the surviving bin is small. Pass ``bounds`` to share one Min/Max scan
+    across several ranks (q_value_quantiles). Column must be finite —
+    non-finite values or an overflowing range raise rather than silently
+    returning the wrong element."""
     from ray.data.aggregate import Max, Min
 
-    stats = ds.aggregate(Min(col), Max(col))
-    lo, hi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
+    if bounds is None:
+        stats = ds.aggregate(Min(col), Max(col))
+        lo, hi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
+    else:
+        lo, hi = bounds
+    if not (np.isfinite(lo) and np.isfinite(hi) and np.isfinite(hi - lo)):
+        raise ValueError(
+            f"distributed_kth_value needs a finite {col!r} range, got [{lo}, {hi}]"
+        )
+
+    def collect_pick(a: float, c: float, right_inclusive: bool, k_rem: int) -> float:
+        upper = np.nextafter(c, np.inf) if right_inclusive else c
+        vals = ds.map_batches(
+            lambda t, a=a, u=upper: t.filter(
+                pc.and_(pc.greater_equal(t[col], a), pc.less(t[col], u))
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()[col].to_numpy()
+        vals.sort()
+        return float(vals[k_rem])
+
     k_rem = k
     for _ in range(64):
-        if lo == hi or not np.isfinite(hi - lo) or hi - lo <= 0:
+        if lo == hi:
             return lo
         edges = np.linspace(lo, hi, _QUANTILE_BINS + 1)
         edges[-1] = np.nextafter(hi, np.inf)  # right-closed final bin
@@ -977,16 +1002,17 @@ def distributed_kth_value(ds: "rd.Dataset", col: str, k: int) -> float:
         b = int(np.searchsorted(cum, k_rem + 1))
         k_rem -= int(cum[b - 1]) if b else 0
         new_lo, new_hi = float(edges[b]), float(edges[b + 1])
-        in_bin = int(counts[b])
-        if in_bin <= _QUANTILE_COLLECT_MAX or (new_lo, new_hi) == (lo, hi):
-            vals = ds.map_batches(
-                lambda t, a=new_lo, c=new_hi: t.filter(
-                    pc.and_(pc.greater_equal(t[col], a), pc.less(t[col], np.nextafter(c, np.inf)))
-                ),
-                batch_format="pyarrow",
-            ).to_pandas()[col].to_numpy()
-            vals.sort()
-            return float(vals[k_rem])
+        if (new_lo, new_hi) == (lo, hi):
+            # degenerate linspace (range within ~512 ulps): collect the
+            # whole surviving range, right-inclusive
+            return collect_pick(lo, hi, True, k_rem)
+        if int(counts[b]) <= _QUANTILE_COLLECT_MAX:
+            # the gate counted the HALF-OPEN bin [new_lo, new_hi), so the
+            # collect must match it exactly — a right-inclusive filter on a
+            # non-final bin would also pull every row massed on the edge
+            # new_hi, unboundedly exceeding the gate. Only the final bin is
+            # right-closed (np.histogram semantics).
+            return collect_pick(new_lo, new_hi, b == _QUANTILE_BINS - 1, k_rem)
         lo, hi = new_lo, new_hi
     raise RuntimeError("quantile refinement did not converge")
 
@@ -998,13 +1024,17 @@ def q_value_quantiles(sf_dir: str):
     single-column input is materialized once and each selection streams it;
     at 10^12 rows this is the textbook distributed-selection shape (no
     all-to-all; the driver only ever sees 512-bin partial counts)."""
+    from ray.data.aggregate import Max, Min
+
     ds = _read(sf_dir, "events", ["value"]).materialize()
     n = ds.count()
+    stats = ds.aggregate(Min("value"), Max("value"))  # one scan, shared
+    bounds = (float(stats["min(value)"]), float(stats["max(value)"]))
     out_q, out_v = [], []
     for q in QUANTILES:
         k = int(np.floor(q * (n - 1)))
         out_q.append(q)
-        out_v.append(distributed_kth_value(ds, "value", k))
+        out_v.append(distributed_kth_value(ds, "value", k, bounds=bounds))
     return pd.DataFrame({"q": out_q, "value": out_v})
 
 
