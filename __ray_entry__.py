@@ -286,6 +286,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": textops.q_ngram_jaccard,
         "fingerprints": textops.q_fingerprints,
         "pages_exact_dedup": textops.q_pages_exact_dedup,
+        "pii_redact": textops.q_pii_redact,
+        "domain_stats": textops.q_domain_stats,
+        "decontaminate": textops.q_decontaminate,
         "corpus_curation": curation.q_corpus_curation,
         "seq_oracle_pr": _q_seq_oracle_pr,
         # similarity search
@@ -338,6 +341,9 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": textops.SQL_EXACT_DEDUP,
         "quality_filter": textops.SQL_QUALITY_FILTER,
         "pages_exact_dedup": textops.SQL_PAGES_EXACT_DEDUP,
+        "pii_redact": textops.SQL_PII_REDACT,
+        "domain_stats": textops.SQL_DOMAIN_STATS,
+        "decontaminate": textops.SQL_DECONTAMINATE,
         "repetition_stats": textops.SQL_REPETITION_STATS,
         "train_val_split": textops.SQL_TRAIN_VAL_SPLIT,
         "stratified_sample": textops.SQL_STRATIFIED_SAMPLE,

@@ -524,9 +524,11 @@ def compute_stats(enriched_ds, umls_code_to_cuis: dict[str, list[str]]) -> dict[
         pass
 
     def partial(batch: pa.Table) -> pa.Table:
-        import ray as _ray
+        from ..state.broadcast import cached_get
 
-        code_map = _ray.get(code_ref) if code_ref is not None else umls_code_to_cuis
+        # per-worker memo: the dict is not zero-copy, don't re-deserialize
+        # it once per batch
+        code_map = cached_get(code_ref) if code_ref is not None else umls_code_to_cuis
         rows = batch.to_pylist()
         c = dict.fromkeys(STAT_NAMES, 0)
         for r in rows:

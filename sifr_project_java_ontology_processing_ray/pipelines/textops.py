@@ -752,7 +752,7 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) ->
     import ray
 
     from ..functions.hashing import BloomFilter
-    from ..state.broadcast import BloomRoute, merged_bloom
+    from ..state.broadcast import BloomRoute, cached_get, merged_bloom
     from ..state.grouped import bucketed_map_groups
     from ..state.partitions import join_partitions
 
@@ -791,7 +791,8 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) ->
     if len(blob) <= TASK_BLOOM_MAX_BYTES:
 
         def _keep_in_bloom(batch: pa.Table, blob_ref=blob_ref) -> pa.Table:
-            bf = BloomFilter.loads(ray.get(blob_ref))
+            # cached_get: deserialize the Bloom once per worker, not per batch
+            bf = cached_get(blob_ref, transform=BloomFilter.loads)
             mask = [str(v) in bf for v in batch["doc_id"].to_pylist()]
             return batch.filter(pa.array(mask, pa.bool_()))
 
@@ -835,7 +836,9 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) ->
         texts_ref = ray.put(texts_map)
 
         def verify_broadcast(batch: pa.Table, texts_ref=texts_ref) -> pa.Table:
-            texts = ray.get(texts_ref)
+            # per-worker memo: the texts dict is not zero-copy, so a plain
+            # ray.get would re-deserialize up to the broadcast budget per batch
+            texts = cached_get(texts_ref)
             a_ids = batch["a"].to_pylist()
             b_ids = batch["b"].to_pylist()
             return _verify_rows(
@@ -1210,4 +1213,266 @@ WITH reps AS (
 )
 SELECT min(url) AS representative_url, count(*) AS dup_count
 FROM pages GROUP BY ptext HAVING count(*) > 1
+"""
+
+
+# --------------------------------------------------------------------------
+# PII redaction (SQL-checkable): vectorized RE2 scrub of emails / IPv4 /
+# phone-shaped spans. The synthetic corpus carries no PII, so the query
+# APPENDS a deterministic PII suffix per doc (identically restated in the
+# oracle) and verifies the redaction kernel by redacted-text hash — the
+# kernel itself (redact_pii_batch) is the reusable operator.
+# --------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+_PII_PHONE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,6}"
+
+
+def redact_pii_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Replace email / IPv4 / phone spans in ``batch[col]`` with typed
+    placeholders, entirely in Arrow RE2 kernels (no python row loop).
+    Emails are scrubbed FIRST so an address's host part is never half-eaten
+    by the IPv4 pass; the count columns are computed on the original text."""
+    s = batch[col]
+    n_emails = pc.count_substring_regex(s, _PII_EMAIL)
+    n_ips = pc.count_substring_regex(s, _PII_IPV4)
+    n_phones = pc.count_substring_regex(s, _PII_PHONE)
+    red = pc.replace_substring_regex(s, _PII_EMAIL, "<EMAIL>")
+    red = pc.replace_substring_regex(red, _PII_IPV4, "<IP>")
+    red = pc.replace_substring_regex(red, _PII_PHONE, "<PHONE>")
+    out = batch.drop_columns([col])
+    for name, arr in (
+        ("redacted", red),
+        ("n_emails", pc.cast(n_emails, pa.int64())),
+        ("n_ips", pc.cast(n_ips, pa.int64())),
+        ("n_phones", pc.cast(n_phones, pa.int64())),
+    ):
+        out = out.append_column(name, arr)
+    return out
+
+
+def q_pii_redact(sf_dir: str):
+    """Per-doc PII redaction audit: (doc_id, redacted_hash, n_emails,
+    n_ips, n_phones), PII injected deterministically from doc_id."""
+
+    def inject(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        suffix = pa.array(
+            [f" contact user{d}@mail.example call +12-345-67890 ip 10.{d % 200}.0.{d % 250}"
+             for d in did],
+            pa.string(),
+        )
+        aug = pc.binary_join_element_wise(batch["text"], suffix, "")
+        return pa.table({"doc_id": batch["doc_id"], "text": aug})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        h = [hashlib.md5(t.encode()).hexdigest() for t in batch["redacted"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "redacted_hash": pa.array(h, pa.string()),
+             "n_emails": batch["n_emails"], "n_ips": batch["n_ips"],
+             "n_phones": batch["n_phones"]}
+        )
+
+    out = (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(inject, batch_format="pyarrow")
+        .map_batches(redact_pii_batch, batch_format="pyarrow")
+        .map_batches(finish, batch_format="pyarrow")
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_PII_REDACT = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@mail.example call +12-345-67890 ip 10.'
+              || (doc_id % 200) || '.0.' || (doc_id % 250) AS text
+  FROM documents
+)
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+             '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,6}', '<PHONE>', 'g')) AS redacted_hash,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+       len(regexp_extract_all(text, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,6}')) AS n_phones
+FROM aug ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# per-domain page stats (SQL-checkable): URL host parsing over the pages
+# corpus — the web-curation "group by registrable domain" primitive.
+# --------------------------------------------------------------------------
+
+def q_domain_stats(sf_dir: str):
+    """(host, lang) page counts over the replicate=4 pages corpus. Host is
+    parsed from the url by an Arrow RE2 kernel; per-batch partial counts
+    fold into a tiny native groupby (low output cardinality — hosts ×
+    langs — so the native aggregate beats a bucketed shuffle here)."""
+    from .. import testgen
+
+    pages = testgen.pages_path_for(sf_dir, replicate=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(batch["url"], r"^https://(?P<host>[^/]+)/"), "host"
+        )
+        t = pa.table({"host": host, "lang": batch["lang"]})
+        return (
+            t.group_by(["host", "lang"])
+            .aggregate([("lang", "count")])
+            .rename_columns(["host", "lang", "p_n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        rd.read_parquet(pages, columns=["url", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["host", "lang"])
+        .aggregate(Sum("p_n", alias_name="n_pages"))
+    )
+    return out.to_pandas().sort_values(["host", "lang"]).reset_index(drop=True)
+
+
+# independent derivation: every doc yields 4 pages (replicate=4) on host
+# {source}.example with the doc's lang
+SQL_DOMAIN_STATS = """
+SELECT source || '.example' AS host, lang, 4 * count(*) AS n_pages
+FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# train/val decontamination (SQL-checkable): train docs sharing any 8-gram
+# with the val split — the benchmark-leakage scrub every training corpus
+# needs. Val grams are a FIXED-SIZE side (val sets don't grow with the
+# corpus), so the default route broadcasts them once via ray.put; above the
+# budget the same semantics run as a distributed gram join.
+# --------------------------------------------------------------------------
+
+_DECON_N = 8
+_DECON_BROADCAST_MAX = 64 << 20  # bytes of serialized val-gram set
+
+
+def _doc_grams(text: str) -> set:
+    # words = trim(text) split on single spaces — EXACTLY the oracle's
+    # string_split(trim(text), ' ') so gram strings match byte-for-byte
+    words = text.strip().split(" ")
+    n = _DECON_N
+    if len(words) < n:
+        return set()
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def _is_val(text: str) -> bool:
+    # the q_train_val_split content-hash rule (duplicate texts land in one
+    # split, so dedup state never leaks across the boundary)
+    return hashlib.md5(text.encode()).hexdigest()[:2] < "1a"
+
+
+def q_decontaminate(sf_dir: str):
+    """(doc_id, n_contaminated_grams) for every TRAIN doc sharing ≥1
+    distinct 8-gram with any VAL doc."""
+    import ray
+
+    from ..state.broadcast import cached_get
+    from ..state.partitions import join_partitions
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def val_gram_partial(batch: pa.Table) -> pa.Table:
+        grams: set = set()
+        for t in batch["text"].to_pylist():
+            if _is_val(t):
+                grams |= _doc_grams(t)
+        return pa.table({"gram": pa.array(sorted(grams), pa.string())})
+
+    # distinct val grams: per-batch set-combine, then a tiny global unique
+    val_grams_ds = docs.map_batches(val_gram_partial, batch_format="pyarrow")
+
+    def train_pairs(batch: pa.Table) -> pa.Table:
+        ids, grams = [], []
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            if _is_val(t):
+                continue
+            for g in _doc_grams(t):  # set → per-doc distinct already
+                ids.append(did)
+                grams.append(g)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "gram": pa.array(grams, pa.string())}
+        )
+
+    # size-gated routing, same rule as minhash_verified_pairs: measure the
+    # (val-sized, small) gram stream in the object store BEFORE deciding to
+    # pull it to the driver
+    val_grams_ds = val_grams_ds.materialize()
+    if val_grams_ds.size_bytes() <= _DECON_BROADCAST_MAX:
+        val_grams = {r["gram"] for r in val_grams_ds.take_all()}  # gate-bounded
+        ref = ray.put(frozenset(val_grams))
+
+        def count_hits(batch: pa.Table) -> pa.Table:
+            vg = cached_get(ref)
+            t = batch.filter(
+                pa.array([g in vg for g in batch["gram"].to_pylist()], pa.bool_())
+            )
+            return (
+                t.group_by("doc_id").aggregate([("gram", "count")])
+                .rename_columns(["doc_id", "p_n"])
+            )
+
+        from ray.data.aggregate import Sum
+
+        out = (
+            docs.map_batches(train_pairs, batch_format="pyarrow")
+            .map_batches(count_hits, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("p_n", alias_name="n_contaminated_grams"))
+        )
+    else:  # distributed path: hash-join train grams against the val grams
+        from ray.data.aggregate import Count, Sum
+
+        # distinct val grams as a Dataset (cross-batch dupes survive the
+        # per-batch set-combine; an inner join must see each gram ONCE)
+        val_side = (
+            val_grams_ds.groupby("gram")
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["gram"])
+        )
+        joined = docs.map_batches(train_pairs, batch_format="pyarrow").join(
+            val_side, join_type="inner", num_partitions=join_partitions(), on=("gram",),
+        )
+        out = (
+            joined.map_batches(
+                lambda b: b.group_by("doc_id").aggregate([("gram", "count")])
+                .rename_columns(["doc_id", "p_n"]),
+                batch_format="pyarrow",
+            )
+            .groupby("doc_id")
+            .aggregate(Sum("p_n", alias_name="n_contaminated_grams"))
+        )
+    df = out.to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DECONTAMINATE = """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(text), 1, 2) < '1a' THEN 'val' ELSE 'train' END AS split,
+         string_split(trim(text), ' ') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, split, array_to_string(w[i : i + 7], ' ') AS gram
+  FROM s, LATERAL (SELECT unnest(generate_series(1, len(w) - 7)) AS i) t
+  WHERE len(w) >= 8
+), valgrams AS (
+  SELECT DISTINCT gram FROM grams WHERE split = 'val'
+)
+SELECT g.doc_id, count(DISTINCT g.gram) AS n_contaminated_grams
+FROM grams g JOIN valgrams v USING (gram)
+WHERE g.split = 'train'
+GROUP BY g.doc_id ORDER BY g.doc_id
 """

@@ -37,6 +37,30 @@ class Broadcast:
         return ray.get(self._ref)
 
 
+# Per-worker single-slot memo for task-pool stages that read a broadcast
+# per batch. ray.get re-DESERIALIZES non-zero-copy objects (dicts, Bloom
+# blobs) on every call even when the bytes are node-local; worker processes
+# are reused across batches, so one slot amortizes that to once per worker
+# per broadcast. Single slot (not a dict) so a long-lived worker never
+# accumulates stale broadcasts.
+_GET_MEMO: dict = {}
+
+
+def cached_get(ref: "ray.ObjectRef", transform=None) -> Any:
+    """``ray.get`` with a per-worker-process single-slot deserialization
+    memo. Use inside task-pool ``map_batches`` functions that would
+    otherwise re-deserialize the same broadcast once per batch; actor-pool
+    stages should keep doing the get in ``__init__`` instead. ``transform``
+    (e.g. ``BloomFilter.loads``) is applied once at fill time and must be
+    a pure function of the object — the memo key is the ref alone."""
+    key = ref.hex()
+    if _GET_MEMO.get("key") != key:
+        val = ray.get(ref)
+        _GET_MEMO["key"] = key
+        _GET_MEMO["val"] = transform(val) if transform is not None else val
+    return _GET_MEMO["val"]
+
+
 def merged_bloom(ds, col: str, capacity: int) -> bytes:
     """Bloom blob over ``ds[col]`` built from mergeable per-batch partial
     filters — only fixed-size bitset blobs ever reach the driver, so driver

@@ -129,6 +129,7 @@ def test_cosine_neardup_exact_matches_numpy(ray_session, sf_small):
         for j in range(len(ids)):
             if ids[i] < ids[j] and cos[i, j] >= ann.COSINE_NEARDUP_THRESHOLD:
                 want.add((int(ids[i]), int(ids[j]), float(cos[i, j])))
+    assert len(want) > 0  # fixture plants embedding near-dups
     got = ann.q_cosine_neardup_exact(sf_small)
     got_set = {(int(a), int(b), float(c)) for a, b, c in
                zip(got.get("a", []), got.get("b", []), got.get("cos", []))}
@@ -158,3 +159,34 @@ def test_neardup_clusters_match_union_find(ray_session, sf_small):
     got_map = dict(zip(got["doc_id"], got["cluster_id"]))
     assert got_map == want
     assert len(want) > 0
+
+
+def test_decontaminate_paths_identical(ray_session, sf_small, monkeypatch):
+    """Size-gated decontamination must emit identical (doc_id, count)
+    rows on the val-gram broadcast path and the distributed gram-join
+    path (forced by zeroing the gate)."""
+    bcast = textops.q_decontaminate(sf_small)
+    monkeypatch.setattr(textops, "_DECON_BROADCAST_MAX", 0)
+    joined = textops.q_decontaminate(sf_small)
+    key = lambda df: sorted(zip(df["doc_id"], df["n_contaminated_grams"]))  # noqa: E731
+    assert key(bcast) == key(joined)
+    assert len(bcast) > 0  # word-salad corpus guarantees 8-gram overlap
+
+
+def test_pii_redact_counts(ray_session, sf_small):
+    """Every doc gets exactly the injected PII: 1 email, 1 IP, 1 phone —
+    and the redacted text contains the placeholders, never the spans."""
+    from sifr_project_java_ontology_processing_ray.pipelines.textops import redact_pii_batch
+    import pyarrow as pa
+
+    df = textops.q_pii_redact(sf_small)
+    assert (df["n_emails"] == 1).all()
+    assert (df["n_ips"] == 1).all()
+    assert (df["n_phones"] == 1).all()
+
+    t = pa.table({"text": pa.array(
+        ["mail a.b@x.io and 1.2.3.4 ring +1-234-5678", "clean"], pa.string())})
+    out = redact_pii_batch(t)
+    assert out["redacted"].to_pylist() == [
+        "mail <EMAIL> and <IP> ring <PHONE>", "clean"]
+    assert out["n_emails"].to_pylist() == [1, 0]

@@ -48,6 +48,10 @@ SUBSET = [
     "audio_decode",
     "kg_pr",
     "enrichment_pr",
+    # curation/web ops added late in round 4
+    "pii_redact",
+    "domain_stats",
+    "decontaminate",
     "seq_oracle_pr",
 ]
 
