@@ -23,6 +23,7 @@ from typing import Any
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from sifr_project_java_ontology_processing_ray.sources import parquet_io as pio
 from sifr_project_java_ontology_processing_ray import testgen  # noqa: E402
 from sifr_project_java_ontology_processing_ray.stages import multimodal as _mm  # noqa: E402
 from sifr_project_java_ontology_processing_ray.pipelines import (  # noqa: E402
@@ -204,7 +205,7 @@ def _q_multimodal(sf_dir: str):
 
     media_path = os.path.join(testgen.fixture_dir(), "media.parquet")
     return (
-        rd.read_parquet(media_path)
+        pio.read_parquet(media_path)
         .map_batches(FakeImageDecoder, batch_format="pyarrow", batch_size=64,
                      concurrency=2, num_cpus=0.5)
         .map_batches(resize_metadata, batch_format="pyarrow")
@@ -220,7 +221,7 @@ def _q_audio_decode(sf_dir: str):
     from sifr_project_java_ontology_processing_ray.stages.multimodal import FakeAudioDecoder
 
     audio_path = os.path.join(testgen.fixture_dir(), "audio.parquet")
-    return rd.read_parquet(audio_path).map_batches(
+    return pio.read_parquet(audio_path).map_batches(
         FakeAudioDecoder, batch_format="pyarrow", batch_size=64,
         concurrency=2, num_cpus=0.5,
     )
@@ -234,7 +235,7 @@ def _q_frame_sample(sf_dir: str):
     from sifr_project_java_ontology_processing_ray.stages.multimodal import FakeFrameSampler
 
     videos_path = os.path.join(testgen.fixture_dir(), "videos.parquet")
-    return rd.read_parquet(videos_path).map_batches(
+    return pio.read_parquet(videos_path).map_batches(
         FakeFrameSampler, batch_format="pyarrow", batch_size=64,
         concurrency=2, num_cpus=0.5,
     )

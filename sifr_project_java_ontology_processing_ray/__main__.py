@@ -155,7 +155,9 @@ def cmd_clean(args) -> int:
 
     _init_ray(args.num_cpus)
     if args.input.endswith((".parquet", ".pq")):
-        ds = rd.read_parquet(args.input)
+        from .sources import parquet_io as pio
+
+        ds = pio.read_parquet(args.input)
     else:  # RDF text formats, like the reference's cleaner input
         ds = rd.from_arrow(_load_triples(args.input))
     out = repair_missing_pref_labels(clean_multilingual(ds, args.l))

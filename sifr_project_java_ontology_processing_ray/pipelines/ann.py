@@ -19,6 +19,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from ..sources import parquet_io as pio
+
 TOPK = 10
 
 
@@ -82,7 +84,7 @@ def q_knn_top10(sf_dir: str):
         order = np.lexsort((t["vec_id"].to_numpy(), -t["cos"].to_numpy()))[:TOPK]
         return t.take(pa.array(order))
 
-    ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"]).map_batches(
+    ds = pio.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"]).map_batches(
         local_topk, batch_format="pyarrow"
     )
     df = ds.to_pandas().sort_values(["cos", "vec_id"], ascending=[False, True]).head(TOPK)
@@ -136,7 +138,7 @@ def q_knn_multi(sf_dir: str, n_queries: int = 4, k: int = 5):
             }
         )
 
-    ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"]).map_batches(
+    ds = pio.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"]).map_batches(
         local_topk, batch_format="pyarrow"
     )
     df = ds.to_pandas()
@@ -184,7 +186,7 @@ def ivf_build_centroids(sf_dir: str, n_centroids: int = 16, seed: int = 42) -> n
         return batch.filter(pa.array(keep, pa.bool_()))
 
     sample_df = (
-        rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+        pio.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
         .map_batches(hash_sample, batch_format="pyarrow")
         .to_pandas()  # ~target rows, dimension-sized
         .sort_values("vec_id")
@@ -228,7 +230,7 @@ def q_knn_ivf(sf_dir: str, k: int = TOPK, nprobe: int = 4):
         order = np.lexsort((vids, -cos))[:k]
         return pa.table({"vec_id": pa.array(vids[order]), "cos": pa.array(cos[order], pa.float64())})
 
-    ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"]).map_batches(
+    ds = pio.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"]).map_batches(
         probe_topk, batch_format="pyarrow"
     )
     approx = ds.to_pandas().sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
@@ -289,7 +291,7 @@ def q_cosine_neardup_exact(sf_dir: str, threshold: float = COSINE_NEARDUP_THRESH
         )
 
     df = (
-        rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+        pio.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
         .map_batches(batch_pairs, batch_format="pyarrow")
         .to_pandas()
     )
@@ -336,7 +338,7 @@ SQL_IVF_RECALL = "SELECT 'ivf_recall_ge_0.8' AS metric, 1.0 AS value"
 def q_embedding_neardup(sf_dir: str, threshold: float = 0.9, n_planes: int = 12, seed: int = 42):
     """Near-duplicate vector pairs over the sf embeddings table (empty when
     the corpus has no near-dups — random vectors rarely exceed 0.9)."""
-    ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    ds = pio.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
     return embedding_neardup_pairs(
         ds, _emb_dim(sf_dir), threshold=threshold, n_planes=n_planes, seed=seed
     )

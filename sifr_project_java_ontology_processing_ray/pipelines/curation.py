@@ -31,6 +31,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..sources import parquet_io as pio
 from ..functions.hashing import BloomFilter
 from ..functions.quality import detect_lang, quality_score
 from ..state.broadcast import BloomRoute, merged_bloom
@@ -70,7 +71,7 @@ def curate(
     KG output, state/manifest.py)."""
     from ray.data.aggregate import Count, Min, Sum
 
-    docs = rd.read_parquet(
+    docs = pio.read_parquet(
         _docs_path(sf_dir), columns=["doc_id", "text", "lang", "source"]
     ).map_batches(_annotate, batch_format="pyarrow")
 
@@ -80,7 +81,7 @@ def curate(
         return pa.table({"content_hash": pa.array(h, pa.string()), "doc_id": batch["doc_id"]})
 
     keep_ids = (
-        rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+        pio.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
         .map_batches(hash_only, batch_format="pyarrow")
         .groupby("content_hash")
         .aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="copies"))

@@ -34,6 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ..sources import parquet_io as pio
 from ..stages.canonicalize import ApplyCanonical, build_canonical_maps
 from ..stages.link import MentionLinker, build_link_tables
 from ..state import manifest as mf
@@ -408,7 +409,7 @@ def build_kg(
     tables_bc = Broadcast.put(tables)
 
     # lang rides only in the separate page_meta read below — pruned here
-    pages = rd.read_parquet(
+    pages = pio.read_parquet(
         pages_path, columns=["url", "warc_ts", "html", "text"],
         override_num_blocks=read_blocks,
     )
@@ -457,7 +458,7 @@ def build_kg(
     # orphaned concurrent execution.
     import threading
 
-    page_meta = rd.read_parquet(pages_path, columns=["url", "warc_ts", "lang"])
+    page_meta = pio.read_parquet(pages_path, columns=["url", "warc_ts", "lang"])
     if dedup_pages:
         from ..state.grouped import bucketed_map_groups
 

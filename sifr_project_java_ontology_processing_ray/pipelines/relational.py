@@ -26,13 +26,15 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..sources import parquet_io as pio
+
 
 def _p(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
 def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> "rd.Dataset":
-    return rd.read_parquet(_p(sf_dir, name), columns=columns)
+    return pio.read_parquet(_p(sf_dir, name), columns=columns)
 
 
 def _round_col(t: pa.Table, col: str, digits: int) -> pa.Table:

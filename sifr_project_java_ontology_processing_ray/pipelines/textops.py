@@ -21,6 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ..sources import parquet_io as pio
 from ..functions.hashing import MinHasher, hamming64, rolling_fingerprints, shingles, simhash
 from ..functions.quality import detect_lang, quality_score
 from ..functions.similarity import jaccard_tokens
@@ -55,7 +56,7 @@ def q_token_counts(sf_dir: str):
     from ray.data.aggregate import Sum
 
     return (
-        rd.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text"])
+        pio.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("lang")
         .aggregate(Sum("p_tok", alias_name="total_tokens"), Sum("p_n", alias_name="n_docs"))
@@ -88,7 +89,7 @@ def q_exact_dedup(sf_dir: str):
     from ray.data.aggregate import Count, Min
 
     out = (
-        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        pio.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
         .map_batches(add_hash, batch_format="pyarrow")
         .groupby("h")
         .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="dup_count"))
@@ -117,7 +118,7 @@ def q_quality_filter(sf_dir: str):
     from ray.data.aggregate import Sum
 
     return (
-        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "source", "lang", "n_chars"])
+        pio.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "source", "lang", "n_chars"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("source")
         .aggregate(Sum("p_n", alias_name="n_docs"))
@@ -161,7 +162,7 @@ def q_repetition_stats(sf_dir: str):
     from ray.data.aggregate import Sum
 
     out = (
-        rd.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
+        pio.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("source")
         .aggregate(Sum("p_r", alias_name="sum_r"), Sum("p_h", alias_name="n_high_rep"),
@@ -216,7 +217,7 @@ def q_train_val_split(sf_dir: str):
     from ray.data.aggregate import Sum
 
     return (
-        rd.read_parquet(_p(sf_dir, "documents"), columns=["source", "text", "n_chars"])
+        pio.read_parquet(_p(sf_dir, "documents"), columns=["source", "text", "n_chars"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby(["source", "split"])
         .aggregate(Sum("p_n", alias_name="n_docs"), Sum("p_chars", alias_name="total_chars"))
@@ -266,7 +267,7 @@ def q_stratified_sample(sf_dir: str):
     from ray.data.aggregate import Sum
 
     return (
-        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "source"])
+        pio.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "source"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("source")
         .aggregate(Sum("p_n", alias_name="n_total"), Sum("p_sampled", alias_name="n_sampled"))
@@ -309,7 +310,7 @@ def q_vocab_top50(sf_dir: str):
     from ray.data.aggregate import Sum
 
     agg = (
-        rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+        pio.read_parquet(_p(sf_dir, "documents"), columns=["text"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("p_cnt", alias_name="n"))
@@ -416,7 +417,7 @@ def q_doc_chunks(sf_dir: str):
     from ray.data.aggregate import Sum
 
     return (
-        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "source", "text"])
+        pio.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "source", "text"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("source")
         .aggregate(Sum("p_chunks", alias_name="n_chunks"), Sum("p_docs", alias_name="n_docs"))
@@ -484,7 +485,7 @@ def q_sequence_pack(sf_dir: str):
              "wasted_tokens": [int(waste)]}
         )
 
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+    ds = pio.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
         with_bucket, batch_format="pyarrow"
     )
     out = bucketed_map_groups(ds, ["pack_bucket"], lambda df: pd.concat(
@@ -516,7 +517,7 @@ def q_langid(sf_dir: str):
     from ray.data.aggregate import Sum
 
     return (
-        rd.read_parquet(_p(sf_dir, "documents"), columns=["text", "lang"])
+        pio.read_parquet(_p(sf_dir, "documents"), columns=["text", "lang"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("detected")
         .aggregate(Sum("p_agree", alias_name="n_agree"), Sum("p_n", alias_name="n_docs"))
@@ -615,7 +616,7 @@ def q_quality_scores(sf_dir: str):
     from ray.data.aggregate import Sum
 
     out = (
-        rd.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
+        pio.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("source")
         .aggregate(Sum("p_q", alias_name="sum_q"), Sum("p_n", alias_name="n_docs"))
@@ -639,7 +640,7 @@ def q_bpeish_tokens(sf_dir: str):
     from ray.data.aggregate import Sum
 
     return (
-        rd.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text"])
+        pio.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("lang")
         .aggregate(Sum("p_tok", alias_name="total_bpeish_tokens"))
@@ -726,7 +727,7 @@ def minhash_candidates(sf_dir: str, num_bands: int = NUM_BANDS):
 
     from ..state.grouped import bucketed_map_groups
 
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = pio.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     sigs = ds.map_batches(signatures, batch_format="pyarrow", batch_size=256)
     return bucketed_map_groups(sigs, ["band_id", "band_hash"], bucket_pairs)
 
@@ -787,7 +788,7 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) ->
     # TASK-pool route deserializes the blob per task (negligible at KB
     # size, full read parallelism, no pool-spawn floor); above it the
     # actor-pool BloomRoute deserializes ONCE per actor in __init__.
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = pio.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     if len(blob) <= TASK_BLOOM_MAX_BYTES:
 
         def _keep_in_bloom(batch: pa.Table, blob_ref=blob_ref) -> pa.Table:
@@ -931,7 +932,7 @@ def q_simhash_dedup(sf_dir: str, max_hamming: int = 6):
     from ..state.grouped import bucketed_map_groups
 
     cand = bucketed_map_groups(
-        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+        pio.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
             band_rows, batch_format="pyarrow"
         ),
         ["band", "key"],
@@ -1038,7 +1039,7 @@ def q_ngram_jaccard(sf_dir: str, threshold: float = NGRAM_JACCARD_THRESHOLD):
         g["jaccard"] = jac
         return g.loc[jac >= threshold, ["a", "b", "jaccard"]]
 
-    rows = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+    rows = pio.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
         shingle_rows, batch_format="pyarrow", batch_size=256
     )
     partials = bucketed_map_groups(rows, ["s"], bucket_pairs)
@@ -1100,7 +1101,7 @@ def q_fingerprints(sf_dir: str):
 
     from ray.data.aggregate import Count
 
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+    ds = pio.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
         fp, batch_format="pyarrow"
     )
     shared = ds.groupby("fp").aggregate(Count(alias_name="n_docs"))
@@ -1183,7 +1184,7 @@ def q_pages_exact_dedup(sf_dir: str):
     from ray.data.aggregate import Count, Min
 
     out = (
-        rd.read_parquet(pages, columns=["url", "html", "text"])
+        pio.read_parquet(pages, columns=["url", "html", "text"])
         .map_batches(extract_text_batch, batch_format="pyarrow")
         .map_batches(add_hash, batch_format="pyarrow")
         .groupby("h")
@@ -1275,7 +1276,7 @@ def q_pii_redact(sf_dir: str):
         )
 
     out = (
-        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        pio.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
         .map_batches(inject, batch_format="pyarrow")
         .map_batches(redact_pii_batch, batch_format="pyarrow")
         .map_batches(finish, batch_format="pyarrow")
@@ -1330,7 +1331,7 @@ def q_domain_stats(sf_dir: str):
     from ray.data.aggregate import Sum
 
     out = (
-        rd.read_parquet(pages, columns=["url", "lang"])
+        pio.read_parquet(pages, columns=["url", "lang"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby(["host", "lang"])
         .aggregate(Sum("p_n", alias_name="n_pages"))
@@ -1382,7 +1383,7 @@ def q_decontaminate(sf_dir: str):
     from ..state.broadcast import cached_get
     from ..state.partitions import join_partitions
 
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = pio.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def val_gram_partial(batch: pa.Table) -> pa.Table:
         grams: set = set()

@@ -1,0 +1,53 @@
+"""Metadata-stripped parquet reads.
+
+pandas-written parquet embeds a ``b'pandas'`` schema-metadata blob whose
+presence makes ``pyarrow.Schema`` UNHASHABLE (``hash(schema)`` raises
+``unhashable type: 'dict'``). Ray Data's block unification tries
+``set(schemas)`` as an early exit and falls back to a full
+``unify_schemas`` per call when that raises — logging "Failed to hash the
+schemas (for deduplication)" once per block set, on every stage, for the
+whole pipeline. Passing an explicit metadata-less schema to
+``read_parquet`` restores the O(1) dedup path end-to-end (the blocks a
+read produces inherit the given schema, so nothing downstream ever sees
+the pandas blob)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import ray.data as rd
+
+
+def _first_file(paths) -> str | None:
+    first = paths[0] if isinstance(paths, (list, tuple)) else paths
+    if isinstance(first, str) and os.path.isdir(first):
+        shards = sorted(glob.glob(os.path.join(first, "**", "*.parquet"), recursive=True))
+        return shards[0] if shards else None
+    return first if isinstance(first, str) else None
+
+
+def read_parquet(paths, **kwargs) -> "rd.Dataset":
+    """``ray.data.read_parquet`` with the file schema pre-read (a cheap
+    footer-only driver-side read of ONE file) and its metadata stripped.
+    Any caller-supplied ``schema`` wins; on any schema-probe failure this
+    degrades to the plain read."""
+    if "schema" not in kwargs:
+        try:
+            first = _first_file(paths)
+            if first is not None:
+                schema = pq.read_schema(first)
+                if schema.metadata:
+                    schema = schema.remove_metadata()
+                cols = kwargs.get("columns")
+                if cols:
+                    # the datasource applies the given schema to the
+                    # column-pruned batches — it must be the pruned schema
+                    import pyarrow as pa
+
+                    schema = pa.schema([schema.field(c) for c in cols])
+                kwargs["schema"] = schema
+        except Exception:
+            pass  # unreadable/odd input: let read_parquet surface it
+    return rd.read_parquet(paths, **kwargs)

@@ -127,4 +127,6 @@ def read_output(out_dir: str):
     import ray.data as rd
 
     files = sorted(glob.glob(os.path.join(out_dir, f"{PART_COL}=*", "*.parquet")))
-    return rd.read_parquet(files)
+    from ..sources import parquet_io as pio
+
+    return pio.read_parquet(files)
