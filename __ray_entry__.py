@@ -290,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": textops.q_pii_redact,
         "domain_stats": textops.q_domain_stats,
         "decontaminate": textops.q_decontaminate,
+        "latest_snapshot": textops.q_latest_snapshot,
         "corpus_curation": curation.q_corpus_curation,
         "seq_oracle_pr": _q_seq_oracle_pr,
         # similarity search
@@ -345,6 +346,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": textops.SQL_PII_REDACT,
         "domain_stats": textops.SQL_DOMAIN_STATS,
         "decontaminate": textops.SQL_DECONTAMINATE,
+        "latest_snapshot": textops.SQL_LATEST_SNAPSHOT,
         "repetition_stats": textops.SQL_REPETITION_STATS,
         "train_val_split": textops.SQL_TRAIN_VAL_SPLIT,
         "stratified_sample": textops.SQL_STRATIFIED_SAMPLE,

@@ -1477,3 +1477,69 @@ FROM grams g JOIN valgrams v USING (gram)
 WHERE g.split = 'train'
 GROUP BY g.doc_id ORDER BY g.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# canonical-URL latest-snapshot selection (SQL-checkable): the re-crawl
+# dedup every web corpus starts with — canonicalize the url (strip the
+# query string), keep the newest snapshot per canonical url. Key
+# cardinality is one group per page at 10^12-doc scale, so the combine
+# folds into the bucketed shuffle (never a native multi-key aggregate).
+# --------------------------------------------------------------------------
+
+def q_latest_snapshot(sf_dir: str):
+    """(canonical_url, n_snapshots, latest_ts, latest_url) over the
+    replicate=4 pages corpus; replicas differ only in the ``?r=N`` query,
+    so canonicalization folds each doc's snapshots together."""
+    from .. import testgen
+    from ..state.grouped import bucketed_map_groups
+
+    pages = testgen.pages_path_for(sf_dir, replicate=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        canon = pc.utf8_lower(
+            pc.replace_substring_regex(batch["url"], r"\?.*$", "")
+        )
+        df = pa.table(
+            {"canonical_url": canon, "warc_ts": batch["warc_ts"], "url": batch["url"]}
+        ).to_pandas()
+        # per-batch pre-reduce: one row per canonical key leaves the task
+        g = df.sort_values(["warc_ts", "url"]).groupby("canonical_url", as_index=False)
+        out = g.last()  # newest snapshot in this batch
+        out["p_n"] = g.size()["size"].to_numpy()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["warc_ts", "url"])
+        g = df.groupby("canonical_url", as_index=False)
+        out = g.last()[["canonical_url", "warc_ts", "url"]]
+        out = out.rename(columns={"warc_ts": "latest_ts", "url": "latest_url"})
+        out["n_snapshots"] = g["p_n"].sum()["p_n"].to_numpy()
+        return out
+
+    out = bucketed_map_groups(
+        pio.read_parquet(pages, columns=["url", "warc_ts"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["canonical_url"],
+        combine,
+    )
+    df = out.to_pandas().sort_values("canonical_url").reset_index(drop=True)
+    return df[["canonical_url", "n_snapshots", "latest_ts", "latest_url"]]
+
+
+SQL_LATEST_SNAPSHOT = r"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+pages AS (
+  SELECT CASE WHEN r = 0 THEN 'https://' || source || '.example/doc/' || doc_id
+              ELSE 'https://' || source || '.example/doc/' || doc_id || '?r=' || r
+         END AS url,
+         TIMESTAMP '2024-01-01' + (doc_id + r * n.n) * INTERVAL 1 SECOND AS warc_ts
+  FROM documents CROSS JOIN (VALUES (0),(1),(2),(3)) t(r) CROSS JOIN n
+)
+SELECT lower(regexp_replace(url, '\?.*$', '')) AS canonical_url,
+       count(*) AS n_snapshots,
+       max(warc_ts) AS latest_ts,
+       max_by(url, warc_ts) AS latest_url
+FROM pages GROUP BY 1 ORDER BY 1
+"""

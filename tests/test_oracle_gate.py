@@ -52,6 +52,7 @@ SUBSET = [
     "pii_redact",
     "domain_stats",
     "decontaminate",
+    "latest_snapshot",
     "seq_oracle_pr",
 ]
 
