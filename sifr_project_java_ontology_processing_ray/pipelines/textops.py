@@ -193,16 +193,22 @@ FROM d GROUP BY source
 # operator an LLM-data pipeline needs; SQL-checkable via md5)
 # --------------------------------------------------------------------------
 
+def _is_val(text: str) -> bool:
+    """THE content-hash train/val rule (md5 hex prefix < '1a' ≈ 10% val) —
+    single definition shared by the splitter and the decontamination scrub
+    so their notions of 'val' can never diverge. Duplicate texts always
+    land in one split (no leakage across copies)."""
+    return hashlib.md5(text.encode()).hexdigest()[:2] < "1a"
+
+
 def q_train_val_split(sf_dir: str):
-    """Content-hash split: ~10% 'val' (md5 hex prefix < '1a'), rest
-    'train' — deterministic under any partitioning/reordering because the
-    split key is the content itself, and duplicate texts always land in
-    the same split (no train/val leakage across copies)."""
+    """Content-hash split: ~10% 'val', rest 'train' — deterministic under
+    any partitioning/reordering because the split key is the content
+    itself (rule: ``_is_val``)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         split = [
-            "val" if hashlib.md5(t.encode()).hexdigest()[:2] < "1a" else "train"
-            for t in batch["text"].to_pylist()
+            "val" if _is_val(t) else "train" for t in batch["text"].to_pylist()
         ]
         t = pa.table(
             {"source": batch["source"], "split": pa.array(split, pa.string()),
@@ -1361,18 +1367,14 @@ _DECON_BROADCAST_MAX = 64 << 20  # bytes of serialized val-gram set
 
 def _doc_grams(text: str) -> set:
     # words = trim(text) split on single spaces — EXACTLY the oracle's
-    # string_split(trim(text), ' ') so gram strings match byte-for-byte
-    words = text.strip().split(" ")
+    # string_split(trim(text), ' '). strip(" ") not strip(): DuckDB trim()
+    # removes only spaces, so a leading tab/newline must stay a word edge
+    # in both restatements.
+    words = text.strip(" ").split(" ")
     n = _DECON_N
     if len(words) < n:
         return set()
     return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
-
-
-def _is_val(text: str) -> bool:
-    # the q_train_val_split content-hash rule (duplicate texts land in one
-    # split, so dedup state never leaks across the boundary)
-    return hashlib.md5(text.encode()).hexdigest()[:2] < "1a"
 
 
 def q_decontaminate(sf_dir: str):

@@ -28,15 +28,23 @@ def _first_file(paths) -> str | None:
     return first if isinstance(first, str) else None
 
 
+def _under_hive_dir(path: str) -> bool:
+    # hive-partitioned layout (key=value directory components): the
+    # partition column exists only in directory names, so a file-footer
+    # schema would omit it while Ray still injects it into every block —
+    # declared schema and actual blocks would disagree. Skip the probe.
+    return any("=" in part for part in os.path.normpath(path).split(os.sep)[:-1])
+
+
 def read_parquet(paths, **kwargs) -> "rd.Dataset":
     """``ray.data.read_parquet`` with the file schema pre-read (a cheap
     footer-only driver-side read of ONE file) and its metadata stripped.
-    Any caller-supplied ``schema`` wins; on any schema-probe failure this
-    degrades to the plain read."""
+    Any caller-supplied ``schema`` wins; hive-partitioned inputs and any
+    schema-probe failure degrade to the plain read."""
     if "schema" not in kwargs:
         try:
             first = _first_file(paths)
-            if first is not None:
+            if first is not None and not _under_hive_dir(first):
                 schema = pq.read_schema(first)
                 if schema.metadata:
                     schema = schema.remove_metadata()

@@ -37,28 +37,38 @@ class Broadcast:
         return ray.get(self._ref)
 
 
-# Per-worker single-slot memo for task-pool stages that read a broadcast
-# per batch. ray.get re-DESERIALIZES non-zero-copy objects (dicts, Bloom
-# blobs) on every call even when the bytes are node-local; worker processes
-# are reused across batches, so one slot amortizes that to once per worker
-# per broadcast. Single slot (not a dict) so a long-lived worker never
-# accumulates stale broadcasts.
+# Per-worker memo for task-pool stages that read a broadcast per batch.
+# ray.get re-DESERIALIZES non-zero-copy objects (dicts, Bloom blobs) on
+# every call even when the bytes are node-local; worker processes are
+# reused across batches, so the memo amortizes that to once per worker per
+# broadcast. Capacity is a few entries (not one): a single streaming
+# pipeline can interleave stages reading DIFFERENT broadcasts on the same
+# worker (minhash verify reads a Bloom blob and a texts dict), and a
+# 1-slot memo would thrash between them, re-paying the deserialization it
+# exists to remove. Small cap so a long-lived worker never accumulates
+# stale broadcasts.
 _GET_MEMO: dict = {}
+_GET_MEMO_CAP = 4
 
 
 def cached_get(ref: "ray.ObjectRef", transform=None) -> Any:
-    """``ray.get`` with a per-worker-process single-slot deserialization
-    memo. Use inside task-pool ``map_batches`` functions that would
-    otherwise re-deserialize the same broadcast once per batch; actor-pool
-    stages should keep doing the get in ``__init__`` instead. ``transform``
+    """``ray.get`` with a per-worker-process deserialization memo. Use
+    inside task-pool ``map_batches`` functions that would otherwise
+    re-deserialize the same broadcast once per batch; actor-pool stages
+    should keep doing the get in ``__init__`` instead. ``transform``
     (e.g. ``BloomFilter.loads``) is applied once at fill time and must be
     a pure function of the object — the memo key is the ref alone."""
     key = ref.hex()
-    if _GET_MEMO.get("key") != key:
+    if key not in _GET_MEMO:
         val = ray.get(ref)
-        _GET_MEMO["key"] = key
-        _GET_MEMO["val"] = transform(val) if transform is not None else val
-    return _GET_MEMO["val"]
+        # transform before inserting: a transform failure must leave the
+        # memo untouched (a poisoned entry would survive into Ray's task
+        # retry on this same reused worker and return the wrong object)
+        val = transform(val) if transform is not None else val
+        if len(_GET_MEMO) >= _GET_MEMO_CAP:
+            _GET_MEMO.pop(next(iter(_GET_MEMO)))  # drop oldest insertion
+        _GET_MEMO[key] = val
+    return _GET_MEMO[key]
 
 
 def merged_bloom(ds, col: str, capacity: int) -> bytes:

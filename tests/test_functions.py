@@ -250,3 +250,32 @@ class TestDistributedQuantiles:
         df = relational.q_value_quantiles(sf_small)
         for q, v in zip(df["q"], df["value"]):
             assert v == float(vals[int(np.floor(q * (len(vals) - 1)))])
+
+
+def test_doc_grams_match_duckdb_trim_semantics():
+    """_doc_grams must equal the SQL oracle's string_split(trim(text), ' ')
+    8-gram derivation even on edge whitespace: DuckDB trim() strips only
+    SPACES, so a leading tab/newline stays a word edge (review regression)."""
+    import duckdb
+
+    from sifr_project_java_ontology_processing_ray.pipelines.textops import _doc_grams
+
+    for text in [
+        "\n lead tab\t a b c d e f g h",
+        "  plain a b c d e f g h  ",
+        "\ta b  c d e f g h\n",
+        "a b c d e f g",  # < 8 words → empty
+    ]:
+        want = {
+            r[0]
+            for r in duckdb.sql(
+                """
+                WITH s AS (SELECT string_split(trim($t), ' ') AS w),
+                g AS (SELECT array_to_string(w[i : i + 7], ' ') AS gram
+                      FROM s, LATERAL (SELECT unnest(generate_series(1, len(w) - 7)) AS i) t
+                      WHERE len(w) >= 8)
+                SELECT gram FROM g
+                """.replace("$t", repr(text).replace("\\n", "' || chr(10) || '").replace("\\t", "' || chr(9) || '")),
+            ).fetchall()
+        }
+        assert _doc_grams(text) == want, text
