@@ -291,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": textops.q_domain_stats,
         "decontaminate": textops.q_decontaminate,
         "latest_snapshot": textops.q_latest_snapshot,
+        "vocab_by_lang": textops.q_vocab_by_lang,
         "corpus_curation": curation.q_corpus_curation,
         "seq_oracle_pr": _q_seq_oracle_pr,
         # similarity search
@@ -347,6 +348,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": textops.SQL_DOMAIN_STATS,
         "decontaminate": textops.SQL_DECONTAMINATE,
         "latest_snapshot": textops.SQL_LATEST_SNAPSHOT,
+        "vocab_by_lang": textops.SQL_VOCAB_BY_LANG,
         "repetition_stats": textops.SQL_REPETITION_STATS,
         "train_val_split": textops.SQL_TRAIN_VAL_SPLIT,
         "stratified_sample": textops.SQL_STRATIFIED_SAMPLE,

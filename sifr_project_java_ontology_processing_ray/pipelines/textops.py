@@ -1545,3 +1545,66 @@ SELECT lower(regexp_replace(url, '\?.*$', '')) AS canonical_url,
        max_by(url, warc_ts) AS latest_url
 FROM pages GROUP BY 1 ORDER BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# per-language vocabulary top-k (SQL-checkable): the per-GROUP top-k shape
+# (vocab_top50 is global). Two-level: the (lang, token) count fold happens
+# in the bucketed shuffle, and each bucket emits only its per-lang top-k —
+# every (lang, token) total lives in exactly ONE bucket, so the global
+# per-lang top-k is a subset of the ≤ k × n_buckets candidates per lang
+# that reach the driver (never the token universe).
+# --------------------------------------------------------------------------
+
+VOCAB_LANG_K = 10
+
+
+def q_vocab_by_lang(sf_dir: str, k: int = VOCAB_LANG_K):
+    """(lang, token, n): the k most frequent tokens per language."""
+    import collections
+
+    from ..state.grouped import bucketed_map_groups
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: collections.Counter = collections.Counter()
+        for lang, t in zip(batch["lang"].to_pylist(), batch["text"].to_pylist()):
+            for tok in t.lower().split():
+                counts[(lang, tok)] += 1
+        keys = sorted(counts)
+        return pa.table(
+            {"lang": pa.array([a for a, _ in keys], pa.string()),
+             "token": pa.array([b for _, b in keys], pa.string()),
+             "p_cnt": pa.array([counts[x] for x in keys], pa.int64())}
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "token"], as_index=False)["p_cnt"].sum()
+        g = g.sort_values(["lang", "p_cnt", "token"], ascending=[True, False, True])
+        return g.groupby("lang", sort=False).head(k)  # per-bucket candidates
+
+    cands = bucketed_map_groups(
+        pio.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["lang", "token"],
+        combine,
+    )
+    df = cands.to_pandas().rename(columns={"p_cnt": "n"})
+    df = df.sort_values(["lang", "n", "token"], ascending=[True, False, True])
+    return df.groupby("lang", sort=False).head(k).reset_index(drop=True)
+
+
+SQL_VOCAB_BY_LANG = r"""
+WITH tok AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+), cnt AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+  FROM tok WHERE token <> '' GROUP BY 1, 2
+), r AS (
+  SELECT lang, token, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rn
+  FROM cnt
+)
+SELECT lang, token, n FROM r WHERE rn <= 10 ORDER BY lang, n DESC, token ASC
+"""

@@ -53,6 +53,7 @@ SUBSET = [
     "domain_stats",
     "decontaminate",
     "latest_snapshot",
+    "vocab_by_lang",
     "seq_oracle_pr",
 ]
 
