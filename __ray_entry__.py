@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": relational.q_approx_distinct_users,
         "asof_latest_order": relational.q_asof_latest_order,
         "value_quantiles": relational.q_value_quantiles,
+        "user_value_median": relational.q_user_value_median,
         # text / training-data ops
         "token_counts": textops.q_token_counts,
         "exact_dedup": textops.q_exact_dedup,
@@ -340,6 +341,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_distinct_users": relational.SQL_EXACT_DISTINCT_USERS,
         "asof_latest_order": relational.SQL_ASOF_LATEST_ORDER,
         "value_quantiles": relational.SQL_VALUE_QUANTILES,
+        "user_value_median": relational.SQL_USER_VALUE_MEDIAN,
         "token_counts": textops.SQL_TOKEN_COUNTS,
         "exact_dedup": textops.SQL_EXACT_DEDUP,
         "quality_filter": textops.SQL_QUALITY_FILTER,

@@ -1050,3 +1050,38 @@ SELECT q, value FROM s
 JOIN (VALUES (0.5), (0.9), (0.99)) AS qs(q)
   ON r = CAST(floor(q * (n - 1)) AS BIGINT)
 """
+
+
+# --------------------------------------------------------------------------
+# per-group exact median (grouped order statistic; high key cardinality →
+# the median computation folds into the bucketed shuffle, one pandas
+# median per user inside the bucket callback, never a per-key python call
+# from the driver)
+# --------------------------------------------------------------------------
+
+def q_user_value_median(sf_dir: str):
+    """(user_id, n_events, median_value) over events. Unlike the global
+    ``value_quantiles`` (histogram-refinement selection), the per-USER
+    median is a grouped order statistic: each user's values co-locate in
+    one bucket of the shuffle, so an exact in-memory median per group is
+    the right shape — per-group data is tiny even when the user count is
+    billions."""
+    from ..state.grouped import bucketed_map_groups
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).agg(
+            n_events=("value", "size"), median_value=("value", "median")
+        )
+        g["median_value"] = g["median_value"].round(3)
+        return g
+
+    out = bucketed_map_groups(
+        _read(sf_dir, "events", ["user_id", "value"]), ["user_id"], combine
+    )
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+SQL_USER_VALUE_MEDIAN = """
+SELECT user_id, count(*) AS n_events, round(median(value), 3) AS median_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""

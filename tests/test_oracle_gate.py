@@ -54,6 +54,7 @@ SUBSET = [
     "decontaminate",
     "latest_snapshot",
     "vocab_by_lang",
+    "user_value_median",
     "seq_oracle_pr",
 ]
 
