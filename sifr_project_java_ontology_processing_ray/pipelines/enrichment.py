@@ -435,10 +435,10 @@ def enrich_ontology(
     enrich_tables = build_enrich_tables(mrconso, mrsty, mappings, target_triples, cfg.language)
     tables_bc = Broadcast.put(enrich_tables)
 
-    from ..state.grouped import bucketed_map_groups
+    from ..state.grouped import bucketed_map_groups, dataset_from_table
 
     entities = bucketed_map_groups(
-        rd.from_arrow(source_triples), ["subj"], pivot_entities_bucket
+        dataset_from_table(source_triples), ["subj"], pivot_entities_bucket
     )
     enriched = entities.map_batches(
         Enricher,

@@ -39,6 +39,7 @@ from ..stages.canonicalize import ApplyCanonical, build_canonical_maps
 from ..stages.link import MentionLinker, build_link_tables
 from ..state import manifest as mf
 from ..state.broadcast import Broadcast
+from ..state.grouped import dataset_from_table
 
 PRED_TYPE = "rdf:type"
 PRED_LANG = "dc:language"
@@ -557,7 +558,7 @@ def build_kg(
         )
 
     t_small = linked.map_batches(_emit_small, batch_format="pyarrow", batch_size=None)
-    t_umls = rd.from_arrow(_umls_triples(maps["cui"], mrsty))
+    t_umls = dataset_from_table(_umls_triples(maps["cui"], mrsty))
 
     # page triples (unique urls) and mention triples (page-atomic blocks,
     # see invariant above) are distinct by construction — only the small

@@ -27,7 +27,7 @@ import ray.data as rd
 
 from ..functions.codes import composite_code, mine_cuis, normalize_code
 from ..state.broadcast import Broadcast
-from ..state.grouped import bucketed_map_groups
+from ..state.grouped import bucketed_map_groups, dataset_from_table
 from .enrichment import build_enrich_tables, pivot_entities_bucket
 
 COUNTERS = (
@@ -107,10 +107,10 @@ def reconcile(
         return _tag
 
     src = bucketed_map_groups(
-        rd.from_arrow(source_triples), ["subj"], pivot_entities_bucket
+        dataset_from_table(source_triples), ["subj"], pivot_entities_bucket
     ).map_batches(tag("source"), batch_format="pyarrow")
     tgt = bucketed_map_groups(
-        rd.from_arrow(target_triples), ["subj"], pivot_entities_bucket
+        dataset_from_table(target_triples), ["subj"], pivot_entities_bucket
     ).map_batches(tag("target"), batch_format="pyarrow")
 
     from ray.data.aggregate import Sum

@@ -72,3 +72,28 @@ def bucketed_map_groups(
         .groupby("__gbucket")
         .map_groups(run_bucket, batch_format="pandas")
     )
+
+
+def dataset_from_table(table: pa.Table, target_rows: int = 8192, max_blocks: int | None = None):
+    """``ray.data.from_arrow`` with the table pre-sliced into blocks.
+
+    A single arrow table becomes ONE block, which serializes every fused
+    downstream map stage (the bucket-assign pass above ran 2.1× slower on
+    one block than on 32 at 160k rows). Zero-copy slices sized to
+    ``target_rows`` (capped at the cluster CPU count by default) restore
+    read-side parallelism without a repartition shuffle."""
+    import ray
+    import ray.data as rd
+
+    if max_blocks is None:
+        try:
+            max_blocks = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            max_blocks = 8
+    n = max(1, min(max_blocks, (table.num_rows + target_rows - 1) // target_rows))
+    if n == 1:
+        return rd.from_arrow(table)
+    step = (table.num_rows + n - 1) // n
+    return rd.from_arrow(
+        [table.slice(i * step, step) for i in range(n) if i * step < table.num_rows]
+    )
