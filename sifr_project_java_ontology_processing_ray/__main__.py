@@ -159,7 +159,9 @@ def cmd_clean(args) -> int:
 
         ds = pio.read_parquet(args.input)
     else:  # RDF text formats, like the reference's cleaner input
-        ds = rd.from_arrow(_load_triples(args.input))
+        from .state.grouped import dataset_from_table
+
+        ds = dataset_from_table(_load_triples(args.input))
     out = repair_missing_pref_labels(clean_multilingual(ds, args.l))
     if args.out:
         out.write_parquet(args.out)
