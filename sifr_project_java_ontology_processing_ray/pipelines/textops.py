@@ -330,6 +330,9 @@ SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
   SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
   FROM documents WHERE trim(text) <> ''
 )
+WHERE token <> ''  -- DuckDB trim() strips only spaces; python .split() never
+                   -- emits empties — keep the restatements aligned on edge
+                   -- tabs/newlines
 GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
 """
 
