@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "cosine_neardup_exact",
     "event_sessions",
     "pages_exact_dedup",
+    "pii_redact",
+    "decontaminate",
+    "latest_snapshot",
 ]
 
 
