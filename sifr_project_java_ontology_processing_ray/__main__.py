@@ -149,8 +149,6 @@ def cmd_generate(args) -> int:
 
 
 def cmd_clean(args) -> int:
-    import ray.data as rd
-
     from .pipelines.cleaner import clean_multilingual, repair_missing_pref_labels
 
     _init_ray(args.num_cpus)

@@ -475,7 +475,7 @@ def enrich_ontology(
         }
     )
     if map_rows.num_rows:
-        triples = triples.union(rd.from_arrow(map_rows))
+        triples = triples.union(dataset_from_table(map_rows))
 
     unmatched = enriched.map_batches(
         lambda b: b.filter(

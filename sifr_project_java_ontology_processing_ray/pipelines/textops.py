@@ -63,11 +63,15 @@ def q_token_counts(sf_dir: str):
     )
 
 
-SQL_TOKEN_COUNTS = r"""
+# python str.split() semantics in DuckDB: trim() strips only SPACES, so an
+# edge tab/newline leaves an empty first/last element after the \s+ split —
+# filter empties so every SQL restatement tokenizes exactly like .split()
+# (one definition, used by every word-based oracle below)
+_SQL_WORDS = r"list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '')"
+
+SQL_TOKEN_COUNTS = rf"""
 SELECT lang,
-       CAST(sum(CASE WHEN trim(text) = '' THEN 0
-                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
-            AS BIGINT) AS total_tokens,
+       CAST(sum(len({_SQL_WORDS})) AS BIGINT) AS total_tokens,
        count(*) AS n_docs
 FROM documents GROUP BY lang
 """
@@ -173,13 +177,15 @@ def q_repetition_stats(sf_dir: str):
     return df[["source", "n_docs", "n_high_rep", "mean_dup_ratio"]]
 
 
-SQL_REPETITION_STATS = r"""
-WITH d AS (
+SQL_REPETITION_STATS = rf"""
+WITH w AS (
+  SELECT source, {_SQL_WORDS} AS words FROM documents
+), d AS (
   SELECT source,
-         CASE WHEN trim(text) = '' THEN 0.0
-              ELSE 1.0 - CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
-                         / len(regexp_split_to_array(trim(text), '\s+')) END AS r
-  FROM documents
+         CASE WHEN len(words) = 0 THEN 0.0
+              ELSE 1.0 - CAST(len(list_distinct(words)) AS DOUBLE)
+                         / len(words) END AS r
+  FROM w
 )
 SELECT source, count(*) AS n_docs,
        CAST(sum(CASE WHEN r > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_rep,
@@ -296,15 +302,15 @@ FROM documents GROUP BY source
 VOCAB_K = 50
 
 
-def q_vocab_top50(sf_dir: str):
-    """Top-50 whitespace tokens by document frequency-weighted count:
-    per-batch Counter combiner (the explode never leaves the task), small
-    groupby over distinct tokens, tiny global sort. (token, count) pairs
-    are unique, so the top-k boundary is deterministic."""
+def _token_count_partial(batch: pa.Table, key_col: str | None = None) -> pa.Table:
+    """THE vocabulary tokenization (``text.lower().split()`` — one
+    definition kept in parity with the ``token <> ''`` filter in both
+    vocab oracles) as a per-batch Counter combiner: the explode never
+    leaves the task. ``key_col`` groups counts per (key, token)."""
     import collections
 
-    def partial(batch: pa.Table) -> pa.Table:
-        counts: collections.Counter = collections.Counter()
+    counts: collections.Counter = collections.Counter()
+    if key_col is None:
         for t in batch["text"].to_pylist():
             counts.update(t.lower().split())
         toks = sorted(counts)
@@ -312,12 +318,27 @@ def q_vocab_top50(sf_dir: str):
             {"token": pa.array(toks, pa.string()),
              "p_cnt": pa.array([counts[t] for t in toks], pa.int64())}
         )
+    for k, t in zip(batch[key_col].to_pylist(), batch["text"].to_pylist()):
+        for tok in t.lower().split():
+            counts[(k, tok)] += 1
+    keys = sorted(counts)
+    return pa.table(
+        {key_col: pa.array([a for a, _ in keys], pa.string()),
+         "token": pa.array([b for _, b in keys], pa.string()),
+         "p_cnt": pa.array([counts[x] for x in keys], pa.int64())}
+    )
 
+
+def q_vocab_top50(sf_dir: str):
+    """Top-50 whitespace tokens by document frequency-weighted count:
+    per-batch Counter combiner, small groupby over distinct tokens, tiny
+    global sort. (token, count) pairs are unique, so the top-k boundary is
+    deterministic."""
     from ray.data.aggregate import Sum
 
     agg = (
         pio.read_parquet(_p(sf_dir, "documents"), columns=["text"])
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(_token_count_partial, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("p_cnt", alias_name="n"))
     )
@@ -435,14 +456,13 @@ def q_doc_chunks(sf_dir: str):
 
 # chunk count per doc = |{start ∈ {0, stride, 2·stride, ...} : start <
 # max(1, n_tokens - overlap)}| = ceil(max(1, n - 16) / 48) for n > 0
-SQL_DOC_CHUNKS = r"""
+SQL_DOC_CHUNKS = rf"""
 SELECT source,
-       CAST(sum(CASE WHEN trim(text) = '' THEN 0
-                ELSE CAST(ceil(greatest(1,
-                     len(regexp_split_to_array(trim(text), '\s+')) - 16) / 48.0)
+       CAST(sum(CASE WHEN len(words) = 0 THEN 0
+                ELSE CAST(ceil(greatest(1, len(words) - 16) / 48.0)
                      AS BIGINT) END) AS BIGINT) AS n_chunks,
        count(*) AS n_docs
-FROM documents GROUP BY source
+FROM (SELECT source, {_SQL_WORDS} AS words FROM documents) GROUP BY source
 """
 
 
@@ -579,19 +599,19 @@ SQL_LANGID = _sql_langid()
 # the n_words gate, mirrored by the explicit CASE. Python's unicode
 # str.isalpha()/\w vs RE2's ASCII classes agree on this corpus (ASCII by
 # construction — same assumption as SQL_FINGERPRINTS).
-SQL_QUALITY_SCORES = r"""
-WITH f AS (
+SQL_QUALITY_SCORES = rf"""
+WITH w AS (
+  SELECT source, text, {_SQL_WORDS} AS words FROM documents
+), f AS (
   SELECT source,
-    CASE WHEN trim(text) = '' THEN 0
-         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+    len(words) AS n_words,
     len(text) AS n,
     len(regexp_extract_all(text, '[^\w\s]')) AS punct,
     len(regexp_extract_all(text, '[A-Za-z]')) AS alpha,
-    CASE WHEN trim(text) = '' THEN 0.0
-         ELSE CAST(list_aggregate(list_transform(
-                regexp_split_to_array(trim(text), '\s+'), x -> len(x)), 'sum') AS DOUBLE)
-              / len(regexp_split_to_array(trim(text), '\s+')) END AS mwl
-  FROM documents
+    CASE WHEN len(words) = 0 THEN 0.0
+         ELSE CAST(list_aggregate(list_transform(words, x -> len(x)), 'sum')
+                   AS DOUBLE) / len(words) END AS mwl
+  FROM w
 ), g AS (
   SELECT source,
     CASE WHEN n = 0 THEN 0.0 ELSE
@@ -1065,8 +1085,8 @@ def q_ngram_jaccard(sf_dir: str, threshold: float = NGRAM_JACCARD_THRESHOLD):
 # jaccard is the same single double division, so values hash-match.
 SQL_NGRAM_JACCARD = rf"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-  FROM documents WHERE trim(text) <> ''
+  SELECT doc_id, t FROM (SELECT doc_id, {_SQL_WORDS} AS t FROM documents)
+  WHERE len(t) > 0
 ),
 sh AS (
   SELECT DISTINCT doc_id,
@@ -1563,22 +1583,14 @@ VOCAB_LANG_K = 10
 
 
 def q_vocab_by_lang(sf_dir: str, k: int = VOCAB_LANG_K):
-    """(lang, token, n): the k most frequent tokens per language."""
-    import collections
+    """(lang, token, n): the k most frequent tokens per language. The SQL
+    oracle interpolates ``VOCAB_LANG_K``; a non-default ``k`` is for
+    library callers only (it desynchronizes the oracle by design)."""
+    import functools
 
     from ..state.grouped import bucketed_map_groups
 
-    def partial(batch: pa.Table) -> pa.Table:
-        counts: collections.Counter = collections.Counter()
-        for lang, t in zip(batch["lang"].to_pylist(), batch["text"].to_pylist()):
-            for tok in t.lower().split():
-                counts[(lang, tok)] += 1
-        keys = sorted(counts)
-        return pa.table(
-            {"lang": pa.array([a for a, _ in keys], pa.string()),
-             "token": pa.array([b for _, b in keys], pa.string()),
-             "p_cnt": pa.array([counts[x] for x in keys], pa.int64())}
-        )
+    partial = functools.partial(_token_count_partial, key_col="lang")
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["lang", "token"], as_index=False)["p_cnt"].sum()
@@ -1597,7 +1609,7 @@ def q_vocab_by_lang(sf_dir: str, k: int = VOCAB_LANG_K):
     return df.groupby("lang", sort=False).head(k).reset_index(drop=True)
 
 
-SQL_VOCAB_BY_LANG = r"""
+SQL_VOCAB_BY_LANG = rf"""
 WITH tok AS (
   SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
   FROM documents WHERE trim(text) <> ''
@@ -1609,5 +1621,6 @@ WITH tok AS (
          row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rn
   FROM cnt
 )
-SELECT lang, token, n FROM r WHERE rn <= 10 ORDER BY lang, n DESC, token ASC
+SELECT lang, token, n FROM r WHERE rn <= {VOCAB_LANG_K}
+ORDER BY lang, n DESC, token ASC
 """
