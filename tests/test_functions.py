@@ -279,3 +279,19 @@ def test_doc_grams_match_duckdb_trim_semantics():
             ).fetchall()
         }
         assert _doc_grams(text) == want, text
+
+
+def test_dataset_from_table_lossless(ray_session):
+    """Block slicing must preserve rows/order-insensitive content for
+    empty, single-row, boundary, and multi-block tables."""
+    import pyarrow as pa
+
+    from sifr_project_java_ontology_processing_ray.state.grouped import dataset_from_table
+
+    for n in (0, 1, 8191, 8192, 8193, 40000):
+        t = pa.table({"x": list(range(n))})
+        ds = dataset_from_table(t, target_rows=8192)
+        got = sorted(r["x"] for r in ds.take_all())
+        assert got == list(range(n)), n
+        if n >= 40000:
+            assert ds.num_blocks() > 1
