@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "pii_redact",
     "decontaminate",
     "latest_snapshot",
+    "unigram_lm_score",
 ]
 
 

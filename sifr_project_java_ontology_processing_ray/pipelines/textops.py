@@ -359,6 +359,105 @@ GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
 
 
 # --------------------------------------------------------------------------
+# unigram LM quality scoring (CCNet-style: mean token log-probability)
+# --------------------------------------------------------------------------
+
+LM_VOCAB_K = 20_000
+
+
+class _LMScorer:
+    """Actor-pool scorer: the (logprob dict, OOV floor) broadcast is read
+    ONCE per actor from the object store; per batch it's a dict.get per
+    token. At 100 TB the dict is top-V bounded (LM_VOCAB_K), not
+    vocabulary-bounded — the distributed sort+limit below never brings the
+    full distinct-token set to the driver."""
+
+    def __init__(self, bc):
+        self.logp, self.floor = bc.value
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        get, floor = self.logp.get, self.floor
+        ids, scores = [], []
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = t.lower().split()
+            if not toks:
+                continue  # whitespace-only docs score nothing (oracle parity)
+            ids.append(did)
+            scores.append(sum(get(w, floor) for w in toks) / len(toks))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "lm_score": pa.array(scores, pa.float64())}
+        )
+
+
+def q_unigram_lm_score(sf_dir: str, vocab_k: int = LM_VOCAB_K):
+    """(doc_id, lm_score): mean ln p(token) per document under the corpus's
+    own unigram model — the CCNet-style quality signal used to rank web
+    text against a reference LM. Two passes:
+
+    1. distributed unigram counts (per-batch Counter combiner → small
+       groupby over distinct tokens), then a DISTRIBUTED ``sort + limit``
+       keeps only the top-``vocab_k`` (count desc, token asc — the
+       deterministic tie-break shared with the vocab queries); the driver
+       sees vocab_k rows, never the distinct-token set;
+    2. broadcast {token: ln(count/total)} (+ ln(1/total) OOV floor) and
+       score every document in an actor pool.
+
+    p(token) = count/total over ALL tokens (the top-V cut bounds the
+    broadcast, not the denominator), so scores are scale-invariant."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from ..state.broadcast import Broadcast
+
+    counts = (
+        pio.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+        .map_batches(_token_count_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("p_cnt", alias_name="n"))
+        .materialize()  # reused by the total-sum AND the top-V sort
+    )
+    total = counts.sum("n")
+    vocab = (
+        counts.sort(["n", "token"], descending=[True, False])
+        .limit(vocab_k)
+        .to_pandas()
+    )
+    logp = {t: math.log(c / total) for t, c in zip(vocab["token"], vocab["n"])}
+    bc = Broadcast.put((logp, math.log(1.0 / total)))
+    return (
+        pio.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(
+            _LMScorer,
+            fn_constructor_args=(bc,),
+            concurrency=(2, 8),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_UNIGRAM_LM = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            w -> w <> '')) AS token
+  FROM documents WHERE trim(text) <> ''
+), counts AS (
+  SELECT token, count(*) AS c FROM toks GROUP BY token
+), total AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS t FROM counts
+), vocab AS (
+  SELECT token, c FROM counts ORDER BY c DESC, token ASC LIMIT 20000
+)
+SELECT toks.doc_id,
+       avg(ln(CAST(COALESCE(v.c, 1) AS DOUBLE) / total.t)) AS lm_score
+FROM toks LEFT JOIN vocab v USING (token), total
+GROUP BY toks.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # near-duplicate clustering: verified MinHash pairs → connected components
 # --------------------------------------------------------------------------
 

@@ -56,6 +56,7 @@ SUBSET = [
     "vocab_by_lang",
     "user_value_median",
     "seq_oracle_pr",
+    "unigram_lm_score",
 ]
 
 

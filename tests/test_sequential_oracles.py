@@ -145,3 +145,36 @@ def test_sequence_pack_matches_sequential(ray_session, sf_small, docs):
     pd.testing.assert_frame_equal(
         got.astype("int64"), want.astype("int64"), check_names=False
     )
+
+
+def test_unigram_lm_score_matches_sequential(ray_session, sf_small, docs):
+    """Full-vocab case AND the top-V/OOV-floor case (vocab_k=1: only the
+    single most frequent token keeps its own logprob; everything else
+    scores the ln(1/total) floor)."""
+    import math
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for t in docs["text"]:
+        counts.update(t.lower().split())
+    total = sum(counts.values())
+
+    for vocab_k in (10**9, 1):
+        got = _to_df(textops.q_unigram_lm_score(sf_small, vocab_k=vocab_k))
+        kept = dict(
+            sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_k]
+        )
+        floor = math.log(1.0 / total)
+        rows = []
+        for _, row in docs.iterrows():
+            toks = row["text"].lower().split()
+            if not toks:
+                continue
+            s = sum(
+                math.log(kept[w] / total) if w in kept else floor for w in toks
+            ) / len(toks)
+            rows.append((row["doc_id"], s))
+        want = pd.DataFrame(rows, columns=["doc_id", "lm_score"])
+        merged = got.merge(want, on="doc_id", suffixes=("_got", "_want"))
+        assert len(merged) == len(want) == len(got)
+        assert (merged["lm_score_got"] - merged["lm_score_want"]).abs().max() < 1e-9
