@@ -365,29 +365,29 @@ GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
 LM_VOCAB_K = 20_000
 
 
-class _LMScorer:
-    """Actor-pool scorer: the (logprob dict, OOV floor) broadcast is read
-    ONCE per actor from the object store; per batch it's a dict.get per
-    token. At 100 TB the dict is top-V bounded (LM_VOCAB_K), not
-    vocabulary-bounded — the distributed sort+limit below never brings the
-    full distinct-token set to the driver."""
+def _lm_score_batch(batch: pa.Table, ref) -> pa.Table:
+    """Task-pool scorer: the (logprob dict, OOV floor) broadcast is
+    deserialized once per worker process via the cached_get memo (no
+    actor-pool spawn floor for this cheap stage); per batch it's a
+    dict.get per token. At 100 TB the dict is top-V bounded (LM_VOCAB_K),
+    not vocabulary-bounded — the distributed sort+limit in
+    q_unigram_lm_score never brings the full distinct-token set to the
+    driver."""
+    from ..state.broadcast import cached_get
 
-    def __init__(self, bc):
-        self.logp, self.floor = bc.value
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        get, floor = self.logp.get, self.floor
-        ids, scores = [], []
-        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            toks = t.lower().split()
-            if not toks:
-                continue  # whitespace-only docs score nothing (oracle parity)
-            ids.append(did)
-            scores.append(sum(get(w, floor) for w in toks) / len(toks))
-        return pa.table(
-            {"doc_id": pa.array(ids, pa.int64()),
-             "lm_score": pa.array(scores, pa.float64())}
-        )
+    logp, floor = cached_get(ref)
+    get = logp.get
+    ids, scores = [], []
+    for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        toks = t.lower().split()
+        if not toks:
+            continue  # whitespace-only docs score nothing (oracle parity)
+        ids.append(did)
+        scores.append(sum(get(w, floor) for w in toks) / len(toks))
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()),
+         "lm_score": pa.array(scores, pa.float64())}
+    )
 
 
 def q_unigram_lm_score(sf_dir: str, vocab_k: int = LM_VOCAB_K):
@@ -405,11 +405,11 @@ def q_unigram_lm_score(sf_dir: str, vocab_k: int = LM_VOCAB_K):
 
     p(token) = count/total over ALL tokens (the top-V cut bounds the
     broadcast, not the denominator), so scores are scale-invariant."""
+    import functools
     import math
 
+    import ray
     from ray.data.aggregate import Sum
-
-    from ..state.broadcast import Broadcast
 
     counts = (
         pio.read_parquet(_p(sf_dir, "documents"), columns=["text"])
@@ -425,13 +425,11 @@ def q_unigram_lm_score(sf_dir: str, vocab_k: int = LM_VOCAB_K):
         .to_pandas()
     )
     logp = {t: math.log(c / total) for t, c in zip(vocab["token"], vocab["n"])}
-    bc = Broadcast.put((logp, math.log(1.0 / total)))
+    ref = ray.put((logp, math.log(1.0 / total)))
     return (
         pio.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
         .map_batches(
-            _LMScorer,
-            fn_constructor_args=(bc,),
-            concurrency=(2, 8),
+            functools.partial(_lm_score_batch, ref=ref),
             batch_format="pyarrow",
         )
     )
