@@ -80,11 +80,14 @@ def _q_generation(sf_dir: str):
 
 def _q_cleaner(sf_dir: str):
     import pyarrow as pa
-    import ray.data as rd
+
+    from sifr_project_java_ontology_processing_ray.state.grouped import dataset_from_table
 
     fx = testgen.ontology_fixture()
     extra = testgen.cleaner_fixture()
-    ds = rd.from_arrow(pa.concat_tables([fx["source_triples"], extra]))
+    # pre-sliced from_arrow: one block would serialize both bucketed
+    # map_groups passes below (same fix as the CLI cleaner input)
+    ds = dataset_from_table(pa.concat_tables([fx["source_triples"], extra]))
     return cleaner.repair_missing_pref_labels(cleaner.clean_multilingual(ds, "en"))
 
 
@@ -196,8 +199,6 @@ def _q_seq_oracle_pr(sf_dir: str):
 def _q_multimodal(sf_dir: str):
     import os
 
-    import ray.data as rd
-
     from sifr_project_java_ontology_processing_ray.stages.multimodal import (
         FakeImageDecoder,
         resize_metadata,
@@ -216,8 +217,6 @@ def _q_multimodal(sf_dir: str):
 def _q_audio_decode(sf_dir: str):
     import os
 
-    import ray.data as rd
-
     from sifr_project_java_ontology_processing_ray.stages.multimodal import FakeAudioDecoder
 
     audio_path = os.path.join(testgen.fixture_dir(), "audio.parquet")
@@ -229,8 +228,6 @@ def _q_audio_decode(sf_dir: str):
 
 def _q_frame_sample(sf_dir: str):
     import os
-
-    import ray.data as rd
 
     from sifr_project_java_ontology_processing_ray.stages.multimodal import FakeFrameSampler
 

@@ -20,12 +20,28 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 
-def _first_file(paths) -> str | None:
-    first = paths[0] if isinstance(paths, (list, tuple)) else paths
+def _probe_files(paths) -> tuple[str | None, str | None]:
+    """(first, last) shard paths to schema-probe. Probing BOTH ends guards
+    against schema evolution across shards (a column widened or added in
+    newer files): if the two footers disagree the caller must not pin a
+    single schema, or every newer shard would be read with the stale one."""
+    if isinstance(paths, (list, tuple)):
+        first, last = paths[0], paths[-1]
+    else:
+        first = last = paths
     if isinstance(first, str) and os.path.isdir(first):
         shards = sorted(glob.glob(os.path.join(first, "**", "*.parquet"), recursive=True))
-        return shards[0] if shards else None
-    return first if isinstance(first, str) else None
+        if not shards:
+            return None, None
+        first = shards[0]
+        if last == paths or last is first:
+            last = shards[-1]
+    if not isinstance(first, str) or not isinstance(last, str):
+        return None, None
+    if os.path.isdir(last):
+        shards = sorted(glob.glob(os.path.join(last, "**", "*.parquet"), recursive=True))
+        last = shards[-1] if shards else None
+    return first, last
 
 
 def _under_hive_dir(path: str) -> bool:
@@ -37,15 +53,22 @@ def _under_hive_dir(path: str) -> bool:
 
 
 def read_parquet(paths, **kwargs) -> "rd.Dataset":
-    """``ray.data.read_parquet`` with the file schema pre-read (a cheap
-    footer-only driver-side read of ONE file) and its metadata stripped.
-    Any caller-supplied ``schema`` wins; hive-partitioned inputs and any
-    schema-probe failure degrade to the plain read."""
+    """``ray.data.read_parquet`` with the file schema pre-read (cheap
+    footer-only driver-side reads of the FIRST and LAST shard) and its
+    metadata stripped. Any caller-supplied ``schema`` wins;
+    hive-partitioned inputs, first/last footer disagreement (schema
+    evolution across shards — Ray's own per-block unification must handle
+    those), and any schema-probe failure degrade to the plain read."""
     if "schema" not in kwargs:
         try:
-            first = _first_file(paths)
+            first, last = _probe_files(paths)
             if first is not None and not _under_hive_dir(first):
                 schema = pq.read_schema(first)
+                if last is not None and last != first:
+                    # metadata-insensitive compare: a pandas-version blob
+                    # difference is not schema evolution
+                    if pq.read_schema(last).remove_metadata() != schema.remove_metadata():
+                        return rd.read_parquet(paths, **kwargs)
                 if schema.metadata:
                     schema = schema.remove_metadata()
                 cols = kwargs.get("columns")

@@ -33,6 +33,7 @@ from __future__ import annotations
 import bz2
 import gzip
 import re
+import urllib.error
 
 import pyarrow as pa
 import ray.data as rd
@@ -605,7 +606,11 @@ def read_rdf(
         suffix = _os.path.splitext(url.split("?")[0])[1] or ".rdf"
         fd, tmp = tempfile.mkstemp(suffix=suffix)
         _os.close(fd)
-        urllib.request.urlretrieve(url, tmp)
+        try:
+            urllib.request.urlretrieve(url, tmp)
+        except BaseException:
+            _os.unlink(tmp)  # don't leak the temp file on a failed fetch
+            raise
         return tmp
 
     def parse_file(path: str) -> tuple[list[tuple[str, str, str, str | None, bool]], int]:
@@ -657,6 +662,13 @@ def read_rdf(
                 rows, bad = parse_file(path)
             except (FileNotFoundError, PermissionError, IsADirectoryError):
                 raise  # unreadable path: fail the read (ADVICE r3)
+            except urllib.error.URLError:
+                # a failed URL fetch is UNREADABLE INPUT, not a parse-level
+                # problem — fail the read loudly rather than yielding a
+                # silently-empty dataset (corrupt gzip/bz2 payloads stay on
+                # the skip path below: the bytes were delivered, the
+                # CONTENT is bad)
+                raise
             except Exception as exc:  # parse-level failure (bad XML, bad bytes)
                 import logging
 
@@ -678,13 +690,21 @@ def read_rdf(
                 "skipped %d unparseable statements/lines", bad_total
             )
         if stats_name and (bad_total or skipped_files):
+            import ray as _ray
+
             from ..state.counters import counter_channel
 
             ch = counter_channel(stats_name)
+            refs = []
             if bad_total:
-                ch.add.remote("n_bad_statements", bad_total)
+                refs.append(ch.add.remote("n_bad_statements", bad_total))
             if skipped_files:
-                ch.add.remote("n_skipped_files", skipped_files)
+                refs.append(ch.add.remote("n_skipped_files", skipped_files))
+            # wait for the increments: the parse task must not COMPLETE
+            # until its counts are applied, so a driver that consumed the
+            # dataset reads totals with nothing still in flight (this path
+            # only runs for files with problems — the hot path pays nothing)
+            _ray.get(refs)
         return pa.table(
             {
                 "subj": pa.array(s, pa.string()),
@@ -695,6 +715,14 @@ def read_rdf(
             }
         )
 
+    if stats_name:
+        # create the channel actor from the DRIVER so it is owned by the
+        # driver process, not by whichever worker task first touches it
+        # (a worker-owned named actor dies -- with its counts -- when Ray
+        # reaps that idle worker mid-run)
+        from ..state.counters import counter_channel
+
+        counter_channel(stats_name)
     return rd.from_items([{"path": p} for p in paths]).map_batches(
         parse_files, batch_format="pyarrow", batch_size=1
     )

@@ -127,7 +127,7 @@ def _parse_cc_range(path: str, start: int, end: int):
                 i = data.find(_GZ_MAGIC, i + 1)
 
 
-def _looks_like_header_block(f, pos: int) -> bool:
+def _looks_like_header_block(f) -> bool:
     """Validate a candidate ``WARC/`` boundary found by the post-seek sync:
     a real record version line is followed by a header block containing a
     ``WARC-Type``/``Content-Length`` header before the first blank line. A
@@ -169,7 +169,7 @@ def _parse_plain_range(path: str, start: int, end: int):
                 if (
                     line.startswith(b"WARC/")
                     and pos >= start
-                    and _looks_like_header_block(f, pos)
+                    and _looks_like_header_block(f)
                 ):
                     f.seek(pos)
                     break

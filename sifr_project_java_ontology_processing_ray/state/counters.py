@@ -29,11 +29,24 @@ class _CounterActor:
         self._c = {}
 
 
+# Handle retention: a NAMED but non-detached actor is garbage-collected as
+# soon as the last live handle drops, so a function-local handle (create →
+# add → return) silently destroys the channel between calls and every later
+# caller gets a FRESH empty actor. Each process (driver and workers) pins
+# the handles it has seen for its own lifetime; the driver's pin — made at
+# read construction, see read_rdf — is what keeps the channel alive across
+# the run.
+_CHANNELS: dict[str, "ray.actor.ActorHandle"] = {}
+
+
 def counter_channel(name: str):
-    """Get-or-create the named counter actor for ``name``."""
-    return _CounterActor.options(
-        name=f"graft_counters::{name}", get_if_exists=True
-    ).remote()
+    """Get-or-create the named counter actor for ``name`` (handle pinned
+    for this process's lifetime)."""
+    if name not in _CHANNELS:
+        _CHANNELS[name] = _CounterActor.options(
+            name=f"graft_counters::{name}", get_if_exists=True
+        ).remote()
+    return _CHANNELS[name]
 
 
 def side_counts(name: str) -> dict[str, int]:

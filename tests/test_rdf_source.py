@@ -313,3 +313,59 @@ def test_read_rdf_directory_and_file_url(ray_session, tmp_path):
     assert sorted(df["subj"]) == ["http://a", "http://b"]
     df2 = read_rdf(f"file://{tmp_path}/a.nt", contract=False).to_pandas()
     assert list(df2["subj"]) == ["http://a"]
+
+
+def test_side_counts_complete_after_consumption(ray_session, tmp_path):
+    """The named counter channel must hold the FINAL counts as soon as the
+    dataset is consumed: the parse task blocks on its increments (no
+    fire-and-forget race) and the actor is driver-owned (survives worker
+    reaping)."""
+    good = tmp_path / "good.nt"
+    good.write_text('<http://a> <http://p> "v" .\n')
+    mixed = tmp_path / "mixed.nt"
+    mixed.write_text('<http://b> <http://p> "w" .\nthis is not a triple\n')
+    from sifr_project_java_ontology_processing_ray.sources.rdf import read_rdf
+    from sifr_project_java_ontology_processing_ray.state.counters import (
+        reset_counts,
+        side_counts,
+    )
+
+    name = "t_side_counts"
+    reset_counts(name)
+    df = read_rdf([str(good), str(mixed)], contract=False, stats_name=name).to_pandas()
+    assert len(df) == 2
+    counts = side_counts(name)
+    assert counts.get("n_bad_statements") == 1
+    assert "n_skipped_files" not in counts
+
+
+def test_url_fetch_failure_fails_the_read(ray_session):
+    """A dead URL is unreadable INPUT: the read must raise, not return a
+    silently-empty dataset."""
+    import pytest as _pytest
+    import ray as _ray
+
+    from sifr_project_java_ontology_processing_ray.sources.rdf import read_rdf
+
+    ds = read_rdf("http://nonexistent.invalid/onto.ttl", contract=False)
+    with _pytest.raises((_ray.exceptions.RayTaskError, OSError)):
+        ds.materialize()
+
+
+def test_parquet_schema_evolution_falls_back(ray_session, tmp_path):
+    """First/last footer disagreement (column added in newer shards) must
+    NOT pin the stale first-shard schema — the read degrades to Ray's own
+    per-block unification and every column survives."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sifr_project_java_ontology_processing_ray.sources import parquet_io as pio
+
+    pq.write_table(pa.table({"a": pa.array([1, 2], pa.int64())}),
+                   str(tmp_path / "p0.parquet"))
+    pq.write_table(pa.table({"a": pa.array([3, 4], pa.int64()),
+                             "b": pa.array(["x", "y"])}),
+                   str(tmp_path / "p1.parquet"))
+    df = pio.read_parquet(str(tmp_path)).to_pandas().sort_values("a")
+    assert list(df["a"]) == [1, 2, 3, 4]
+    assert list(df["b"].dropna()) == ["x", "y"]
