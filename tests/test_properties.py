@@ -225,3 +225,42 @@ def test_bucket_ids_cross_process_stable():
         for _ in range(2)
     }
     assert len(outs) == 1
+
+
+class TestDistributedSelection:
+    """Exact k-th selection (histogram refinement) vs plain sort, across
+    random data shapes and random block splits — the block-boundary /
+    parallelism sensitivity the fixed-SF oracle gate cannot exercise."""
+
+    @given(
+        vals=st.lists(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+                      allow_infinity=False, width=32),
+            min_size=1, max_size=300,
+        ),
+        kfrac=st.floats(min_value=0.0, max_value=1.0),
+        blocks=st.integers(min_value=1, max_value=7),
+        data=st.data(),
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_matches_sorted_pick(self, ray_session, vals, kfrac, blocks, data):
+        import pyarrow as pa
+
+        from sifr_project_java_ontology_processing_ray.pipelines.relational import (
+            distributed_kth_value,
+        )
+        from sifr_project_java_ontology_processing_ray.state.grouped import (
+            dataset_from_table,
+        )
+
+        # duplicate-heavy variant half the time: equal values stress the
+        # surviving-bin early exit
+        if data.draw(st.booleans()):
+            vals = vals + vals[: len(vals) // 2]
+        k = min(len(vals) - 1, int(kfrac * len(vals)))
+        tbl = pa.table({"v": pa.array(vals, pa.float64())})
+        ds = dataset_from_table(
+            tbl, target_rows=max(1, len(vals) // blocks)
+        )
+        got = distributed_kth_value(ds, "v", k)
+        assert got == sorted(vals)[k]
