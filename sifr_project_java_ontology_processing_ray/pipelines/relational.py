@@ -679,10 +679,13 @@ def q_event_windows_sliding(sf_dir: str):
 
 # epoch arithmetic instead of time_bucket: 86400 % 900 == 0, so flooring
 # epoch seconds to 900 equals Arrow's midnight-anchored 15-min floor with
-# no origin-convention doubt; CAST strips the to_timestamp tz.
+# no origin-convention doubt. make_timestamp(µs) builds the naive
+# TIMESTAMP directly from epoch micros — unlike CAST(to_timestamp(..)),
+# which renders through the session TimeZone and would shift every
+# window_start by the local UTC offset on a non-UTC machine.
 SQL_EVENT_WINDOWS_SLIDING = """
 WITH hopped AS (
-  SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900) AS TIMESTAMP)
+  SELECT make_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) * 1000000)
            - k.k * INTERVAL '15 minutes' AS window_start,
          event_type, value
   FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
@@ -943,30 +946,34 @@ _QUANTILE_BINS = 512
 _QUANTILE_COLLECT_MAX = 65536
 
 
-def distributed_kth_value(
-    ds: "rd.Dataset", col: str, k: int,
+def distributed_kth_values(
+    ds: "rd.Dataset", col: str, ks: list[int],
     bounds: tuple[float, float] | None = None,
-) -> float:
-    """Exact k-th smallest (0-based) of ``ds[col]`` without sorting the
-    dataset: narrow a [lo, hi] candidate range by histogram passes (each a
-    streaming ``map_batches`` emitting a 512-bin partial, combined on the
-    driver — bins × blocks rows, never data rows), then collect only the
-    final sub-range (size-gated) and pick locally. Float ranges narrow
-    geometrically, so passes are O(log((hi-lo)/ulp)) with early exit once
-    the surviving bin is small. Pass ``bounds`` to share one Min/Max scan
-    across several ranks (q_value_quantiles). Column must be finite —
-    non-finite values or an overflowing range raise rather than silently
-    returning the wrong element."""
+) -> list[float]:
+    """Exact k-th smallest (0-based) of ``ds[col]`` for SEVERAL ranks at
+    once, without sorting the dataset: narrow each rank's [lo, hi]
+    candidate range by histogram passes. Each round is ONE streaming
+    ``map_batches`` over the data emitting a 512-bin partial per DISTINCT
+    surviving range (ranks whose ranges coincide — always true in round 1
+    — share a single histogram), combined on the driver: bins × ranges ×
+    blocks rows reach the driver, never data rows. A rank resolves by
+    collecting its final sub-range (size-gated) and picking locally, or —
+    when its range is ulp-tight but a value's multiplicity exceeds the
+    gate (a modal price as the median) — by one exact per-VALUE count
+    pass, so no path ever pulls duplicates of a heavy value to the
+    driver. Float ranges narrow geometrically: O(log((hi-lo)/ulp)) rounds.
+    Column must be finite — non-finite values or an overflowing range
+    raise rather than silently returning the wrong element."""
     from ray.data.aggregate import Max, Min
 
     if bounds is None:
         stats = ds.aggregate(Min(col), Max(col))
-        lo, hi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
+        lo0, hi0 = float(stats[f"min({col})"]), float(stats[f"max({col})"])
     else:
-        lo, hi = bounds
-    if not (np.isfinite(lo) and np.isfinite(hi) and np.isfinite(hi - lo)):
+        lo0, hi0 = bounds
+    if not (np.isfinite(lo0) and np.isfinite(hi0) and np.isfinite(hi0 - lo0)):
         raise ValueError(
-            f"distributed_kth_value needs a finite {col!r} range, got [{lo}, {hi}]"
+            f"distributed_kth_values needs a finite {col!r} range, got [{lo0}, {hi0}]"
         )
 
     def collect_pick(a: float, c: float, right_inclusive: bool, k_rem: int) -> float:
@@ -980,50 +987,108 @@ def distributed_kth_value(
         vals.sort()
         return float(vals[k_rem])
 
-    k_rem = k
-    for _ in range(64):
-        if lo == hi:
-            return lo
-        edges = np.linspace(lo, hi, _QUANTILE_BINS + 1)
-        edges[-1] = np.nextafter(hi, np.inf)  # right-closed final bin
-
-        def hist(batch: pa.Table, edges=edges, lo=lo, hi=hi) -> pa.Table:
+    def value_counts_pick(a: float, c: float, k_rem: int) -> float:
+        # exact per-VALUE counts over the ulp-tight range: the driver sees
+        # (value, count) partials (≤ distinct-values × blocks rows), never
+        # data rows — keeps the size-gate contract under heavy multiplicity
+        def vcounts(batch: pa.Table, a=a, c=c) -> pa.Table:
             v = batch[col].to_numpy()
-            v = v[(v >= lo) & (v <= hi)]
-            c, _ = np.histogram(v, bins=edges)
+            v = v[(v >= a) & (v <= c)]
+            u, n = np.unique(v, return_counts=True)
             return pa.table(
-                {"bin": pa.array(np.arange(_QUANTILE_BINS), pa.int32()),
-                 "c": pa.array(c, pa.int64())}
+                {"v": pa.array(u, pa.float64()), "c": pa.array(n, pa.int64())}
+            )
+
+        agg = (
+            ds.map_batches(vcounts, batch_format="pyarrow")
+            .to_pandas()
+            .groupby("v")["c"].sum().sort_index()
+        )
+        cum = agg.cumsum().to_numpy()
+        return float(agg.index[int(np.searchsorted(cum, k_rem + 1))])
+
+    # per-rank state: surviving range + rank remainder + resolved value
+    states = [{"k_rem": k, "lo": lo0, "hi": hi0, "val": None} for k in ks]
+    for _ in range(64):
+        for s in states:
+            if s["val"] is None and s["lo"] == s["hi"]:
+                s["val"] = s["lo"]
+        active = [s for s in states if s["val"] is None]
+        if not active:
+            break
+        # one histogram per DISTINCT surviving range; ranks sharing a
+        # range (all of round 1, and any that narrowed identically) share
+        # its counts — no duplicate scans of identical bins
+        ranges = sorted({(s["lo"], s["hi"]) for s in active})
+        edges_by_range = {}
+        for lo, hi in ranges:
+            e = np.linspace(lo, hi, _QUANTILE_BINS + 1)
+            e[-1] = np.nextafter(hi, np.inf)  # right-closed final bin
+            edges_by_range[(lo, hi)] = e
+
+        def hist(batch: pa.Table, ranges=ranges, edges_by_range=edges_by_range) -> pa.Table:
+            v_all = batch[col].to_numpy()
+            rid, bins, cs = [], [], []
+            for i, (lo, hi) in enumerate(ranges):
+                v = v_all[(v_all >= lo) & (v_all <= hi)]
+                c, _ = np.histogram(v, bins=edges_by_range[(lo, hi)])
+                rid.append(np.full(_QUANTILE_BINS, i, np.int32))
+                bins.append(np.arange(_QUANTILE_BINS, dtype=np.int32))
+                cs.append(c)
+            return pa.table(
+                {"r": pa.array(np.concatenate(rid), pa.int32()),
+                 "bin": pa.array(np.concatenate(bins), pa.int32()),
+                 "c": pa.array(np.concatenate(cs), pa.int64())}
             )
 
         parts = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
-        counts = parts.groupby("bin")["c"].sum().reindex(
-            range(_QUANTILE_BINS), fill_value=0
-        ).to_numpy()
-        cum = counts.cumsum()
-        b = int(np.searchsorted(cum, k_rem + 1))
-        k_rem -= int(cum[b - 1]) if b else 0
-        new_lo, new_hi = float(edges[b]), float(edges[b + 1])
-        if (new_lo, new_hi) == (lo, hi):
-            # degenerate linspace (range within ~512 ulps): collect the
-            # whole surviving range, right-inclusive
-            return collect_pick(lo, hi, True, k_rem)
-        if int(counts[b]) <= _QUANTILE_COLLECT_MAX:
-            # the gate counted the HALF-OPEN bin [new_lo, new_hi), so the
-            # collect must match it exactly — a right-inclusive filter on a
-            # non-final bin would also pull every row massed on the edge
-            # new_hi, unboundedly exceeding the gate. Only the final bin is
-            # right-closed (np.histogram semantics).
-            return collect_pick(new_lo, new_hi, b == _QUANTILE_BINS - 1, k_rem)
-        lo, hi = new_lo, new_hi
-    raise RuntimeError("quantile refinement did not converge")
+        counts_by_range = {}
+        for i, rng in enumerate(ranges):
+            counts_by_range[rng] = (
+                parts[parts["r"] == i].groupby("bin")["c"].sum()
+                .reindex(range(_QUANTILE_BINS), fill_value=0).to_numpy()
+            )
+        for s in active:
+            lo, hi = s["lo"], s["hi"]
+            edges = edges_by_range[(lo, hi)]
+            counts = counts_by_range[(lo, hi)]
+            cum = counts.cumsum()
+            b = int(np.searchsorted(cum, s["k_rem"] + 1))
+            k_rem = s["k_rem"] - (int(cum[b - 1]) if b else 0)
+            new_lo, new_hi = float(edges[b]), float(edges[b + 1])
+            if (new_lo, new_hi) == (lo, hi):
+                # degenerate linspace (range within ~512 ulps) with a bin
+                # still above the gate: resolve by exact value counts
+                s["val"] = value_counts_pick(lo, hi, k_rem)
+            elif int(counts[b]) <= _QUANTILE_COLLECT_MAX:
+                # the gate counted the HALF-OPEN bin [new_lo, new_hi), so
+                # the collect must match it exactly — a right-inclusive
+                # filter on a non-final bin would also pull every row
+                # massed on the edge new_hi, unboundedly exceeding the
+                # gate. Only the final bin is right-closed (np.histogram
+                # semantics).
+                s["val"] = collect_pick(new_lo, new_hi, b == _QUANTILE_BINS - 1, k_rem)
+            else:
+                s["k_rem"], s["lo"], s["hi"] = k_rem, new_lo, new_hi
+    if any(s["val"] is None for s in states):
+        raise RuntimeError("quantile refinement did not converge")
+    return [s["val"] for s in states]
+
+
+def distributed_kth_value(
+    ds: "rd.Dataset", col: str, k: int,
+    bounds: tuple[float, float] | None = None,
+) -> float:
+    """Single-rank convenience wrapper over ``distributed_kth_values``."""
+    return distributed_kth_values(ds, col, [k], bounds=bounds)[0]
 
 
 def q_value_quantiles(sf_dir: str):
     """Exact (q, value) rows for the discrete quantiles of events.value —
     rank = floor(q·(n−1)), stated identically in the SQL oracle via a
     row_number window so there is no quantile-definition ambiguity. The
-    single-column input is materialized once and each selection streams it;
+    single-column input is materialized once and ALL ranks refine
+    together — each round is one streaming scan shared by every quantile;
     at 10^12 rows this is the textbook distributed-selection shape (no
     all-to-all; the driver only ever sees 512-bin partial counts)."""
     from ray.data.aggregate import Max, Min
@@ -1032,12 +1097,11 @@ def q_value_quantiles(sf_dir: str):
     n = ds.count()
     stats = ds.aggregate(Min("value"), Max("value"))  # one scan, shared
     bounds = (float(stats["min(value)"]), float(stats["max(value)"]))
-    out_q, out_v = [], []
-    for q in QUANTILES:
-        k = int(np.floor(q * (n - 1)))
-        out_q.append(q)
-        out_v.append(distributed_kth_value(ds, "value", k, bounds=bounds))
-    return pd.DataFrame({"q": out_q, "value": out_v})
+    ks = [int(np.floor(q * (n - 1))) for q in QUANTILES]
+    # one multi-rank refinement: each round is a single data scan shared
+    # by every quantile (round 1's histogram is computed once, not 3×)
+    vals = distributed_kth_values(ds, "value", ks, bounds=bounds)
+    return pd.DataFrame({"q": list(QUANTILES), "value": vals})
 
 
 SQL_VALUE_QUANTILES = """

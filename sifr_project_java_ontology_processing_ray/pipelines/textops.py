@@ -401,7 +401,8 @@ def q_unigram_lm_score(sf_dir: str, vocab_k: int = LM_VOCAB_K):
        deterministic tie-break shared with the vocab queries); the driver
        sees vocab_k rows, never the distinct-token set;
     2. broadcast {token: ln(count/total)} (+ ln(1/total) OOV floor) and
-       score every document in an actor pool.
+       score every document in a memoized task-pool ``map_batches`` (no
+       actor-spawn floor; the broadcast deserializes once per worker).
 
     p(token) = count/total over ALL tokens (the top-V cut bounds the
     broadcast, not the denominator), so scores are scale-invariant."""
@@ -801,11 +802,14 @@ JACCARD_THRESHOLD = 0.6
 # the per-task deserialize path to the actor-pool BloomRoute (VERDICT r3
 # #6): 1 MiB ≈ the point where a per-task loads() stops being noise.
 TASK_BLOOM_MAX_BYTES = 1 << 20
-# Above this candidate-text size the verify switches from a broadcast
-# lookup (ray.put once, read per task) to two distributed hash joins —
-# the broadcast-hash-join size rule. 64 MiB ≈ a comfortably
-# object-store-resident small side at 32-way fan-out.
-BROADCAST_VERIFY_MAX_BYTES = 64 << 20
+# Above this small-side size, size-gated stages switch from a broadcast
+# lookup (ray.put once, read per task) to distributed hash joins — the
+# broadcast-hash-join size rule, shared by the minhash verify AND the
+# decontamination gram routing so the two gates can never drift apart.
+# 64 MiB ≈ a comfortably object-store-resident small side at 32-way
+# fan-out.
+BROADCAST_MAX_BYTES = 64 << 20
+BROADCAST_VERIFY_MAX_BYTES = BROADCAST_MAX_BYTES  # back-compat alias
 
 
 def minhash_candidates(sf_dir: str, num_bands: int = NUM_BANDS):
@@ -874,8 +878,6 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) ->
     true token-Jaccard check runs inside ``map_batches``. No unbounded pair
     list or text dict on the driver; only verified pairs (tiny) ever leave
     the cluster."""
-    import functools
-
     import ray
 
     from ..functions.hashing import BloomFilter
@@ -923,9 +925,7 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) ->
             mask = [str(v) in bf for v in batch["doc_id"].to_pylist()]
             return batch.filter(pa.array(mask, pa.bool_()))
 
-        routed = docs.map_batches(
-            functools.partial(_keep_in_bloom), batch_format="pyarrow"
-        )
+        routed = docs.map_batches(_keep_in_bloom, batch_format="pyarrow")
     else:
         routed = docs.map_batches(
             BloomRoute,
@@ -1482,7 +1482,7 @@ FROM documents GROUP BY 1, 2 ORDER BY 1, 2
 # --------------------------------------------------------------------------
 
 _DECON_N = 8
-_DECON_BROADCAST_MAX = 64 << 20  # bytes of serialized val-gram set
+_DECON_BROADCAST_MAX = BROADCAST_MAX_BYTES  # one shared broadcast budget
 
 
 def _doc_grams(text: str) -> set:

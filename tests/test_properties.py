@@ -264,3 +264,25 @@ class TestDistributedSelection:
         )
         got = distributed_kth_value(ds, "v", k)
         assert got == sorted(vals)[k]
+
+
+def test_kth_value_modal_heavy_value_never_collects_rows(ray_session, monkeypatch):
+    """A value whose multiplicity exceeds the collect gate must resolve via
+    the per-VALUE count pass, not a row collect (driver-OOM guard), and
+    still give the exact answer. Gate patched low so the scenario fits a
+    unit test."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sifr_project_java_ontology_processing_ray.pipelines import relational
+    from sifr_project_java_ontology_processing_ray.state.grouped import dataset_from_table
+
+    monkeypatch.setattr(relational, "_QUANTILE_COLLECT_MAX", 8)
+    vals = [49.99] * 500 + list(np.linspace(0.0, 10.0, 40)) + [100.0] * 7
+    ds = dataset_from_table(pa.table({"v": pa.array(vals, pa.float64())}), target_rows=97)
+    n = len(vals)
+    for k in (0, n // 2, n - 1):
+        assert relational.distributed_kth_value(ds, "v", k) == sorted(vals)[k]
+    # multi-rank path shares scans and agrees with single-rank
+    ks = [0, n // 4, n // 2, n - 1]
+    assert relational.distributed_kth_values(ds, "v", ks) == [sorted(vals)[k] for k in ks]
