@@ -210,7 +210,6 @@ def q_knn_ivf(sf_dir: str, k: int = TOPK, nprobe: int = 4):
     ``nprobe/n_centroids`` of the corpus before scoring."""
     q = _query_vector(sf_dir, 0)
     cent = ivf_build_centroids(sf_dir)
-    cn = np.linalg.norm(cent, axis=1, keepdims=True)
     probe = np.argsort(((cent - q) ** 2).sum(1))[:nprobe]
     state_ref = ray.put((q, cent, set(int(x) for x in probe)))
 

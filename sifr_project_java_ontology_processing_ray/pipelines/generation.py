@@ -68,6 +68,10 @@ def _label_code_rows(
                 batch["label"].to_pylist(), batch["code"].to_pylist(),
                 batch["second_code"].to_pylist(),
             ):
+                if not label:
+                    continue  # a dictionary row without a label is
+                    # meaningless; dropped on BOTH sides (oracle parity —
+                    # csv readers disagree on ''-vs-null for empty fields)
                 labels.append(label); codes.append(normalize_code(code)); kinds.append("dict")
                 if second:
                     labels.append(label); codes.append(normalize_code(second)); kinds.append("dict")
@@ -230,12 +234,15 @@ WITH dict_raw AS (
                 delim=';', header=true, all_varchar=true)
 ),
 dict_rows AS (
+  -- label filter mirrors the engine's falsy-label drop (oracle parity)
   SELECT label, code FROM dict_raw
   WHERE coalesce(code, '') NOT IN ('', 'NULL')
+    AND coalesce(label, '') <> ''
   UNION ALL
   SELECT label, second_code AS code FROM dict_raw
   WHERE coalesce(code, '') NOT IN ('', 'NULL')
     AND coalesce(second_code, '') NOT IN ('', 'NULL')
+    AND coalesce(label, '') <> ''
 ),
 corpus_raw AS (
   SELECT * FROM read_csv('{fixture_root}/ehealth_corpus.csv',
@@ -272,8 +279,11 @@ prefs AS (
       ) AS rn
     FROM (
       SELECT code, label,
-        length(regexp_replace(label, '[^A-Z]', '', 'g')) * 1.0
-          / length(label) < 0.25 AS q
+        -- unicode-uppercase class (not [^A-Z]) so accented French capitals
+        -- count uppercase exactly like python str.isupper(); empty labels
+        -- ratio 0.0 (qualifying), matching uppercase_ratio('') == 0.0
+        coalesce(length(regexp_replace(label, '\\P{{Lu}}', '', 'g')) * 1.0
+          / nullif(length(label), 0), 0.0) < 0.25 AS q
       FROM lc
     )
   ) WHERE rn = 1

@@ -138,8 +138,13 @@ def q_reconciliation(sf_dir: str):
 
     fx = testgen.ontology_fixture()
     mrconso, mrsty = testgen.umls_tables()
+    # + reconciliation-only entities whose codes EXIST in mrconso, so the
+    # UMLS comparison counters are non-vacuous (less/more/same all fire)
+    src = pa.concat_tables(
+        [fx["source_triples"], testgen.reconciler_extra_entities()]
+    )
     counts = reconcile(
-        fx["source_triples"], fx["target_triples"], mrconso, mrsty, fx["mappings"]
+        src, fx["target_triples"], mrconso, mrsty, fx["mappings"]
     )
     return pd.DataFrame({"counter": list(COUNTERS), "value": [counts[c] for c in COUNTERS]})
 
@@ -156,6 +161,9 @@ def sql_reconciliation(fixture_root: str) -> str:
 WITH trip AS (
   SELECT 'source' AS side, subj, pred, obj
   FROM '{fixture_root}/source_triples.parquet'
+  UNION ALL
+  SELECT 'source', subj, pred, obj
+  FROM '{fixture_root}/recon_extra_source.parquet'
   UNION ALL
   SELECT 'target', subj, pred, obj
   FROM '{fixture_root}/target_triples.parquet'
@@ -196,9 +204,11 @@ codes AS (
   SELECT side, subj,
     regexp_replace(
       coalesce(
-        min(CASE WHEN pred = 'skos:notation' THEN obj END),
-        min(CASE WHEN pred = 'icd:cdCode' THEN obj END),
-        min(CASE WHEN pred = 'icpc2p:ICPCCODE' THEN obj END),
+        -- nullif('', ...): composite_code SKIPS falsy candidates, so an
+        -- empty notation must fall through to the ICD/ICPC/URI finders
+        nullif(min(CASE WHEN pred = 'skos:notation' THEN obj END), ''),
+        nullif(min(CASE WHEN pred = 'icd:cdCode' THEN obj END), ''),
+        nullif(min(CASE WHEN pred = 'icpc2p:ICPCCODE' THEN obj END), ''),
         nullif(split_part(regexp_extract(any_value(subj), '([^#/]*)$', 1),
                           '_', 1), '')
       ), '\\^\\^.*$', '') AS code

@@ -277,6 +277,50 @@ def ontology_fixture(seed: int = SEED) -> dict[str, pa.Table]:
     }
 
 
+def reconciler_extra_entities() -> pa.Table:
+    """Extra source entities ONLY for the reconciliation query + its SQL
+    oracle: their codes EXIST in mrconso, so the UMLS cardinality
+    comparison half of the counters is exercised non-vacuously (each of
+    less/more/same fires at least once), and one entity carries an empty
+    skos:notation to pin the falsy-skip rule of the M15 cascade in the
+    oracle. Kept out of ontology_fixture so the enrichment-cascade tests'
+    e1-e8 coverage story is untouched."""
+    S = "http://fixture.example/recon#"
+    rows = [
+        # rA: code in mrconso (A3276 → 1 CUI), NO cuis → less_cuis_than_umls
+        (f"{S}rA", "rdf:type", "skos:Concept", None),
+        (f"{S}rA", "skos:prefLabel", "reconcile less", "en"),
+        (f"{S}rA", "skos:notation", "A3276", None),
+        # rB: code B14 (1 CUI), TWO own cuis → more_cuis_than_umls
+        (f"{S}rB", "rdf:type", "skos:Concept", None),
+        (f"{S}rB", "skos:prefLabel", "reconcile more", "en"),
+        (f"{S}rB", "skos:notation", "B14", None),
+        (f"{S}rB", "umls:cui", "C0000010^^xsd:string", None),
+        (f"{S}rB", "umls:cui", "C0000011", None),
+        # rC: code C21 (1 CUI), ONE own cui → same_cuis_as_umls
+        (f"{S}rC", "rdf:type", "skos:Concept", None),
+        (f"{S}rC", "skos:prefLabel", "reconcile same", "en"),
+        (f"{S}rC", "skos:notation", "C21", None),
+        (f"{S}rC", "umls:cui", "C0000012", None),
+        # rD: EMPTY notation must be skipped (falsy-skip in composite_code)
+        # and the icd code D60 (1 CUI) used instead; one own cui → same
+        (f"{S}rD", "rdf:type", "skos:Concept", None),
+        (f"{S}rD", "skos:prefLabel", "reconcile falsy", "en"),
+        (f"{S}rD", "skos:notation", "", None),
+        (f"{S}rD", "icd:cdCode", "D60", None),
+        (f"{S}rD", "umls:cui", "C0000013", None),
+    ]
+    return pa.table(
+        {
+            "subj": [r[0] for r in rows],
+            "pred": [r[1] for r in rows],
+            "obj": [r[2] for r in rows],
+            "obj_lang": pa.array([r[3] for r in rows], pa.string()),
+        },
+        schema=schema.ONTO_TRIPLES,
+    )
+
+
 # relation-term vocabulary mirrored from pipelines.kg.REL_TERMS (kept as a
 # literal to avoid a testgen→pipelines import cycle; test asserts equality)
 _REL_TERMS = ("filter", "join", "merge", "scan", "sort")
@@ -314,7 +358,7 @@ def adversarial_pages_tables(
         elif case == 1:  # relation terms ONLY (pattern-extraction edge)
             text = " ".join(rng.choice(_REL_TERMS, 12))
         elif case == 2:  # empty text AND empty html
-            emit(i, url, i, "", lang, html=b"", to_b=bool(i % 2))
+            emit(i, url, i, "", lang, html=b"", to_b=bool((i // 10) % 2))
             continue
         elif case == 3:  # whitespace-only text
             text = "   \n\t  "
@@ -324,23 +368,23 @@ def adversarial_pages_tables(
         elif case == 5:  # html-derived (empty text column)
             body = " ".join(rng.choice(vocab, 20))
             emit(i, url, i, "", lang,
-                 html=text_to_html(body, title=f"adv {i}"), to_b=bool(i % 2))
+                 html=text_to_html(body, title=f"adv {i}"), to_b=bool((i // 10) % 2))
             continue
         elif case == 6:  # malformed/truncated html, text pre-populated
             body = " ".join(rng.choice(vocab, 20))
             h = text_to_html(body, title=f"adv {i}")
-            emit(i, url, i, body, lang, html=h[: len(h) // 2], to_b=bool(i % 2))
+            emit(i, url, i, body, lang, html=h[: len(h) // 2], to_b=bool((i // 10) % 2))
             continue
         else:  # plain word soup
             text = " ".join(rng.choice(vocab, 25))
-        emit(i, url, i, text, lang, to_b=bool(i % 2))
+        emit(i, url, i, text, lang, to_b=bool((i // 10) % 2))
 
         if i % 9 == 0:  # recrawl in the OTHER file: later ts, rotated text
             words = text.split()
             emit(i, url, n + i, " ".join(words[3:] + words[:3]), lang,
-                 to_b=not bool(i % 2))
+                 to_b=not bool((i // 10) % 2))
         if i % 13 == 0:  # exact (url, ts) repeat with identical content
-            emit(i, url, i, text, lang, to_b=not bool(i % 2))
+            emit(i, url, i, text, lang, to_b=not bool((i // 10) % 2))
 
     def tbl(rows):
         return pa.table(
@@ -410,6 +454,13 @@ def ehealth_fixture(seed: int = SEED) -> dict[str, str]:
     for l, c in zip(labels, codes):
         second = c if rng.rand() < 0.3 else ("NULL" if rng.rand() < 0.5 else "")
         dict_rows.append(f"{l};{c};x;{second}")
+    # accent-flip prefLabel pin (appended AFTER the rng loop so the drawn
+    # rows above are unchanged): "ÉB cd" has UNICODE-uppercase ratio 0.4
+    # (disqualified, ≥0.25) but ASCII-only ratio 0.2 (would qualify and
+    # win on length) — any oracle that counts only [A-Z] picks the wrong
+    # prefLabel for E55 and the gate catches it.
+    dict_rows.append("ÉB cd;E55;x;")
+    dict_rows.append("eb cd etendu;E55;x;")
     corpus_rows = ["DocID;f1;f2;f3;f4;f5;RawText;f7;f8;f9;StdText;Code"]
     for i in range(60):
         j = rng.randint(0, len(labels))
@@ -436,13 +487,27 @@ def ehealth_fixture(seed: int = SEED) -> dict[str, str]:
 # Materialization helpers
 # --------------------------------------------------------------------------
 
+def _fixture_fingerprint() -> str:
+    """Content fingerprint of the fixture GENERATORS: any edit to this
+    module or the multimodal table makers auto-invalidates the on-disk
+    fixtures. (A hand-bumped version marker silently served STALE parquet
+    to the SQL oracles — which read the dir — while engine queries used
+    the edited in-memory tables, making the gate compare different data.)"""
+    import hashlib
+
+    from .stages import multimodal
+
+    h = hashlib.md5()
+    for mod_file in (__file__, multimodal.__file__):
+        with open(mod_file, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:12]
+
+
 def fixture_dir(root: str = "/tmp/sifr_fixtures") -> str:
     """Write all static (scale-independent) fixtures once; return the dir."""
     os.makedirs(root, exist_ok=True)
-    # versioned marker: bump when the fixture set grows so stale /tmp dirs
-    # regenerate (v2: + cleaner_extra_triples.parquet; v3: + videos.parquet;
-    # v4: + audio.parquet)
-    marker = os.path.join(root, ".complete_v4")
+    marker = os.path.join(root, f".complete_{_fixture_fingerprint()}")
     if os.path.exists(marker):
         return root
     mrconso, mrsty = umls_tables()
@@ -451,6 +516,9 @@ def fixture_dir(root: str = "/tmp/sifr_fixtures") -> str:
     for name, tbl in ontology_fixture().items():
         pq.write_table(tbl, os.path.join(root, f"{name}.parquet"))
     pq.write_table(cleaner_fixture(), os.path.join(root, "cleaner_extra_triples.parquet"))
+    pq.write_table(
+        reconciler_extra_entities(), os.path.join(root, "recon_extra_source.parquet")
+    )
     from .stages.multimodal import make_audio_table, make_media_table, make_video_table
 
     pq.write_table(make_media_table(500), os.path.join(root, "media.parquet"))
