@@ -809,7 +809,6 @@ TASK_BLOOM_MAX_BYTES = 1 << 20
 # 64 MiB ≈ a comfortably object-store-resident small side at 32-way
 # fan-out.
 BROADCAST_MAX_BYTES = 64 << 20
-BROADCAST_VERIFY_MAX_BYTES = BROADCAST_MAX_BYTES  # back-compat alias
 
 
 def minhash_candidates(sf_dir: str, num_bands: int = NUM_BANDS):
@@ -874,7 +873,7 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) ->
     a fixed-size Bloom over the candidate doc-ids routes the documents read
     (driver state is the blob, never an id list), candidate texts reach the
     pairs via a SIZE-GATED strategy — broadcast lookup under
-    ``BROADCAST_VERIFY_MAX_BYTES``, two Ray hash joins above it — and the
+    ``BROADCAST_MAX_BYTES``, two Ray hash joins above it — and the
     true token-Jaccard check runs inside ``map_batches``. No unbounded pair
     list or text dict on the driver; only verified pairs (tiny) ever leave
     the cluster."""
@@ -956,7 +955,7 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) ->
     # multi-node path for dup-heavy corpora). Both paths emit identical
     # rows (unit-tested): the Bloom superset only ever ADDS docs, so every
     # pair id resolves in either path.
-    if cand_docs.size_bytes() <= BROADCAST_VERIFY_MAX_BYTES:
+    if cand_docs.size_bytes() <= BROADCAST_MAX_BYTES:
         texts_map = {
             r["doc_id"]: r["text"] for r in cand_docs.take_all()  # gate-bounded
         }
@@ -1482,7 +1481,6 @@ FROM documents GROUP BY 1, 2 ORDER BY 1, 2
 # --------------------------------------------------------------------------
 
 _DECON_N = 8
-_DECON_BROADCAST_MAX = BROADCAST_MAX_BYTES  # one shared broadcast budget
 
 
 def _doc_grams(text: str) -> set:
@@ -1533,7 +1531,7 @@ def q_decontaminate(sf_dir: str):
     # (val-sized, small) gram stream in the object store BEFORE deciding to
     # pull it to the driver
     val_grams_ds = val_grams_ds.materialize()
-    if val_grams_ds.size_bytes() <= _DECON_BROADCAST_MAX:
+    if val_grams_ds.size_bytes() <= BROADCAST_MAX_BYTES:
         val_grams = {r["gram"] for r in val_grams_ds.take_all()}  # gate-bounded
         ref = ray.put(frozenset(val_grams))
 

@@ -29,15 +29,16 @@ def _probe_files(paths) -> tuple[str | None, str | None]:
         first, last = paths[0], paths[-1]
     else:
         first = last = paths
-    if isinstance(first, str) and os.path.isdir(first):
+    if not isinstance(first, str) or not isinstance(last, str):
+        return None, None
+    same = first == last
+    if os.path.isdir(first):
         shards = sorted(glob.glob(os.path.join(first, "**", "*.parquet"), recursive=True))
         if not shards:
             return None, None
         first = shards[0]
-        if last == paths or last is first:
-            last = shards[-1]
-    if not isinstance(first, str) or not isinstance(last, str):
-        return None, None
+        if same:  # single path (or one-element list): reuse this glob
+            return first, shards[-1]
     if os.path.isdir(last):
         shards = sorted(glob.glob(os.path.join(last, "**", "*.parquet"), recursive=True))
         last = shards[-1] if shards else None

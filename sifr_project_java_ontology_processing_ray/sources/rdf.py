@@ -40,6 +40,12 @@ import ray.data as rd
 
 from ..schema import PREFIXES, contract_uri, expand_curie
 
+
+class RdfFetchError(Exception):
+    """A URL input could not be downloaded — unreadable INPUT (fails the
+    read), as opposed to unparseable CONTENT (skip-counted)."""
+
+
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
 
@@ -608,8 +614,14 @@ def read_rdf(
         _os.close(fd)
         try:
             urllib.request.urlretrieve(url, tmp)
-        except BaseException:
+        except BaseException as exc:
             _os.unlink(tmp)  # don't leak the temp file on a failed fetch
+            if isinstance(exc, Exception):
+                # tag EVERY fetch failure (URLError, but also mid-body
+                # ConnectionResetError / IncompleteRead / TimeoutError,
+                # which are NOT URLError subclasses) so parse_files can
+                # fail the read instead of skip-counting the file
+                raise RdfFetchError(f"fetch failed for {url}: {exc}") from exc
             raise
         return tmp
 
@@ -662,7 +674,7 @@ def read_rdf(
                 rows, bad = parse_file(path)
             except (FileNotFoundError, PermissionError, IsADirectoryError):
                 raise  # unreadable path: fail the read (ADVICE r3)
-            except urllib.error.URLError:
+            except (RdfFetchError, urllib.error.URLError):
                 # a failed URL fetch is UNREADABLE INPUT, not a parse-level
                 # problem — fail the read loudly rather than yielding a
                 # silently-empty dataset (corrupt gzip/bz2 payloads stay on

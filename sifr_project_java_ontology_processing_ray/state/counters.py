@@ -35,18 +35,23 @@ class _CounterActor:
 # caller gets a FRESH empty actor. Each process (driver and workers) pins
 # the handles it has seen for its own lifetime; the driver's pin — made at
 # read construction, see read_rdf — is what keeps the channel alive across
-# the run.
-_CHANNELS: dict[str, "ray.actor.ActorHandle"] = {}
+# the run. Keys include the local node id — random per cluster start — so
+# an in-process ray.shutdown()/ray.init() (notebooks, embedded runs) gets
+# FRESH actors instead of stale handles to the dead cluster's actors. (The
+# job id is unsuitable: a fresh local cluster restarts its job counter, so
+# the id collides across restarts.)
+_CHANNELS: dict[tuple[str, str], "ray.actor.ActorHandle"] = {}
 
 
 def counter_channel(name: str):
     """Get-or-create the named counter actor for ``name`` (handle pinned
-    for this process's lifetime)."""
-    if name not in _CHANNELS:
-        _CHANNELS[name] = _CounterActor.options(
+    for this process's lifetime within the current Ray cluster)."""
+    key = (ray.get_runtime_context().get_node_id(), name)
+    if key not in _CHANNELS:
+        _CHANNELS[key] = _CounterActor.options(
             name=f"graft_counters::{name}", get_if_exists=True
         ).remote()
-    return _CHANNELS[name]
+    return _CHANNELS[key]
 
 
 def side_counts(name: str) -> dict[str, int]:

@@ -495,10 +495,15 @@ def _fixture_fingerprint() -> str:
     the edited in-memory tables, making the gate compare different data.)"""
     import hashlib
 
+    from . import schema as schema_mod
+    from .functions import text as text_mod
     from .stages import multimodal
 
     h = hashlib.md5()
-    for mod_file in (__file__, multimodal.__file__):
+    # the written bytes depend on this module AND on what it calls into:
+    # the table schemas, text_to_html (pages content), and the multimodal
+    # table makers — hash the whole closure
+    for mod_file in (__file__, multimodal.__file__, schema_mod.__file__, text_mod.__file__):
         with open(mod_file, "rb") as f:
             h.update(f.read())
     return h.hexdigest()[:12]

@@ -81,7 +81,7 @@ def test_minhash_verify_paths_identical(ray_session, sf_small, monkeypatch):
     path (small candidate side) and the distributed-join path (forced by
     zeroing the gate)."""
     bcast = textops.q_minhash_dedup(sf_small)
-    monkeypatch.setattr(textops, "BROADCAST_VERIFY_MAX_BYTES", 0)
+    monkeypatch.setattr(textops, "BROADCAST_MAX_BYTES", 0)
     joined = textops.q_minhash_dedup(sf_small)
     key = lambda df: sorted(zip(df["a"], df["b"], df["jaccard"]))  # noqa: E731
     assert key(bcast) == key(joined)
@@ -166,7 +166,7 @@ def test_decontaminate_paths_identical(ray_session, sf_small, monkeypatch):
     rows on the val-gram broadcast path and the distributed gram-join
     path (forced by zeroing the gate)."""
     bcast = textops.q_decontaminate(sf_small)
-    monkeypatch.setattr(textops, "_DECON_BROADCAST_MAX", 0)
+    monkeypatch.setattr(textops, "BROADCAST_MAX_BYTES", 0)
     joined = textops.q_decontaminate(sf_small)
     key = lambda df: sorted(zip(df["doc_id"], df["n_contaminated_grams"]))  # noqa: E731
     assert key(bcast) == key(joined)
