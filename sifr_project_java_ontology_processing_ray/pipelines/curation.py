@@ -99,6 +99,13 @@ def curate(
         batch_format="pyarrow",
     )
     n_dup_groups = dup_keep.count()
+    n_docs = keep_ids.count() + n_exact_dups
+    # the Bloom-routed 'maybe' join side is true dups PLUS ~1% false
+    # positives OF THE WHOLE CORPUS (10-bit/key filter), so the partition
+    # hint must carry the corpus-proportional FP term — without it a
+    # 100M-doc corpus with few dup groups gets 2 reduce tasks for a
+    # ~1M-row join side
+    bloom_fp_rows = n_docs // 100
 
     # ---- near-dedup victims from MinHash-LSH (verified true Jaccard),
     # consumed as a distributed Dataset (VERDICT r2 #3: no ray.put victim
@@ -157,7 +164,7 @@ def curate(
         )
         resolved = maybe.join(
             dup_keep, join_type="left_outer",
-            num_partitions=join_partitions(rows=4 * n_dup_groups),
+            num_partitions=join_partitions(rows=4 * n_dup_groups + bloom_fp_rows),
             on=("content_hash",),
         ).map_batches(
             # FP rows find no keep row (null keep_id) → unique → kept;
@@ -183,7 +190,7 @@ def curate(
         )
         v_resolved = v_maybe.join(
             victims, join_type="left_outer",
-            num_partitions=join_partitions(rows=4 * n_near_dups),
+            num_partitions=join_partitions(rows=4 * n_near_dups + bloom_fp_rows),
             on=("doc_id",),
         ).map_batches(
             # FP rows find no victim row (null __victim) → kept

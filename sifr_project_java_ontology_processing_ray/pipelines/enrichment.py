@@ -523,12 +523,17 @@ def compute_stats(enriched_ds, umls_code_to_cuis: dict[str, list[str]]) -> dict[
     except Exception:
         pass
 
+    # bind the fallback OUTSIDE the closure: referencing umls_code_to_cuis
+    # inside would make the whole dict a free variable of the UDF, so
+    # cloudpickle ships it with every task even when the broadcast exists
+    fallback = None if code_ref is not None else umls_code_to_cuis
+
     def partial(batch: pa.Table) -> pa.Table:
         from ..state.broadcast import cached_get
 
         # per-worker memo: the dict is not zero-copy, don't re-deserialize
         # it once per batch
-        code_map = cached_get(code_ref) if code_ref is not None else umls_code_to_cuis
+        code_map = cached_get(code_ref) if fallback is None else fallback
         rows = batch.to_pylist()
         c = dict.fromkeys(STAT_NAMES, 0)
         for r in rows:

@@ -375,9 +375,13 @@ def _dedup_group(group: pa.Table) -> pa.Table:
 
 def _latest_page_bucket(df):
     """Per url keep the row with max warc_ts (latest recrawl). Runs inside
-    a hash(url) bucket, vectorized — all rows of a url share a bucket."""
-    df = df.sort_values(["url", "warc_ts"], kind="stable")
-    return df.groupby("url", sort=False).tail(1)
+    a hash(url) bucket, vectorized — all rows of a url share a bucket.
+    ``na_position='first'``: a null warc_ts (parse_warc emits None for an
+    unparseable WARC-Date) must never beat a real timestamp — NaT sorts
+    LAST by default and tail(1) would keep it. ``dropna=False`` keeps
+    null-url rows instead of silently deleting them."""
+    df = df.sort_values(["url", "warc_ts"], kind="stable", na_position="first")
+    return df.groupby("url", sort=False, dropna=False).tail(1)
 
 
 def build_kg(

@@ -19,30 +19,40 @@ import os
 import pyarrow.parquet as pq
 import ray.data as rd
 
+_PROBE_SAMPLE = 8
 
-def _probe_files(paths) -> tuple[str | None, str | None]:
-    """(first, last) shard paths to schema-probe. Probing BOTH ends guards
-    against schema evolution across shards (a column widened or added in
-    newer files): if the two footers disagree the caller must not pin a
-    single schema, or every newer shard would be read with the stale one."""
+
+def _probe_sample(paths) -> list[str]:
+    """Up to ``_PROBE_SAMPLE`` evenly spaced shard paths to schema-probe.
+    Probing a SPREAD (ends + interior) guards against schema evolution
+    across shards — a column added by a newer job whose files sort between
+    the first and last shard would slip past an ends-only probe, and a
+    pinned stale schema silently DROPS such a column from the read. The
+    sample is still a heuristic: pathological layouts should pass
+    ``schema=`` explicitly (caller-supplied schema always wins)."""
     if isinstance(paths, (list, tuple)):
-        first, last = paths[0], paths[-1]
+        items = [p for p in paths if isinstance(p, str)]
+        if len(items) != len(paths):
+            return []
     else:
-        first = last = paths
-    if not isinstance(first, str) or not isinstance(last, str):
-        return None, None
-    same = first == last
-    if os.path.isdir(first):
-        shards = sorted(glob.glob(os.path.join(first, "**", "*.parquet"), recursive=True))
-        if not shards:
-            return None, None
-        first = shards[0]
-        if same:  # single path (or one-element list): reuse this glob
-            return first, shards[-1]
-    if os.path.isdir(last):
-        shards = sorted(glob.glob(os.path.join(last, "**", "*.parquet"), recursive=True))
-        last = shards[-1] if shards else None
-    return first, last
+        items = [paths] if isinstance(paths, str) else []
+    files: list[str] = []
+    for p in items:
+        if os.path.isdir(p):
+            shards = sorted(
+                glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+            )
+            if not shards:
+                return []
+            files.extend(shards)
+        else:
+            files.append(p)
+    if not files:
+        return []
+    if len(files) <= _PROBE_SAMPLE:
+        return files
+    step = (len(files) - 1) / (_PROBE_SAMPLE - 1)
+    return [files[round(i * step)] for i in range(_PROBE_SAMPLE)]
 
 
 def _under_hive_dir(path: str) -> bool:
@@ -55,23 +65,22 @@ def _under_hive_dir(path: str) -> bool:
 
 def read_parquet(paths, **kwargs) -> "rd.Dataset":
     """``ray.data.read_parquet`` with the file schema pre-read (cheap
-    footer-only driver-side reads of the FIRST and LAST shard) and its
-    metadata stripped. Any caller-supplied ``schema`` wins;
-    hive-partitioned inputs, first/last footer disagreement (schema
-    evolution across shards — Ray's own per-block unification must handle
-    those), and any schema-probe failure degrade to the plain read."""
+    footer-only driver-side reads of a small evenly-spaced shard sample)
+    and its metadata stripped. Any caller-supplied ``schema`` wins;
+    hive-partitioned inputs, any footer disagreement in the sample
+    (schema evolution across shards — Ray's own per-block unification
+    must handle those), and any schema-probe failure degrade to the
+    plain read."""
     if "schema" not in kwargs:
         try:
-            first, last = _probe_files(paths)
-            if first is not None and not _under_hive_dir(first):
-                schema = pq.read_schema(first)
-                if last is not None and last != first:
+            sample = _probe_sample(paths)
+            if sample and not _under_hive_dir(sample[0]):
+                schema = pq.read_schema(sample[0]).remove_metadata()
+                for other in sample[1:]:
                     # metadata-insensitive compare: a pandas-version blob
                     # difference is not schema evolution
-                    if pq.read_schema(last).remove_metadata() != schema.remove_metadata():
+                    if pq.read_schema(other).remove_metadata() != schema:
                         return rd.read_parquet(paths, **kwargs)
-                if schema.metadata:
-                    schema = schema.remove_metadata()
                 cols = kwargs.get("columns")
                 if cols:
                     # the datasource applies the given schema to the

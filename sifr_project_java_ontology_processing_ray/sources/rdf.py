@@ -706,17 +706,19 @@ def read_rdf(
 
             from ..state.counters import counter_channel
 
-            ch = counter_channel(stats_name)
-            refs = []
+            items = {}
             if bad_total:
-                refs.append(ch.add.remote("n_bad_statements", bad_total))
+                items["n_bad_statements"] = bad_total
             if skipped_files:
-                refs.append(ch.add.remote("n_skipped_files", skipped_files))
-            # wait for the increments: the parse task must not COMPLETE
-            # until its counts are applied, so a driver that consumed the
-            # dataset reads totals with nothing still in flight (this path
-            # only runs for files with problems — the hot path pays nothing)
-            _ray.get(refs)
+                items["n_skipped_files"] = skipped_files
+            # idempotent (keyed by the batch's file set): a lazy dataset
+            # re-executes its tasks per consumption and Ray retries re-run
+            # them — unkeyed adds would double-count. Blocking get: the
+            # parse task must not COMPLETE until its counts are applied,
+            # so a driver that consumed the dataset reads final totals
+            # (this path only runs for problem files — hot path pays 0)
+            dedup_key = "\x1f".join(sorted(batch["path"].to_pylist()))
+            _ray.get(counter_channel(stats_name).add_once.remote(dedup_key, items))
         return pa.table(
             {
                 "subj": pa.array(s, pa.string()),

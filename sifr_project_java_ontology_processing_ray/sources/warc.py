@@ -94,17 +94,25 @@ def _decode_member(f, data: bytes, i: int) -> tuple[bytes | None, int, bytes]:
     member)."""
     d = zlib.decompressobj(wbits=31)
     out = []
+    ext: list[bytes] = []  # chunks read past the buffered range; joined
+    # ONCE at exit — per-chunk ``data += more`` copied the whole growing
+    # buffer each iteration (quadratic memcpy on a member spanning ~1k
+    # 1 MiB reads, e.g. a whole-file single-member gzip)
+    total = len(data)
     try:
         out.append(d.decompress(data[i:]))
         while not d.eof:
             more = f.read(1 << 20)
             if not more:
-                return None, i, data  # truncated member
-            data += more
+                return None, i, data + b"".join(ext)  # truncated member
+            ext.append(more)
+            total += len(more)
             out.append(d.decompress(more))
     except zlib.error:
-        return None, i, data
-    return b"".join(out), len(data) - len(d.unused_data), data
+        return None, i, data + b"".join(ext)
+    if ext:
+        data = data + b"".join(ext)
+    return b"".join(out), total - len(d.unused_data), data
 
 
 def _parse_cc_range(path: str, start: int, end: int):

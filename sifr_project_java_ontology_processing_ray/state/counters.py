@@ -18,15 +18,29 @@ import ray
 class _CounterActor:
     def __init__(self):
         self._c: dict[str, int] = {}
+        self._seen: set[str] = set()
 
     def add(self, key: str, n: int = 1) -> None:
         self._c[key] = self._c.get(key, 0) + n
+
+    def add_once(self, dedup_key: str, items: dict) -> None:
+        """Idempotent add: a lazy Dataset re-executes its tasks on every
+        consumption (and Ray retries re-run them after a worker crash), so
+        side-effect increments double-count unless keyed. ``dedup_key``
+        identifies the logical work unit (e.g. the input file); repeats
+        are dropped. Seen-set size is O(#work units) — file-count bounded."""
+        if dedup_key in self._seen:
+            return
+        self._seen.add(dedup_key)
+        for key, n in items.items():
+            self._c[key] = self._c.get(key, 0) + n
 
     def get(self) -> dict[str, int]:
         return dict(self._c)
 
     def reset(self) -> None:
         self._c = {}
+        self._seen = set()
 
 
 # Handle retention: a NAMED but non-detached actor is garbage-collected as

@@ -369,3 +369,40 @@ def test_parquet_schema_evolution_falls_back(ray_session, tmp_path):
     df = pio.read_parquet(str(tmp_path)).to_pandas().sort_values("a")
     assert list(df["a"]) == [1, 2, 3, 4]
     assert list(df["b"].dropna()) == ["x", "y"]
+
+
+def test_side_counts_idempotent_across_reexecution(ray_session, tmp_path):
+    """A lazy dataset consumed twice re-executes its parse tasks; keyed
+    add_once must keep the counts single-counted."""
+    mixed = tmp_path / "mixed2.nt"
+    mixed.write_text('<http://b> <http://p> "w" .\nnot a triple\nneither\n')
+    from sifr_project_java_ontology_processing_ray.sources.rdf import read_rdf
+    from sifr_project_java_ontology_processing_ray.state.counters import (
+        reset_counts,
+        side_counts,
+    )
+
+    name = "t_side_counts_idem"
+    reset_counts(name)
+    ds = read_rdf([str(mixed)], contract=False, stats_name=name)
+    assert ds.count() == 1
+    assert ds.count() == 1  # second consumption re-runs the parse task
+    assert side_counts(name).get("n_bad_statements") == 2
+
+
+def test_parquet_middle_shard_evolution_falls_back(ray_session, tmp_path):
+    """A column present only in a MIDDLE shard (first/last agree on the old
+    schema) must not be dropped by schema pinning — the sampled probe sees
+    the interior shard and degrades to Ray's own unification."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sifr_project_java_ontology_processing_ray.sources import parquet_io as pio
+
+    pq.write_table(pa.table({"a": pa.array([1], pa.int64())}), str(tmp_path / "p0.parquet"))
+    pq.write_table(pa.table({"a": pa.array([2], pa.int64()),
+                             "b": pa.array(["mid"])}), str(tmp_path / "p1.parquet"))
+    pq.write_table(pa.table({"a": pa.array([3], pa.int64())}), str(tmp_path / "p2.parquet"))
+    df = pio.read_parquet(str(tmp_path)).to_pandas().sort_values("a")
+    assert list(df["a"]) == [1, 2, 3]
+    assert list(df["b"].dropna()) == ["mid"]
