@@ -108,3 +108,37 @@ def test_single_page_single_word(ray_session, tmp_path):
     # one mention, no cooccur possible
     assert (df.pred == "sifr:mentions").sum() == 1
     assert (df.pred == "sifr:cooccursWith").sum() == 0
+
+
+def test_join_partitions_scales_with_cluster(ray_session):
+    """VERDICT r3 #2 pin: no hint → one reduce task per cluster CPU
+    (floored); a rows hint caps toy-scale joins at rows/100k but never
+    below 2; a huge hint never exceeds the cluster-derived count."""
+    import ray
+
+    from sifr_project_java_ontology_processing_ray.state.partitions import (
+        ROWS_PER_PARTITION,
+        join_partitions,
+    )
+
+    ncpu = int(ray.cluster_resources().get("CPU", 0))
+    cluster = max(8, ncpu)
+    assert join_partitions() == cluster
+    assert join_partitions(rows=1) == 2
+    assert join_partitions(rows=3 * ROWS_PER_PARTITION) == min(cluster, 3)
+    assert join_partitions(rows=10**12) == cluster
+
+
+def test_fixture_fingerprint_tracks_generator_content(tmp_path, monkeypatch):
+    """Editing a generator module must change the fixture marker name, so
+    stale on-disk parquet can never be served to the SQL oracles."""
+    from sifr_project_java_ontology_processing_ray import testgen
+
+    fp1 = testgen._fixture_fingerprint()
+    # a changed generator module source must produce a different digest
+    import sifr_project_java_ontology_processing_ray.stages.multimodal as mm
+
+    alt = tmp_path / "multimodal_edited.py"
+    alt.write_bytes(open(mm.__file__, "rb").read() + b"\n# edited\n")
+    monkeypatch.setattr(mm, "__file__", str(alt))
+    assert testgen._fixture_fingerprint() != fp1
