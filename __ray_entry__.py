@@ -32,6 +32,7 @@ from sifr_project_java_ontology_processing_ray.pipelines import (  # noqa: E402
     curation,
     enrichment,
     generation,
+    graph,
     kg,
     reconciler,
     relational,
@@ -311,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": _q_multimodal,
         "frame_sample": _q_frame_sample,
         "audio_decode": _q_audio_decode,
+        "pagerank": graph.q_pagerank,
     }
 
 
@@ -373,6 +375,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": _mm.sql_multimodal_decode(testgen.fixture_dir()),
         "frame_sample": _mm.sql_frame_sample(testgen.fixture_dir()),
         "audio_decode": _mm.sql_audio_decode(testgen.fixture_dir()),
+        "pagerank": graph.SQL_PAGERANK,
         # engine-computed P/R vs the sequential oracle must be exactly 1.0
         "kg_pr": (
             "SELECT 'precision' AS metric, 1.0 AS value "

@@ -1,0 +1,317 @@
+"""Distributed graph analytics over materialized adjacency tables.
+
+The north rule's kg_construct tier materializes the KG as a partitioned
+``(subj, pred, obj)`` adjacency table (``pipelines/kg.py``); this module
+adds the downstream iterative-analytics family over such tables — the
+canonical consumer of a graph materialize. PageRank is implemented as k
+fixed iterations of the standard distributed pattern:
+
+    ranks_{k+1} = (edges ⋈ ranks_k on src) → emit (dst, rank/out_deg)
+                  ∪ zero-rows for every node      # outer-join-free
+                  → groupby(node).sum             # one shuffle per iter
+                  → (1-d)/N + d·(s + dangling/N)  # vectorized rescale
+
+Scale notes (the partitioning contract this relies on):
+- ``edges`` is materialized ONCE and re-read from the object store each
+  iteration (spillable; never pulled to the driver).
+- ``ranks`` is node-sized and re-materialized per iteration — the
+  iterative-algorithm checkpoint; join parallelism derives from cluster
+  CPUs via ``state.partitions.join_partitions`` (VERDICT r3 #2 pattern).
+- The out-degree rides INSIDE the ranks table (union + Max trick below),
+  so each iteration costs exactly one hash join + one groupby — no
+  second join to re-attach static node metadata.
+- The dangling mass is a scalar aggregate over the materialized
+  node-sized ranks, not an extra pass over the edge stream.
+
+The reference repo has no graph analytics (its Jena models are driver-
+local); this family is part of the engine's LLM-scale extension surface,
+verified by an exact unrolled-CTE DuckDB oracle (``SQL_PAGERANK``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Max, Sum
+
+from ..sources import parquet_io as pio
+from ..state.partitions import join_partitions
+
+DAMPING = 0.85
+ITERS = 5
+# l_partkey and l_orderkey share the int64 key space; offset part nodes so
+# the bipartite order→part graph has disjoint node ids (same literal in SQL_PAGERANK)
+PART_OFFSET = 10_000_000
+
+
+def node_meta(edges: rd.Dataset) -> rd.Dataset:
+    """(node, out_cnt) for every node of a distinct (src, dst) edge set.
+
+    One single-key groupby over per-batch partials: partial out-degree
+    counts for sources concatenated with zero-count rows for targets (ONE
+    pass over the edge stream), summed — dst-only (dangling) nodes come
+    out with out_cnt 0 without an outer join."""
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = b.group_by("src").aggregate([("dst", "count")])
+        srcs = pa.table(
+            {"node": t["src"], "oc_p": pc.cast(t["dst_count"], pa.int64())}
+        )
+        uniq = pc.unique(b["dst"])
+        dsts = pa.table(
+            {"node": uniq, "oc_p": pa.array(np.zeros(len(uniq), np.int64))}
+        )
+        return pa.concat_tables([srcs, dsts])
+
+    return (
+        edges.map_batches(partials, batch_format="pyarrow")
+        .groupby("node", num_partitions=join_partitions(rows=edges.count()))
+        .aggregate(Sum("oc_p", alias_name="out_cnt"))
+    )
+
+
+# above this node count the (node, out_cnt, rank) arrays stop being a
+# broadcast-sized side (~24 B/node → ~1.2 GB at the limit); the per-iteration
+# shuffle-join path takes over
+BROADCAST_NODE_LIMIT = 50_000_000
+
+
+def pagerank(
+    edges: rd.Dataset, damping: float = DAMPING, iters: int = ITERS
+) -> rd.Dataset:
+    """PageRank over a DISTINCT (src:int64, dst:int64) edge Dataset.
+
+    Returns (node, rank_n) where rank_n = rank × N (mean 1.0) — scaled so
+    the oracle gate's 6-decimal float rounding keeps full sensitivity on
+    graphs with millions of nodes. Semantics: uniform init 1/N, dangling
+    mass redistributed uniformly, ``iters`` fixed synchronous iterations.
+
+    Two execution paths with identical results (pinned by test):
+    - node table ≤ BROADCAST_NODE_LIMIT: ranks live as driver numpy arrays
+      broadcast via ``ray.put`` each round; an iteration is ONE distributed
+      execution (edge scan → per-batch partial sums → small groupby →
+      node-sized pull). This is the repo's standard small-side pattern and
+      dodges the per-op shuffle fixed cost that dominates toy scale.
+    - larger: fully shuffled loop (hash join + union-groupby per round,
+      ranks re-materialized as the iterative checkpoint) — nothing
+      node-sized ever reaches the driver.
+    """
+    edges = edges.materialize()
+    n_edges = edges.count()
+    meta = node_meta(edges).materialize()
+    n = float(meta.count())
+    if n == 0:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "rank_n": pa.array([], pa.float64())})
+        )
+    base = (1.0 - damping) if damping != DAMPING else 0.15  # exact literal parity with SQL
+    parts = join_partitions(rows=n_edges)
+    if n <= BROADCAST_NODE_LIMIT:
+        return _pagerank_broadcast(edges, meta, n, base, damping, iters, parts)
+    return _pagerank_shuffle(edges, meta, n, base, damping, iters, parts)
+
+
+def _pagerank_broadcast(
+    edges: rd.Dataset,
+    meta: rd.Dataset,
+    n: float,
+    base: float,
+    damping: float,
+    iters: int,
+    parts: int,
+) -> rd.Dataset:
+    import ray
+
+    mdf = meta.to_pandas()  # node-sized, gated by BROADCAST_NODE_LIMIT
+    nodes = np.ascontiguousarray(mdf["node"].to_numpy(np.int64))
+    order = np.argsort(nodes, kind="stable")
+    nodes = nodes[order]
+    out_cnt = mdf["out_cnt"].to_numpy(np.float64)[order]
+    dangling = out_cnt == 0
+    r = np.full(len(nodes), 1.0 / n)
+
+    for _ in range(iters):
+        dm = float(r[dangling].sum())
+        # per-src contribution weight; dangling nodes never appear as src
+        w_src = np.divide(r, out_cnt, out=np.zeros_like(r), where=out_cnt > 0)
+        blob = ray.put((nodes, w_src))
+
+        def contrib(b: pa.Table, _ref=blob) -> pa.Table:
+            lut_nodes, lut_w = ray.get(_ref)
+            idx = np.searchsorted(lut_nodes, b["src"].to_numpy(zero_copy_only=False))
+            t = pa.table(
+                {"node": b["dst"], "w": pa.array(lut_w[idx], pa.float64())}
+            )
+            return t.group_by("node").aggregate([("w", "sum")])
+
+        # per-batch partials stream back node-sized (≤ unique-dst rows per
+        # block) and fold on the driver — no per-iteration shuffle op at
+        # all; the big-graph path below keeps everything distributed
+        s = np.zeros(len(nodes))
+        for part in edges.map_batches(contrib, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            idx = np.searchsorted(nodes, part["node"].to_numpy(zero_copy_only=False))
+            np.add.at(s, idx, part["w_sum"].to_numpy(zero_copy_only=False))
+        # operation order mirrors SQL_PAGERANK: base/N + d*(s + dm/N)
+        r = base / n + damping * (s + dm / n)
+
+    from ..state.grouped import dataset_from_table
+
+    return dataset_from_table(
+        pa.table({"node": pa.array(nodes), "rank_n": pa.array(r * n)})
+    )
+
+
+def _pagerank_shuffle(
+    edges: rd.Dataset,
+    meta: rd.Dataset,
+    n: float,
+    base: float,
+    damping: float,
+    iters: int,
+    parts: int,
+) -> rd.Dataset:
+    def init_rank(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "rank", pa.array(np.full(len(b), 1.0 / n, np.float64))
+        )
+
+    ranks = meta.map_batches(init_rank, batch_format="pyarrow").materialize()
+
+    def emit_contrib(b: pa.Table) -> pa.Table:
+        w = pc.divide(b["rank"], pc.cast(b["out_cnt"], pa.float64()))
+        t = pa.table({"node": b["dst"], "w": w})
+        # partial per-batch pre-agg: shuffle unique-dst rows, not edge rows
+        t = t.group_by("node").aggregate([("w", "sum")])
+        return pa.table(
+            {
+                "node": t["node"],
+                "w": t["w_sum"],
+                # placeholder 0 ≤ any true out_cnt: Max over the union picks
+                # the real value from the zero-row below
+                "oc": pa.array(np.zeros(len(t), np.int64)),
+            }
+        )
+
+    def emit_zeros(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": b["node"],
+                "w": pa.array(np.zeros(len(b), np.float64)),
+                "oc": b["out_cnt"],
+            }
+        )
+
+    def only_dangling(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["out_cnt"], 0))
+
+    for _ in range(iters):
+        dm = (
+            ranks.map_batches(only_dangling, batch_format="pyarrow").sum("rank")
+            or 0.0
+        )
+        joined = edges.join(
+            ranks,
+            join_type="inner",
+            num_partitions=parts,
+            on=("src",),
+            right_on=("node",),
+        )
+        agg = (
+            joined.map_batches(emit_contrib, batch_format="pyarrow")
+            .union(ranks.map_batches(emit_zeros, batch_format="pyarrow"))
+            .groupby("node", num_partitions=parts)
+            .aggregate(Sum("w", alias_name="s"), Max("oc", alias_name="out_cnt"))
+        )
+
+        def rescale(b: pa.Table, _dm=dm) -> pa.Table:
+            # operation order mirrors SQL_PAGERANK exactly:
+            # base/N + d*(s + dm/N) — scalar subterms fold once, like
+            # DuckDB's constant scalar subqueries
+            s = b["s"].to_numpy(zero_copy_only=False)
+            r = base / n + damping * (s + _dm / n)
+            return pa.table(
+                {"node": b["node"], "out_cnt": b["out_cnt"], "rank": pa.array(r)}
+            )
+
+        ranks = agg.map_batches(rescale, batch_format="pyarrow").materialize()
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": b["node"], "rank_n": pc.multiply(b["rank"], n)}
+        )
+
+    return ranks.map_batches(finalize, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# driver query: PageRank over the order→part bipartite adjacency
+# --------------------------------------------------------------------------
+
+def q_pagerank(sf_dir: str):
+    """Edges = DISTINCT (l_orderkey → l_partkey + PART_OFFSET): a hubby
+    bipartite graph (popular parts are high-in-degree sinks, every part is
+    dangling) — exercises the dangling-mass path hard."""
+    from ..state.grouped import bucketed_map_groups
+
+    def local_edges(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "src": b["l_orderkey"],
+                "dst": pc.add(b["l_partkey"], pa.scalar(PART_OFFSET, pa.int64())),
+            }
+        )
+        return t.group_by(["src", "dst"]).aggregate([])
+
+    edges = pio.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    ).map_batches(local_edges, batch_format="pyarrow")
+    edges = bucketed_map_groups(edges, ["src", "dst"], lambda df: df.drop_duplicates())
+    # the pandas bucket callback re-attaches b'pandas' schema metadata, which
+    # defeats Ray's schema dedup downstream (SCALE.md round-4 finding) —
+    # strip it before the edge table is materialized and re-joined 5×
+    edges = edges.map_batches(
+        lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+    return pagerank(edges)
+
+
+def _pagerank_sql(iters: int = ITERS) -> str:
+    """Exact DuckDB restatement: same init, same dangling redistribution,
+    same operation order per iteration, unrolled to ``iters`` CTEs."""
+    sql = f"""WITH edges AS (
+  SELECT DISTINCT l_orderkey AS src, l_partkey + {PART_OFFSET} AS dst FROM lineitem
+),
+deg AS (SELECT src AS node, COUNT(*) AS out_cnt FROM edges GROUP BY src),
+nodes AS (
+  SELECT node, MAX(oc) AS out_cnt FROM (
+    SELECT node, out_cnt AS oc FROM deg
+    UNION ALL SELECT DISTINCT dst AS node, 0 AS oc FROM edges
+  ) GROUP BY node
+),
+nn AS (SELECT COUNT(*)::DOUBLE AS c FROM nodes),
+r0 AS (SELECT node, out_cnt, 1.0/(SELECT c FROM nn) AS rank FROM nodes)"""
+    for k in range(1, iters + 1):
+        sql += f""",
+d{k-1} AS (SELECT COALESCE(SUM(rank), 0.0) AS m FROM r{k-1} WHERE out_cnt = 0),
+r{k} AS (
+  SELECT nodes.node, nodes.out_cnt,
+         0.15/(SELECT c FROM nn)
+         + 0.85*(COALESCE(s.s, 0.0) + (SELECT m FROM d{k-1})/(SELECT c FROM nn)) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank / r.out_cnt) AS s
+    FROM edges e JOIN r{k-1} r ON e.src = r.node
+    GROUP BY e.dst
+  ) s ON nodes.node = s.node
+)"""
+    sql += f"\nSELECT node, rank * (SELECT c FROM nn) AS rank_n FROM r{iters}"
+    return sql
+
+
+SQL_PAGERANK = _pagerank_sql()
