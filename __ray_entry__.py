@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": _q_frame_sample,
         "audio_decode": _q_audio_decode,
         "pagerank": graph.q_pagerank,
+        "graph_components": graph.q_graph_components,
     }
 
 
@@ -376,6 +377,7 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": _mm.sql_frame_sample(testgen.fixture_dir()),
         "audio_decode": _mm.sql_audio_decode(testgen.fixture_dir()),
         "pagerank": graph.SQL_PAGERANK,
+        "graph_components": graph.SQL_GRAPH_COMPONENTS,
         # engine-computed P/R vs the sequential oracle must be exactly 1.0
         "kg_pr": (
             "SELECT 'precision' AS metric, 1.0 AS value "

@@ -282,6 +282,58 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges)
 
 
+# --------------------------------------------------------------------------
+# driver query: distributed connected components (state/components.py) on a
+# deterministic star graph — exact SQL-restatable outcome
+# --------------------------------------------------------------------------
+
+def q_graph_components(sf_dir: str):
+    """Per-user star graph over events (first event by (ts, event_id) hubs
+    to every other event of that user; users with <2 events contribute no
+    nodes), labelled by the PRODUCTION distributed min-label-propagation
+    loop (state/components.py — salted dedup, bucketed Min exchange,
+    fixpoint check). The star's diameter is 2, so the loop provably
+    converges inside max_rounds; the expected outcome restates exactly as
+    ``MIN(node) OVER (PARTITION BY user_id)`` (SQL_GRAPH_COMPONENTS), which
+    makes the CC machinery driver-visible — any under-iteration, bad salt
+    routing, or component mixing breaks the value hash."""
+    import pandas as pd
+
+    from ..state.components import connected_components, dedup_edges_salted
+    from ..state.grouped import bucketed_map_groups
+
+    def star_edges(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        first = df.groupby("user_id", sort=False)["event_id"].transform("first")
+        df = df[df["event_id"] != first]  # drops single-event users entirely
+        hub = first[df.index]
+        return pd.DataFrame(
+            {"a": hub.astype(str), "b": df["event_id"].astype(str)}
+        )
+
+    ev = pio.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id"],
+    )
+    edges = bucketed_map_groups(ev, ["user_id"], star_edges)
+    # diameter-2 star ⇒ min-label propagation provably converges in ≤2
+    # rounds (hub absorbs the component min in round 1, spokes in round 2);
+    # round 3 is margin. Fixed rounds skip the per-round fixpoint
+    # join+count — the fixpoint path itself is pinned by
+    # tests/test_kg_pipeline.py::test_distributed_components_match_unionfind.
+    return connected_components(
+        dedup_edges_salted(edges), max_rounds=3, check_fixpoint=False
+    )
+
+
+SQL_GRAPH_COMPONENTS = """
+SELECT CAST(event_id AS VARCHAR) AS node,
+       MIN(CAST(event_id AS VARCHAR)) OVER (PARTITION BY user_id) AS label
+FROM events
+QUALIFY COUNT(*) OVER (PARTITION BY user_id) >= 2
+"""
+
+
 def _pagerank_sql(iters: int = ITERS) -> str:
     """Exact DuckDB restatement: same init, same dangling redistribution,
     same operation order per iteration, unrolled to ``iters`` CTEs."""

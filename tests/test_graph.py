@@ -91,6 +91,23 @@ def test_node_meta_out_degrees(ray_session):
     assert deg == {1: 2, 2: 1, 3: 0}
 
 
+def test_graph_components_star_labels(ray_session):
+    """q_graph_components end-to-end on sf0.001: the distributed CC loop
+    over the per-user star must label every node with the user's
+    lexicographic-min event id (independent pandas restatement)."""
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    got = graph.q_graph_components(sf).to_pandas()
+    ev = pd.read_parquet(
+        f"{sf}/events.parquet", columns=["user_id", "event_id"]
+    )
+    ev["node"] = ev["event_id"].astype(str)
+    ev = ev[ev.groupby("user_id")["node"].transform("size") >= 2]
+    want = dict(zip(ev["node"], ev.groupby("user_id")["node"].transform("min")))
+    assert dict(zip(got["node"], got["label"])) == want
+
+
 def test_pagerank_empty_edges(ray_session):
     ds = graph.pagerank(_edges_ds([]))
     # ray's Dataset.to_pandas drops schema on 0-row results; check via arrow
