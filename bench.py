@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "decontaminate",
     "latest_snapshot",
     "unigram_lm_score",
+    "pagerank",
+    "graph_components",
 ]
 
 

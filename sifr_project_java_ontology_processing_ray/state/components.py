@@ -40,7 +40,9 @@ def dedup_edges_salted(edges: "rd.Dataset", num_salts: int = NUM_SALTS) -> "rd.D
         hi = df[["a", "b"]].max(axis=1)
         out = pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
         out["salt"] = [hash64(x) % num_salts for x in out["b"]]
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # strip the b'pandas' schema metadata or every downstream shuffle
+        # block ships a distinct unhashable schema (SCALE.md r4 finding)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     from .grouped import bucketed_map_groups
 
@@ -102,7 +104,9 @@ def connected_components(
              df.rename(columns={"b": "node", "a": "peer"})[["node", "peer"]]],
             ignore_index=True,
         )
-        return pa.Table.from_pandas(out[["node", "peer"]], preserve_index=False)
+        return pa.Table.from_pandas(
+            out[["node", "peer"]], preserve_index=False
+        ).replace_schema_metadata(None)
 
     sym_edges = edges.map_batches(sym, batch_format="pyarrow").materialize()
 
@@ -143,7 +147,10 @@ def connected_components(
         #    Min aggregate (arrow kernel), no per-key python
         new_labels = (
             messages.union(labels)
-            .groupby("node")
+            # same cluster/row-derived parallelism as the label-flow join:
+            # the default partition count spawns a fresh aggregator-actor
+            # fleet per round, a pure fixed cost at small edge counts
+            .groupby("node", num_partitions=_n_join)
             .aggregate(Min("label", alias_name="label"))
             .map_batches(_norm, batch_format="pyarrow", batch_size=262144)
         ).materialize()

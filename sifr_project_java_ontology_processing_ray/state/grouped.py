@@ -64,13 +64,22 @@ def bucketed_map_groups(
             "__gbucket", bucket_ids(batch, key_cols, num_buckets)
         )
 
-    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return fn(g.drop(columns=["__gbucket"]))
+    def run_bucket(g: pa.Table) -> pa.Table:
+        out = fn(g.to_pandas().drop(columns=["__gbucket"]))
+        # convert back to arrow HERE and strip the b'pandas' schema
+        # metadata — letting Ray convert the returned DataFrame attaches
+        # it, making every downstream shuffle block ship a distinct
+        # unhashable schema (defeats Ray's schema dedup; SCALE.md r4)
+        if isinstance(out, pa.Table):
+            return out.replace_schema_metadata(None)
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__gbucket")
-        .map_groups(run_bucket, batch_format="pandas")
+        .map_groups(run_bucket, batch_format="pyarrow")
     )
 
 
