@@ -48,36 +48,69 @@ ITERS = 5
 PART_OFFSET = 10_000_000
 
 
+def _meta_partials(b: pa.Table) -> pa.Table:
+    """Per-batch (node, partial out-degree) rows: source counts + zero-count
+    rows for targets, so dst-only (dangling) nodes appear without an outer
+    join. ONE pass over the edge stream; consumed by the shuffled groupby
+    (``node_meta``) or the driver fold (``_node_meta_fold``)."""
+    t = b.group_by("src").aggregate([("dst", "count")])
+    srcs = pa.table(
+        {"node": t["src"], "oc_p": pc.cast(t["dst_count"], pa.int64())}
+    )
+    uniq = pc.unique(b["dst"])
+    dsts = pa.table(
+        {"node": uniq, "oc_p": pa.array(np.zeros(len(uniq), np.int64))}
+    )
+    return pa.concat_tables([srcs, dsts])
+
+
 def node_meta(edges: rd.Dataset) -> rd.Dataset:
-    """(node, out_cnt) for every node of a distinct (src, dst) edge set.
-
-    One single-key groupby over per-batch partials: partial out-degree
-    counts for sources concatenated with zero-count rows for targets (ONE
-    pass over the edge stream), summed — dst-only (dangling) nodes come
-    out with out_cnt 0 without an outer join."""
-
-    def partials(b: pa.Table) -> pa.Table:
-        t = b.group_by("src").aggregate([("dst", "count")])
-        srcs = pa.table(
-            {"node": t["src"], "oc_p": pc.cast(t["dst_count"], pa.int64())}
-        )
-        uniq = pc.unique(b["dst"])
-        dsts = pa.table(
-            {"node": uniq, "oc_p": pa.array(np.zeros(len(uniq), np.int64))}
-        )
-        return pa.concat_tables([srcs, dsts])
-
+    """(node, out_cnt) for every node of a distinct (src, dst) edge set,
+    via one single-key groupby over the per-batch partials."""
     return (
-        edges.map_batches(partials, batch_format="pyarrow")
+        edges.map_batches(_meta_partials, batch_format="pyarrow")
         .groupby("node", num_partitions=join_partitions(rows=edges.count()))
         .aggregate(Sum("oc_p", alias_name="out_cnt"))
     )
+
+
+def _node_meta_fold(edges: rd.Dataset) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted nodes, out_cnt) folded on the driver from streamed per-batch
+    partials — no shuffle, no aggregator-actor fleet. Only called when the
+    edge count is gated ≤ ``META_FOLD_EDGE_LIMIT`` (so both the pull volume,
+    Σ per-block unique ≤ 2·|edges| rows, and the node arrays are
+    driver-safe); the shuffled ``node_meta`` is the open path above it."""
+    parts_n: list[np.ndarray] = []
+    parts_c: list[np.ndarray] = []
+    for b in edges.map_batches(
+        _meta_partials, batch_format="pyarrow", batch_size=262144
+    ).iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0 or "node" not in b.column_names:
+            continue
+        parts_n.append(b["node"].to_numpy(zero_copy_only=False).astype(np.int64))
+        parts_c.append(b["oc_p"].to_numpy(zero_copy_only=False))
+    if not parts_n:
+        return np.array([], np.int64), np.array([], np.float64)
+    nodes = np.concatenate(parts_n)
+    ocs = np.concatenate(parts_c)
+    order = np.argsort(nodes, kind="stable")
+    nodes = nodes[order]
+    ocs = ocs[order]
+    uniq, idx = np.unique(nodes, return_index=True)
+    return uniq, np.add.reduceat(ocs, idx).astype(np.float64)
 
 
 # above this node count the (node, out_cnt, rank) arrays stop being a
 # broadcast-sized side (~24 B/node → ~1.2 GB at the limit); the per-iteration
 # shuffle-join path takes over
 BROADCAST_NODE_LIMIT = 50_000_000
+
+# below this edge count node metadata folds on the driver from streamed
+# per-batch partials instead of a shuffled groupby (the aggregator-actor
+# fleet is a pure fixed cost at small scale — measured 6.0 s for 600k
+# edges at sf0.1); nodes ≤ 2·edges, so the fold result is always inside
+# BROADCAST_NODE_LIMIT and the broadcast rank path is implied
+META_FOLD_EDGE_LIMIT = 10_000_000
 
 
 def pagerank(
@@ -102,35 +135,47 @@ def pagerank(
     """
     edges = edges.materialize()
     n_edges = edges.count()
+    base = (1.0 - damping) if damping != DAMPING else 0.15  # exact literal parity with SQL
+    parts = join_partitions(rows=n_edges)
+    if n_edges <= META_FOLD_EDGE_LIMIT:
+        # fold node metadata on the driver — no shuffle; nodes ≤ 2·edges
+        # guarantees the broadcast rank path
+        nodes, out_cnt = _node_meta_fold(edges)
+        if len(nodes) == 0:
+            return rd.from_arrow(
+                pa.table({"node": pa.array([], pa.int64()), "rank_n": pa.array([], pa.float64())})
+            )
+        return _pagerank_broadcast(
+            edges, nodes, out_cnt, float(len(nodes)), base, damping, iters
+        )
     meta = node_meta(edges).materialize()
     n = float(meta.count())
     if n == 0:
         return rd.from_arrow(
             pa.table({"node": pa.array([], pa.int64()), "rank_n": pa.array([], pa.float64())})
         )
-    base = (1.0 - damping) if damping != DAMPING else 0.15  # exact literal parity with SQL
-    parts = join_partitions(rows=n_edges)
     if n <= BROADCAST_NODE_LIMIT:
-        return _pagerank_broadcast(edges, meta, n, base, damping, iters, parts)
+        mdf = meta.to_pandas()  # node-sized, gated by BROADCAST_NODE_LIMIT
+        nodes = np.ascontiguousarray(mdf["node"].to_numpy(np.int64))
+        order = np.argsort(nodes, kind="stable")
+        return _pagerank_broadcast(
+            edges, nodes[order], mdf["out_cnt"].to_numpy(np.float64)[order],
+            n, base, damping, iters,
+        )
     return _pagerank_shuffle(edges, meta, n, base, damping, iters, parts)
 
 
 def _pagerank_broadcast(
     edges: rd.Dataset,
-    meta: rd.Dataset,
+    nodes: np.ndarray,
+    out_cnt: np.ndarray,
     n: float,
     base: float,
     damping: float,
     iters: int,
-    parts: int,
 ) -> rd.Dataset:
     import ray
 
-    mdf = meta.to_pandas()  # node-sized, gated by BROADCAST_NODE_LIMIT
-    nodes = np.ascontiguousarray(mdf["node"].to_numpy(np.int64))
-    order = np.argsort(nodes, kind="stable")
-    nodes = nodes[order]
-    out_cnt = mdf["out_cnt"].to_numpy(np.float64)[order]
     dangling = out_cnt == 0
     r = np.full(len(nodes), 1.0 / n)
 
@@ -150,11 +195,16 @@ def _pagerank_broadcast(
 
         # per-batch partials stream back node-sized (≤ unique-dst rows per
         # block) and fold on the driver — no per-iteration shuffle op at
-        # all; the big-graph path below keeps everything distributed
+        # all; the big-graph path below keeps everything distributed.
+        # Explicit batch_size: without it Ray passes EMPTY upstream blocks
+        # through unmapped as zero-column schema-less bundles (breaks the
+        # executor's schema dedup and spams RefBundle warnings)
         s = np.zeros(len(nodes))
-        for part in edges.map_batches(contrib, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
-        ):
+        for part in edges.map_batches(
+            contrib, batch_format="pyarrow", batch_size=262144
+        ).iter_batches(batch_format="pyarrow"):
+            if part.num_rows == 0 or "node" not in part.column_names:
+                continue
             idx = np.searchsorted(nodes, part["node"].to_numpy(zero_copy_only=False))
             np.add.at(s, idx, part["w_sum"].to_numpy(zero_copy_only=False))
         # operation order mirrors SQL_PAGERANK: base/N + d*(s + dm/N)

@@ -1627,7 +1627,7 @@ def q_latest_snapshot(sf_dir: str):
         g = df.sort_values(["warc_ts", "url"]).groupby("canonical_url", as_index=False)
         out = g.last()  # newest snapshot in this batch
         out["p_n"] = g.size()["size"].to_numpy()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["warc_ts", "url"])

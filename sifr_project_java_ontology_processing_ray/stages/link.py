@@ -222,7 +222,9 @@ def top1_per_mention(batch: pa.Table) -> pa.Table:
         return batch
     df = df.sort_values(["mention_id", "score", "cui"], ascending=[True, False, True])
     out = df.groupby("mention_id", as_index=False, sort=False).first()
-    return pa.Table.from_pandas(out[batch.column_names], preserve_index=False)
+    return pa.Table.from_pandas(
+        out[batch.column_names], preserve_index=False
+    ).replace_schema_metadata(None)
 
 
 class MentionLinker:

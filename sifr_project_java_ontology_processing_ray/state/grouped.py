@@ -58,6 +58,11 @@ def bucketed_map_groups(
     ``num_buckets`` python invocations."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
+        # strip any upstream b'pandas' metadata BEFORE the sort shuffle:
+        # the reduce tasks hash block schemas for dedup, and a schema
+        # carrying the pandas dict is unhashable (every reduce then
+        # re-unifies schemas per block instead of early-exiting)
+        batch = batch.replace_schema_metadata(None)
         if batch.num_rows == 0:
             return batch.append_column("__gbucket", pa.array([], pa.int32()))
         return batch.append_column(

@@ -73,15 +73,20 @@ def test_pagerank_dangling_mass_conserved(ray_session):
 
 
 def test_shuffle_and_broadcast_paths_agree(ray_session, monkeypatch):
-    """The gated broadcast path and the big-graph shuffle-join path must be
-    numerically interchangeable (same op order per the module contract)."""
+    """All three gated execution paths must be numerically interchangeable
+    (same op order per the module contract): fold-meta + broadcast ranks
+    (small edges), shuffled meta + broadcast ranks (mid), and the big-graph
+    shuffle-join loop."""
     edges = [(1, 2), (2, 3), (3, 1), (3, 4), (5, 4), (6, 1), (6, 5), (4, 6)]
-    broadcast = _run(edges)
+    fold_broadcast = _run(edges)
+    monkeypatch.setattr(graph, "META_FOLD_EDGE_LIMIT", 0)
+    meta_broadcast = _run(edges)
     monkeypatch.setattr(graph, "BROADCAST_NODE_LIMIT", 0)
     shuffled = _run(edges)
-    assert set(broadcast) == set(shuffled)
-    for v in broadcast:
-        assert shuffled[v] == pytest.approx(broadcast[v], abs=1e-12), v
+    assert set(fold_broadcast) == set(meta_broadcast) == set(shuffled)
+    for v in fold_broadcast:
+        assert meta_broadcast[v] == pytest.approx(fold_broadcast[v], abs=1e-12), v
+        assert shuffled[v] == pytest.approx(fold_broadcast[v], abs=1e-12), v
 
 
 def test_node_meta_out_degrees(ray_session):

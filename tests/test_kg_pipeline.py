@@ -155,7 +155,7 @@ def test_distributed_components_match_unionfind(ray_session):
     )
     ded = dedup_edges_salted(ds)
     assert ded.count() == 6
-    labels = connected_components(ded).to_pandas()
+    labels = connected_components(ded).to_pandas()  # broadcast path (small n)
     got = dict(zip(labels["node"], labels["label"]))
 
     uf = UnionFind()
@@ -163,6 +163,27 @@ def test_distributed_components_match_unionfind(ray_session):
         uf.union(a, b)
     want = uf.components()
     assert got == want
+
+    # the fully shuffled loop (forced via broadcast_limit=0) lands on the
+    # same labels — the two execution paths are pinned equal
+    shuf = connected_components(ded, broadcast_limit=0).to_pandas()
+    assert dict(zip(shuf["node"], shuf["label"])) == want
+
+    # non-converged equality: a diameter-4 chain cut off at max_rounds=1
+    # must leave BOTH paths in the identical partially-propagated state
+    chain = rd.from_arrow(
+        pa.table({"a": ["n1", "n2", "n3", "n4"], "b": ["n2", "n3", "n4", "n5"]})
+    )
+    part_b = connected_components(
+        chain, max_rounds=1, check_fixpoint=False
+    ).to_pandas()
+    part_s = connected_components(
+        chain, max_rounds=1, check_fixpoint=False, broadcast_limit=0
+    ).to_pandas()
+    db = dict(zip(part_b["node"], part_b["label"]))
+    ds_ = dict(zip(part_s["node"], part_s["label"]))
+    assert db == ds_
+    assert db["n5"] == "n4"  # propagated exactly one hop, not converged
 
 
 def test_embedding_neardup_detects_planted_pairs(ray_session):
