@@ -40,10 +40,24 @@ NUM_SALTS = 16
 # shuffled join+Min loop runs; the two paths are pinned equal by test.
 CC_BROADCAST_NODE_LIMIT = 8_000_000
 
+# Below this edge count the node seed folds on the driver from streamed
+# per-batch uniques instead of a bucketed distinct shuffle; the pull volume
+# (Σ per-batch unique ≤ 2·edges) is what the gate bounds, NOT the final
+# node count — an open-vocabulary graph with few nodes but 10^12 edges must
+# still seed via the shuffle.
+CC_EDGE_FOLD_LIMIT = 10_000_000
+
 
 def dedup_edges_salted(edges: "rd.Dataset", num_salts: int = NUM_SALTS) -> "rd.Dataset":
-    """Distinct undirected (a, b) edges via per-batch dedup → salted
-    groupby → unsalted groupby. Input columns: a, b (strings)."""
+    """Distinct undirected (a, b) edges via per-batch dedup → ONE salted
+    groupby. Input columns: a, b (strings).
+
+    The salt is a deterministic function of the normalized ``b``, so every
+    copy of a given (a, b) pair lands in the SAME (a, salt) bucket and one
+    salted pass already achieves the exact global distinct — no unsalted
+    finishing pass (a second all-to-all) is needed. The salt's job is skew
+    only: a hot node's edge list (many DISTINCT b's) splits across S
+    parallel groups instead of concentrating in one."""
 
     def norm_batch(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -57,20 +71,13 @@ def dedup_edges_salted(edges: "rd.Dataset", num_salts: int = NUM_SALTS) -> "rd.D
 
     from .grouped import bucketed_map_groups
 
-    # two bucketed distinct passes (vectorized inside each bucket) — NOT
-    # per-key map_groups: the salted pass splits a hot node's edge list
-    # into S groups, the unsalted pass finishes the global distinct
     salted = bucketed_map_groups(
         edges.map_batches(norm_batch, batch_format="pyarrow"),
         ["a", "salt"],
         lambda df: df.drop_duplicates(["a", "b"]),
     )
-    return bucketed_map_groups(
-        salted.map_batches(
-            lambda b: b.drop_columns(["salt"]), batch_format="pyarrow"
-        ),
-        ["a", "b"],
-        lambda df: df.drop_duplicates(["a", "b"]),
+    return salted.map_batches(
+        lambda b: b.drop_columns(["salt"]), batch_format="pyarrow"
     )
 
 
@@ -79,44 +86,83 @@ def connected_components(
     max_rounds: int = 8,
     check_fixpoint: bool = True,
     broadcast_limit: int = CC_BROADCAST_NODE_LIMIT,
+    edge_fold_limit: int = CC_EDGE_FOLD_LIMIT,
 ) -> "rd.Dataset":
     """(a, b) edge Dataset → (node, label) Dataset, label = lexicographic
     min of the node's component. Deterministic; ``max_rounds`` bounds the
     component diameter handled (raise for chain-shaped graphs).
     ``broadcast_limit`` gates the small-node-table broadcast loop
-    (``_cc_broadcast``); pass 0 to force the fully shuffled path."""
+    (``_cc_broadcast``); ``edge_fold_limit`` gates the driver-fold node
+    seed. Pass 0 for both to force the fully shuffled path."""
 
+    import ray.data as rd
     from ray.data.aggregate import Min
 
-    from .grouped import bucketed_map_groups
+    from .grouped import bucketed_map_groups, dataset_from_table
     from .partitions import join_partitions
 
+    # edges are rescanned by the node seed AND the sym/encode pass (and the
+    # shuffle loop's rounds) — materialize ONCE or the whole upstream
+    # pipeline (e.g. the caller's bucketed edge build) re-executes per scan
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.string()),
+                      "label": pa.array([], pa.string())})
+        )
 
     def seed_nodes(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         nodes = pd.unique(pd.concat([df["a"], df["b"]], ignore_index=True))
         return pa.table({"node": pa.array(list(nodes), pa.string())})
 
-    # distinct nodes via per-batch combiner + bucketed distinct (NOT
-    # per-key map_groups — that is one python call per node)
-    labels = (
-        bucketed_map_groups(
-            edges.map_batches(seed_nodes, batch_format="pyarrow"),
-            ["node"],
-            lambda df: df.drop_duplicates(),
+    nodes_sorted = None
+    if n_edges <= edge_fold_limit:
+        # driver-fold seed: stream per-batch unique nodes and dedupe once
+        # on the driver (arrow buffers, no python strings). Pull volume is
+        # Σ per-batch uniques ≤ 2·n_edges — gated by the EDGE count, which
+        # also bounds the transient concat (≤ ~20M strings at the limit)
+        parts: list[pa.Array] = []
+        for b in edges.map_batches(
+            seed_nodes, batch_format="pyarrow", batch_size=262144
+        ).iter_batches(batch_format="pyarrow"):
+            if b.num_rows and "node" in b.column_names:
+                parts.append(b["node"].combine_chunks())
+        uniq = pc.unique(pa.chunked_array(parts))
+        nodes_sorted = pc.take(uniq, pc.sort_indices(uniq))
+        if isinstance(nodes_sorted, pa.ChunkedArray):
+            nodes_sorted = nodes_sorted.combine_chunks()
+        if len(nodes_sorted) <= broadcast_limit:
+            return _cc_broadcast(edges, nodes_sorted, max_rounds)
+        labels = dataset_from_table(
+            pa.table({"node": nodes_sorted, "label": nodes_sorted})
+        ).materialize()
+        n_nodes = len(nodes_sorted)
+    else:
+        # distinct nodes via per-batch combiner + bucketed distinct (NOT
+        # per-key map_groups — that is one python call per node)
+        labels = (
+            bucketed_map_groups(
+                edges.map_batches(seed_nodes, batch_format="pyarrow"),
+                ["node"],
+                lambda df: df.drop_duplicates(),
+            )
+            .map_batches(
+                lambda b: pa.table({"node": b["node"], "label": b["node"]}),
+                batch_format="pyarrow",
+            )
+            .materialize()
         )
-        .map_batches(
-            lambda b: pa.table({"node": b["node"], "label": b["node"]}),
-            batch_format="pyarrow",
-        )
-        .materialize()
-    )
-
-    n_nodes = labels.count()
-    if n_nodes == 0:
-        return labels
-    if n_nodes <= broadcast_limit:
-        return _cc_broadcast(edges, labels, max_rounds)
+        n_nodes = labels.count()
+        if n_nodes == 0:
+            return labels
+        if n_nodes <= broadcast_limit:
+            col = pa.array(labels.to_pandas()["node"], pa.string())
+            srt = pc.take(col, pc.sort_indices(col))
+            if isinstance(srt, pa.ChunkedArray):
+                srt = srt.combine_chunks()
+            return _cc_broadcast(edges, srt, max_rounds)
 
     # symmetric message edges (node ← peer)
     def sym(batch: pa.Table) -> pa.Table:
@@ -205,7 +251,7 @@ def connected_components(
 
 
 def _cc_broadcast(
-    edges: "rd.Dataset", labels_ds: "rd.Dataset", max_rounds: int
+    edges: "rd.Dataset", nodes: pa.Array, max_rounds: int
 ) -> "rd.Dataset":
     """Broadcast-side min-label propagation: node labels live as a numpy
     index array on the driver, shipped via ``ray.put`` each round; edges
@@ -231,11 +277,7 @@ def _cc_broadcast(
     from .broadcast import cached_get
     from .grouped import dataset_from_table
 
-    col = pa.array(labels_ds.to_pandas()["node"], pa.string())  # gate-bounded
-    nodes = pc.take(col, pc.sort_indices(col))
-    if isinstance(nodes, pa.ChunkedArray):
-        nodes = nodes.combine_chunks()
-    n = len(nodes)
+    n = len(nodes)  # SORTED node array, gate-bounded by the caller
     nodes_ref = ray.put(nodes)
 
     def encode_sym(b: pa.Table, _ref=nodes_ref) -> pa.Table:

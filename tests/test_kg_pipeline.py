@@ -164,13 +164,15 @@ def test_distributed_components_match_unionfind(ray_session):
     want = uf.components()
     assert got == want
 
-    # the fully shuffled loop (forced via broadcast_limit=0) lands on the
-    # same labels — the two execution paths are pinned equal
-    shuf = connected_components(ded, broadcast_limit=0).to_pandas()
-    assert dict(zip(shuf["node"], shuf["label"])) == want
+    # every gated path combination lands on the same labels: fold-seed +
+    # shuffle loop, and shuffle-seed + shuffle loop (fully shuffled)
+    for kw in ({"broadcast_limit": 0},
+               {"broadcast_limit": 0, "edge_fold_limit": 0}):
+        shuf = connected_components(ded, **kw).to_pandas()
+        assert dict(zip(shuf["node"], shuf["label"])) == want, kw
 
     # non-converged equality: a diameter-4 chain cut off at max_rounds=1
-    # must leave BOTH paths in the identical partially-propagated state
+    # must leave ALL paths in the identical partially-propagated state
     chain = rd.from_arrow(
         pa.table({"a": ["n1", "n2", "n3", "n4"], "b": ["n2", "n3", "n4", "n5"]})
     )
@@ -178,7 +180,8 @@ def test_distributed_components_match_unionfind(ray_session):
         chain, max_rounds=1, check_fixpoint=False
     ).to_pandas()
     part_s = connected_components(
-        chain, max_rounds=1, check_fixpoint=False, broadcast_limit=0
+        chain, max_rounds=1, check_fixpoint=False,
+        broadcast_limit=0, edge_fold_limit=0,
     ).to_pandas()
     db = dict(zip(part_b["node"], part_b["label"]))
     ds_ = dict(zip(part_s["node"], part_s["label"]))
