@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_decode": _q_audio_decode,
         "pagerank": graph.q_pagerank,
         "graph_components": graph.q_graph_components,
+        "bfs_levels": graph.q_bfs_levels,
     }
 
 
@@ -378,6 +379,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_decode": _mm.sql_audio_decode(testgen.fixture_dir()),
         "pagerank": graph.SQL_PAGERANK,
         "graph_components": graph.SQL_GRAPH_COMPONENTS,
+        "bfs_levels": graph.SQL_BFS_LEVELS,
         # engine-computed P/R vs the sequential oracle must be exactly 1.0
         "kg_pr": (
             "SELECT 'precision' AS metric, 1.0 AS value "

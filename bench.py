@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "unigram_lm_score",
     "pagerank",
     "graph_components",
+    "bfs_levels",
 ]
 
 

@@ -300,13 +300,14 @@ def _pagerank_shuffle(
 
 
 # --------------------------------------------------------------------------
-# driver query: PageRank over the order→part bipartite adjacency
+# driver queries: PageRank + BFS levels over the order→part bipartite
+# adjacency
 # --------------------------------------------------------------------------
 
-def q_pagerank(sf_dir: str):
-    """Edges = DISTINCT (l_orderkey → l_partkey + PART_OFFSET): a hubby
+def _bipartite_edges(sf_dir: str) -> rd.Dataset:
+    """DISTINCT (l_orderkey → l_partkey + PART_OFFSET) edges: a hubby
     bipartite graph (popular parts are high-in-degree sinks, every part is
-    dangling) — exercises the dangling-mass path hard."""
+    dangling). Shared by q_pagerank and q_bfs_levels."""
     from ..state.grouped import bucketed_map_groups
 
     def local_edges(b: pa.Table) -> pa.Table:
@@ -322,14 +323,217 @@ def q_pagerank(sf_dir: str):
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_partkey"],
     ).map_batches(local_edges, batch_format="pyarrow")
-    edges = bucketed_map_groups(edges, ["src", "dst"], lambda df: df.drop_duplicates())
-    # the pandas bucket callback re-attaches b'pandas' schema metadata, which
-    # defeats Ray's schema dedup downstream (SCALE.md round-4 finding) —
-    # strip it before the edge table is materialized and re-joined 5×
-    edges = edges.map_batches(
-        lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+    return bucketed_map_groups(
+        edges, ["src", "dst"], lambda df: df.drop_duplicates()
     )
-    return pagerank(edges)
+
+
+def q_pagerank(sf_dir: str):
+    """PageRank over the bipartite adjacency — exercises the dangling-mass
+    path hard (every part node is dangling)."""
+    return pagerank(_bipartite_edges(sf_dir))
+
+
+# --------------------------------------------------------------------------
+# BFS hop levels (unit-weight Bellman relaxation, bounded rounds)
+# --------------------------------------------------------------------------
+
+BFS_ROUNDS = 4
+_BFS_UNREACHED = np.int64(1) << 62  # sentinel ≫ any real level, +1-safe
+
+
+def bfs_levels(
+    edges: rd.Dataset, source: int, rounds: int = BFS_ROUNDS
+) -> rd.Dataset:
+    """Hop distance from ``source`` over the UNDIRECTED view of a DISTINCT
+    (src:int64, dst:int64) edge set, bounded to ``rounds`` relaxation
+    rounds (level ≤ rounds). Returns (node, level) for reached nodes only.
+
+    Same two gated execution paths as :func:`pagerank` (pinned equal by
+    test): under ``META_FOLD_EDGE_LIMIT`` the level array rides a
+    ``ray.put`` blob and a round is ONE edge scan with per-batch grouped-Min
+    partials folded on the driver; above it a fully shuffled loop runs
+    (sym-edge hash join + union-groupby-Min per round, levels
+    re-materialized as the iterative checkpoint)."""
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "level": pa.array([], pa.int64())})
+        )
+    if n_edges <= META_FOLD_EDGE_LIMIT:
+        nodes, _ = _node_meta_fold(edges)
+        return _bfs_broadcast(edges, nodes, source, rounds)
+    return _bfs_shuffle(edges, source, rounds)
+
+
+def _bfs_broadcast(
+    edges: rd.Dataset, nodes: np.ndarray, source: int, rounds: int
+) -> rd.Dataset:
+    import ray
+
+    dist = np.full(len(nodes), _BFS_UNREACHED, np.int64)
+    src_pos = np.searchsorted(nodes, np.int64(source))
+    if src_pos < len(nodes) and nodes[src_pos] == source:
+        dist[src_pos] = 0
+
+    for _ in range(rounds):
+        blob = ray.put((nodes, dist))
+
+        def relax(b: pa.Table, _ref=blob) -> pa.Table:
+            lut_nodes, lut_d = ray.get(_ref)
+            src = b["src"].to_numpy(zero_copy_only=False)
+            dst = b["dst"].to_numpy(zero_copy_only=False)
+            # undirected: relax both directions; only reached endpoints emit
+            out_n, out_d = [], []
+            for a, bb in ((src, dst), (dst, src)):
+                d = lut_d[np.searchsorted(lut_nodes, a)]
+                m = d < _BFS_UNREACHED
+                out_n.append(bb[m])
+                out_d.append(d[m] + 1)
+            t = pa.table(
+                {"node": pa.array(np.concatenate(out_n)),
+                 "d": pa.array(np.concatenate(out_d))}
+            )
+            return t.group_by("node").aggregate([("d", "min")])
+
+        new = dist.copy()
+        for part in edges.map_batches(
+            relax, batch_format="pyarrow", batch_size=262144
+        ).iter_batches(batch_format="pyarrow"):
+            if part.num_rows == 0 or "node" not in part.column_names:
+                continue
+            idx = np.searchsorted(nodes, part["node"].to_numpy(zero_copy_only=False))
+            np.minimum.at(new, idx, part["d_min"].to_numpy(zero_copy_only=False))
+        if np.array_equal(new, dist):
+            break  # frontier exhausted — identical output either way
+        dist = new
+
+    m = dist < _BFS_UNREACHED
+    from ..state.grouped import dataset_from_table
+
+    return dataset_from_table(
+        pa.table({"node": pa.array(nodes[m]), "level": pa.array(dist[m])})
+    )
+
+
+def _bfs_shuffle(edges: rd.Dataset, source: int, rounds: int) -> rd.Dataset:
+    """Fully shuffled BFS: levels live as a distributed (node, level)
+    Dataset (sentinel = unreached), one hash join + union-groupby-Min per
+    round — nothing node-sized reaches the driver."""
+    parts = join_partitions(rows=edges.count())
+
+    def sym(b: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [pa.table({"src": b["src"], "dst": b["dst"]}),
+             pa.table({"src": b["dst"], "dst": b["src"]})]
+        )
+
+    sym_edges = edges.map_batches(
+        sym, batch_format="pyarrow", batch_size=262144
+    ).materialize()
+
+    _EMPTY = pa.table(
+        {"node": pa.array([], pa.int64()), "level": pa.array([], pa.int64())}
+    )
+
+    def init_levels(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "node" not in b.column_names:
+            return _EMPTY
+        lvl = np.full(b.num_rows, _BFS_UNREACHED, np.int64)
+        lvl[b["node"].to_numpy(zero_copy_only=False) == source] = 0
+        return pa.table({"node": b["node"], "level": pa.array(lvl)})
+
+    levels = (
+        node_meta(edges)
+        .map_batches(init_levels, batch_format="pyarrow", batch_size=262144)
+        .materialize()
+    )
+
+    def emit_relax(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "dst" not in b.column_names:
+            return _EMPTY
+        lvl = b["level"].to_numpy(zero_copy_only=False)
+        m = lvl < _BFS_UNREACHED
+        t = pa.table(
+            {"node": pc.array_filter(b["dst"], pa.array(m)),
+             "level": pa.array(lvl[m] + 1)}
+        )
+        t = t.group_by("node").aggregate([("level", "min")])
+        return pa.table({"node": t["node"], "level": t["level_min"]})
+
+    from ray.data.aggregate import Min
+
+    for _ in range(rounds):
+        messages = sym_edges.join(
+            levels, join_type="inner", num_partitions=parts,
+            on=("src",), right_on=("node",),
+        ).map_batches(emit_relax, batch_format="pyarrow", batch_size=262144)
+        levels = (
+            messages.union(levels)
+            .groupby("node", num_partitions=parts)
+            .aggregate(Min("level", alias_name="level"))
+            .map_batches(
+                lambda b: _EMPTY
+                if b.num_rows == 0 or "node" not in b.column_names
+                else b.select(["node", "level"]),
+                batch_format="pyarrow", batch_size=262144,
+            )
+            .materialize()
+        )
+
+    return levels.map_batches(
+        lambda b: b.filter(pc.less(b["level"], pa.scalar(int(_BFS_UNREACHED)))),
+        batch_format="pyarrow",
+    )
+
+
+def q_bfs_levels(sf_dir: str):
+    """BFS levels from the smallest order key over the bipartite adjacency:
+    level 1 = the source order's parts, level 2 = orders sharing them,
+    level 3/4 = the next part/order ring — a supply-chain-style blast
+    radius. Exactly restated by the unrolled-CTE ``SQL_BFS_LEVELS``."""
+    edges = _bipartite_edges(sf_dir).materialize()
+    # every src is an order key, so min(src) ≡ the SQL's MIN(l_orderkey)
+    src = edges.min("src")
+    return bfs_levels(edges, int(src))
+
+
+def _bfs_sql(rounds: int = BFS_ROUNDS) -> str:
+    """Exact DuckDB restatement: same undirected relaxation, unrolled to
+    ``rounds`` CTEs; NULL = unreached."""
+    sql = f"""WITH edges AS (
+  SELECT DISTINCT l_orderkey AS src, l_partkey + {PART_OFFSET} AS dst FROM lineitem
+),
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+s0 AS (SELECT MIN(l_orderkey) AS s FROM lineitem),
+d0 AS (
+  SELECT node, CASE WHEN node = (SELECT s FROM s0) THEN 0 END AS lvl FROM nodes
+)"""
+    for k in range(1, rounds + 1):
+        sql += f""",
+d{k} AS (
+  SELECT d.node,
+         CASE WHEN d.lvl IS NULL THEN m.in_lvl
+              WHEN m.in_lvl IS NULL THEN d.lvl
+              ELSE LEAST(d.lvl, m.in_lvl) END AS lvl
+  FROM d{k-1} d LEFT JOIN (
+    SELECT e.dst AS node, MIN(r.lvl) + 1 AS in_lvl
+    FROM sym e JOIN d{k-1} r ON e.src = r.node
+    WHERE r.lvl IS NOT NULL
+    GROUP BY e.dst
+  ) m ON d.node = m.node
+)"""
+    sql += (
+        f"\nSELECT node, CAST(lvl AS BIGINT) AS level"
+        f" FROM d{rounds} WHERE lvl IS NOT NULL"
+    )
+    return sql
+
+
+SQL_BFS_LEVELS = _bfs_sql()
 
 
 # --------------------------------------------------------------------------

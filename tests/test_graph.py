@@ -113,6 +113,49 @@ def test_graph_components_star_labels(ray_session):
     assert dict(zip(got["node"], got["label"])) == want
 
 
+def _seq_bfs(edges: list[tuple[int, int]], source: int, rounds: int = 4):
+    """Dense sequential restatement: bounded undirected Bellman relaxation."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    dist = {v: None for v in nodes}
+    if source in dist:
+        dist[source] = 0
+    sym = set(edges) | {(v, u) for u, v in edges}
+    for _ in range(rounds):
+        new = dict(dist)
+        for u, v in sym:
+            if dist[u] is not None and (new[v] is None or dist[u] + 1 < new[v]):
+                new[v] = dist[u] + 1
+        dist = new
+    return {v: d for v, d in dist.items() if d is not None}
+
+
+def test_bfs_levels_match_sequential(ray_session, monkeypatch):
+    # two lobes joined by a bridge + an unreachable island; rounds=4 cuts
+    # the far lobe mid-propagation — both paths must agree with the
+    # sequential restatement INCLUDING the cut-off frontier
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8),
+             (2, 9), (9, 4), (50, 51)]
+    want = _seq_bfs(edges, source=1)
+    broadcast = dict(
+        zip(*[graph.bfs_levels(_edges_ds(edges), 1).to_pandas()[c]
+              for c in ("node", "level")])
+    )
+    assert broadcast == want
+    monkeypatch.setattr(graph, "META_FOLD_EDGE_LIMIT", 0)
+    shuffled = dict(
+        zip(*[graph.bfs_levels(_edges_ds(edges), 1).to_pandas()[c]
+              for c in ("node", "level")])
+    )
+    assert shuffled == want
+    assert 50 not in want and 8 not in want  # island + beyond-4-hops cut
+
+
+def test_bfs_levels_empty_and_missing_source(ray_session):
+    assert graph.bfs_levels(_edges_ds([]), 1).count() == 0
+    # source absent from the graph → nothing reached
+    assert graph.bfs_levels(_edges_ds([(2, 3)]), 99).count() == 0
+
+
 def test_pagerank_empty_edges(ray_session):
     ds = graph.pagerank(_edges_ds([]))
     # ray's Dataset.to_pandas drops schema on 0-row results; check via arrow
