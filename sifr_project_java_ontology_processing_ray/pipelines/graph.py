@@ -136,7 +136,6 @@ def pagerank(
     edges = edges.materialize()
     n_edges = edges.count()
     base = (1.0 - damping) if damping != DAMPING else 0.15  # exact literal parity with SQL
-    parts = join_partitions(rows=n_edges)
     if n_edges <= META_FOLD_EDGE_LIMIT:
         # fold node metadata on the driver — no shuffle; nodes ≤ 2·edges
         # guarantees the broadcast rank path
@@ -162,7 +161,9 @@ def pagerank(
             edges, nodes[order], mdf["out_cnt"].to_numpy(np.float64)[order],
             n, base, damping, iters,
         )
-    return _pagerank_shuffle(edges, meta, n, base, damping, iters, parts)
+    return _pagerank_shuffle(
+        edges, meta, n, base, damping, iters, join_partitions(rows=n_edges)
+    )
 
 
 def _pagerank_broadcast(
@@ -179,14 +180,19 @@ def _pagerank_broadcast(
     dangling = out_cnt == 0
     r = np.full(len(nodes), 1.0 / n)
 
+    # the node array is static — ship it ONCE; only the per-src weight
+    # array (8 B/node) rides a fresh blob per iteration
+    nodes_ref = ray.put(nodes)
+
     for _ in range(iters):
         dm = float(r[dangling].sum())
         # per-src contribution weight; dangling nodes never appear as src
         w_src = np.divide(r, out_cnt, out=np.zeros_like(r), where=out_cnt > 0)
-        blob = ray.put((nodes, w_src))
+        w_ref = ray.put(w_src)
 
-        def contrib(b: pa.Table, _ref=blob) -> pa.Table:
-            lut_nodes, lut_w = ray.get(_ref)
+        def contrib(b: pa.Table, _nref=nodes_ref, _wref=w_ref) -> pa.Table:
+            lut_nodes = ray.get(_nref)
+            lut_w = ray.get(_wref)
             idx = np.searchsorted(lut_nodes, b["src"].to_numpy(zero_copy_only=False))
             t = pa.table(
                 {"node": b["dst"], "w": pa.array(lut_w[idx], pa.float64())}
@@ -378,11 +384,16 @@ def _bfs_broadcast(
     if src_pos < len(nodes) and nodes[src_pos] == source:
         dist[src_pos] = 0
 
-    for _ in range(rounds):
-        blob = ray.put((nodes, dist))
+    # the node array is static — ship it ONCE; only the level array (8 B/
+    # node) rides a fresh blob per round (same shape as _cc_broadcast)
+    nodes_ref = ray.put(nodes)
 
-        def relax(b: pa.Table, _ref=blob) -> pa.Table:
-            lut_nodes, lut_d = ray.get(_ref)
+    for _ in range(rounds):
+        dist_ref = ray.put(dist)
+
+        def relax(b: pa.Table, _nref=nodes_ref, _dref=dist_ref) -> pa.Table:
+            lut_nodes = ray.get(_nref)
+            lut_d = ray.get(_dref)
             src = b["src"].to_numpy(zero_copy_only=False)
             dst = b["dst"].to_numpy(zero_copy_only=False)
             # undirected: relax both directions; only reached endpoints emit
@@ -495,9 +506,10 @@ def q_bfs_levels(sf_dir: str):
     level 3/4 = the next part/order ring — a supply-chain-style blast
     radius. Exactly restated by the unrolled-CTE ``SQL_BFS_LEVELS``."""
     edges = _bipartite_edges(sf_dir).materialize()
-    # every src is an order key, so min(src) ≡ the SQL's MIN(l_orderkey)
-    src = edges.min("src")
-    return bfs_levels(edges, int(src))
+    # every src is an order key, so min(src) ≡ the SQL's MIN(l_orderkey);
+    # None (empty edge set) → bfs_levels' empty guard returns the empty frame
+    src = edges.min("src") if edges.count() else None
+    return bfs_levels(edges, int(src) if src is not None else 0)
 
 
 def _bfs_sql(rounds: int = BFS_ROUNDS) -> str:

@@ -48,6 +48,16 @@ CC_BROADCAST_NODE_LIMIT = 8_000_000
 CC_EDGE_FOLD_LIMIT = 10_000_000
 
 
+def _sorted_array(arr: "pa.Array | pa.ChunkedArray") -> pa.Array:
+    """Sort an arrow (chunked) array and normalize to a single chunk —
+    shared by both _cc_broadcast entry branches so chunk handling can't
+    drift between them."""
+    out = pc.take(arr, pc.sort_indices(arr))
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return out
+
+
 def dedup_edges_salted(edges: "rd.Dataset", num_salts: int = NUM_SALTS) -> "rd.Dataset":
     """Distinct undirected (a, b) edges via per-batch dedup → ONE salted
     groupby. Input columns: a, b (strings).
@@ -130,15 +140,12 @@ def connected_components(
             if b.num_rows and "node" in b.column_names:
                 parts.append(b["node"].combine_chunks())
         uniq = pc.unique(pa.chunked_array(parts))
-        nodes_sorted = pc.take(uniq, pc.sort_indices(uniq))
-        if isinstance(nodes_sorted, pa.ChunkedArray):
-            nodes_sorted = nodes_sorted.combine_chunks()
+        nodes_sorted = _sorted_array(uniq)
         if len(nodes_sorted) <= broadcast_limit:
             return _cc_broadcast(edges, nodes_sorted, max_rounds)
         labels = dataset_from_table(
             pa.table({"node": nodes_sorted, "label": nodes_sorted})
         ).materialize()
-        n_nodes = len(nodes_sorted)
     else:
         # distinct nodes via per-batch combiner + bucketed distinct (NOT
         # per-key map_groups — that is one python call per node)
@@ -159,10 +166,7 @@ def connected_components(
             return labels
         if n_nodes <= broadcast_limit:
             col = pa.array(labels.to_pandas()["node"], pa.string())
-            srt = pc.take(col, pc.sort_indices(col))
-            if isinstance(srt, pa.ChunkedArray):
-                srt = srt.combine_chunks()
-            return _cc_broadcast(edges, srt, max_rounds)
+            return _cc_broadcast(edges, _sorted_array(col), max_rounds)
 
     # symmetric message edges (node ← peer)
     def sym(batch: pa.Table) -> pa.Table:

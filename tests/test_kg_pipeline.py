@@ -165,8 +165,9 @@ def test_distributed_components_match_unionfind(ray_session):
     assert got == want
 
     # every gated path combination lands on the same labels: fold-seed +
-    # shuffle loop, and shuffle-seed + shuffle loop (fully shuffled)
+    # shuffle loop, shuffle-seed + broadcast loop, and fully shuffled
     for kw in ({"broadcast_limit": 0},
+               {"edge_fold_limit": 0},
                {"broadcast_limit": 0, "edge_fold_limit": 0}):
         shuf = connected_components(ded, **kw).to_pandas()
         assert dict(zip(shuf["node"], shuf["label"])) == want, kw
