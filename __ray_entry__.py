@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_median": relational.q_user_value_median,
         # text / training-data ops
         "token_counts": textops.q_token_counts,
+        "jsonl_token_stats": textops.q_jsonl_token_stats,
         "exact_dedup": textops.q_exact_dedup,
         "quality_filter": textops.q_quality_filter,
         "langid": textops.q_langid,
@@ -371,6 +372,7 @@ def oracle_sql() -> dict[str, str]:
         # fixture-driven restatements: the fixture files are materialized
         # here so the SQL's read_csv/read_parquet inputs exist regardless
         # of query/oracle execution order
+        "jsonl_token_stats": textops.sql_jsonl_token_stats(testgen.fixture_dir()),
         "skos_generation": generation.sql_skos_generation(testgen.fixture_dir()),
         "multilingual_clean": cleaner.sql_multilingual_clean(testgen.fixture_dir()),
         "reconciliation": reconciler.sql_reconciliation(testgen.fixture_dir()),

@@ -77,6 +77,54 @@ FROM documents GROUP BY lang
 """
 
 
+def q_jsonl_token_stats(sf_dir: str):
+    """JSONL source end-to-end: ``ray.data.read_json`` over a sharded
+    newline-delimited corpus (the web-corpus interchange format the
+    reference's CSV/XML/RDF loaders don't cover — extension surface) →
+    the same Arrow-kernel token partials as ``q_token_counts``. Scale
+    path: the jsonl dir reads as one task per shard file, exactly like the
+    parquet/WARC inputs; point it at a 10k-shard corpus and the read fans
+    out the same way."""
+    import ray.data as rd
+
+    from .. import testgen
+
+    path = os.path.join(testgen.fixture_dir(), "docs_jsonl")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        counts = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+        counts = pc.cast(
+            pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int32()), counts),
+            pa.int64(),
+        )
+        t = pa.table({"lang": batch["lang"], "tok": counts})
+        return (
+            t.group_by("lang")
+            .aggregate([("tok", "sum"), ("tok", "count")])
+            .rename_columns(["lang", "p_tok", "p_n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        rd.read_json(path)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("p_tok", alias_name="total_tokens"), Sum("p_n", alias_name="n_docs"))
+    )
+
+
+def sql_jsonl_token_stats(fixture_root: str) -> str:
+    return rf"""
+SELECT lang,
+       CAST(sum(len({_SQL_WORDS})) AS BIGINT) AS total_tokens,
+       count(*) AS n_docs
+FROM read_json('{fixture_root}/docs_jsonl/*.jsonl', format='newline_delimited')
+GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # exact dedup: hash-partition + per-group first (SQL-checkable via md5)
 # --------------------------------------------------------------------------

@@ -487,6 +487,25 @@ def ehealth_fixture(seed: int = SEED) -> dict[str, str]:
 # Materialization helpers
 # --------------------------------------------------------------------------
 
+def make_jsonl_corpus(n: int = 400, shards: int = 4) -> list[list[str]]:
+    """Deterministic newline-delimited-JSON corpus (doc_id, lang, text) —
+    the web-corpus interchange format; written as SEVERAL shard files so
+    the JSONL read path is exercised with multi-file parallelism, the way
+    a real jsonl.gz corpus ships. Returns one list of JSON lines per
+    shard."""
+    import json
+
+    rng = np.random.RandomState(77)
+    langs = ["en", "fr", "de"]
+    out: list[list[str]] = [[] for _ in range(shards)]
+    for i in range(n):
+        n_words = int(rng.randint(0, 40))  # 0 → empty-text edge case
+        text = " ".join(rng.choice(_VOCAB, size=n_words))
+        row = {"doc_id": i, "lang": langs[int(rng.randint(len(langs)))], "text": text}
+        out[i % shards].append(json.dumps(row, sort_keys=True))
+    return out
+
+
 def _fixture_fingerprint() -> str:
     """Content fingerprint of the fixture GENERATORS: any edit to this
     module or the multimodal table makers auto-invalidates the on-disk
@@ -532,6 +551,11 @@ def fixture_dir(root: str = "/tmp/sifr_fixtures") -> str:
     for name, content in ehealth_fixture().items():
         with open(os.path.join(root, name), "w") as f:
             f.write(content)
+    jsonl_dir = os.path.join(root, "docs_jsonl")
+    os.makedirs(jsonl_dir, exist_ok=True)
+    for i, lines in enumerate(make_jsonl_corpus()):
+        with open(os.path.join(jsonl_dir, f"docs_{i}.jsonl"), "w") as f:
+            f.write("\n".join(lines) + "\n")
     with open(marker, "w") as f:
         f.write("ok\n")
     return root

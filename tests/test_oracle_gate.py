@@ -57,6 +57,11 @@ SUBSET = [
     "user_value_median",
     "seq_oracle_pr",
     "unigram_lm_score",
+    # graph-analytics family + jsonl source (session-4 additions)
+    "pagerank",
+    "bfs_levels",
+    "graph_components",
+    "jsonl_token_stats",
 ]
 
 
