@@ -142,3 +142,40 @@ def test_fixture_fingerprint_tracks_generator_content(tmp_path, monkeypatch):
     alt.write_bytes(open(mm.__file__, "rb").read() + b"\n# edited\n")
     monkeypatch.setattr(mm, "__file__", str(alt))
     assert testgen._fixture_fingerprint() != fp1
+
+
+def test_jsonl_roundtrip(ray_session, tmp_path):
+    """JSONL is both a source AND a sink: write_json → read_json preserves
+    rows and column values exactly (int64/string), including an empty
+    text — the interchange contract q_jsonl_token_stats relies on."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sifr_project_java_ontology_processing_ray.state.grouped import dataset_from_table
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "lang": pa.array(["en", "fr", "en", "de"], pa.string()),
+            "text": pa.array(["key agg row", "", "hash join fast", "a"], pa.string()),
+        }
+    )
+    out = str(tmp_path / "jsonl_out")
+    dataset_from_table(t, target_rows=2).write_json(out)
+    back = rd.read_json(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert back["doc_id"].tolist() == [1, 2, 3, 4]
+    assert back["lang"].tolist() == ["en", "fr", "en", "de"]
+    assert back["text"].tolist() == ["key agg row", "", "hash join fast", "a"]
+
+
+def test_jsonl_corpus_deterministic():
+    """The jsonl fixture generator is bit-deterministic (the oracle reads
+    the files the engine reads — both must see identical bytes across
+    processes and sessions)."""
+    from sifr_project_java_ontology_processing_ray.testgen import make_jsonl_corpus
+
+    a = make_jsonl_corpus()
+    b = make_jsonl_corpus()
+    assert a == b
+    assert sum(len(s) for s in a) == 400
+    assert any('"text": ""' in line for shard in a for line in shard)
