@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": graph.q_pagerank,
         "graph_components": graph.q_graph_components,
         "bfs_levels": graph.q_bfs_levels,
+        "degree_distribution": graph.q_degree_distribution,
     }
 
 
@@ -382,6 +383,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": graph.SQL_PAGERANK,
         "graph_components": graph.SQL_GRAPH_COMPONENTS,
         "bfs_levels": graph.SQL_BFS_LEVELS,
+        "degree_distribution": graph.SQL_DEGREE_DISTRIBUTION,
         # engine-computed P/R vs the sequential oracle must be exactly 1.0
         "kg_pr": (
             "SELECT 'precision' AS metric, 1.0 AS value "

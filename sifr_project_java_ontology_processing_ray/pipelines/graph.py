@@ -340,6 +340,47 @@ def q_pagerank(sf_dir: str):
     return pagerank(_bipartite_edges(sf_dir))
 
 
+def q_degree_distribution(sf_dir: str):
+    """Out-degree histogram of the bipartite adjacency: drives the
+    PRODUCTION ``node_meta`` pass (the metadata groupby behind PageRank's
+    shuffle path, incl. the zero-degree dangling-node union trick) and
+    makes it driver-visible — a wrong partial, lost dangling row, or
+    mis-summed out_cnt breaks the value hash."""
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        t = b.group_by("out_cnt").aggregate([("node", "count")])
+        return pa.table(
+            {
+                "out_degree": pc.cast(t["out_cnt"], pa.int64()),
+                "p_n": pc.cast(t["node_count"], pa.int64()),
+            }
+        )
+
+    edges = _bipartite_edges(sf_dir).materialize()
+    return (
+        node_meta(edges)
+        .map_batches(hist_partial, batch_format="pyarrow", batch_size=262144)
+        .groupby("out_degree")
+        .aggregate(Sum("p_n", alias_name="n_nodes"))
+    )
+
+
+SQL_DEGREE_DISTRIBUTION = f"""
+WITH edges AS (
+  SELECT DISTINCT l_orderkey AS src, l_partkey + {PART_OFFSET} AS dst FROM lineitem
+),
+deg AS (SELECT src AS node, COUNT(*) AS out_cnt FROM edges GROUP BY src),
+nodes AS (
+  SELECT node, MAX(oc) AS out_cnt FROM (
+    SELECT node, out_cnt AS oc FROM deg
+    UNION ALL SELECT DISTINCT dst AS node, 0 AS oc FROM edges
+  ) GROUP BY node
+)
+SELECT CAST(out_cnt AS BIGINT) AS out_degree, COUNT(*) AS n_nodes
+FROM nodes GROUP BY out_cnt
+"""
+
+
 # --------------------------------------------------------------------------
 # BFS hop levels (unit-weight Bellman relaxation, bounded rounds)
 # --------------------------------------------------------------------------

@@ -62,6 +62,7 @@ SUBSET = [
     "bfs_levels",
     "graph_components",
     "jsonl_token_stats",
+    "degree_distribution",
 ]
 
 
