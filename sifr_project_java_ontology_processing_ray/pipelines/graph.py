@@ -44,8 +44,13 @@ from ..state.partitions import join_partitions
 DAMPING = 0.85
 ITERS = 5
 # l_partkey and l_orderkey share the int64 key space; offset part nodes so
-# the bipartite order→part graph has disjoint node ids (same literal in SQL_PAGERANK)
-PART_OFFSET = 10_000_000
+# the bipartite order→part graph has disjoint node ids (same literal in the
+# SQL oracles). 2^42 keeps the ids disjoint for orderkeys up to ~4.4e12
+# (TPC-H orderkeys pass 10M at SF≈2 — a 1e7 offset would silently alias
+# order and part nodes at scale, and the oracle, sharing the literal,
+# would agree on the wrong graph) while partkey + offset stays far under
+# int64 max.
+PART_OFFSET = 1 << 42
 
 
 def _meta_partials(b: pa.Table) -> pa.Table:
@@ -239,7 +244,19 @@ def _pagerank_shuffle(
 
     ranks = meta.map_batches(init_rank, batch_format="pyarrow").materialize()
 
+    # Ray's hash join/aggregate emit ZERO-COLUMN blocks for empty hash
+    # partitions (see state/components._norm); every map below guards for
+    # them and carries an explicit batch_size so the batcher coalesces the
+    # schema-less empties instead of passing them through unmapped into
+    # the next round's join.
+    _EMPTY_MSG = pa.table(
+        {"node": pa.array([], pa.int64()), "w": pa.array([], pa.float64()),
+         "oc": pa.array([], pa.int64())}
+    )
+
     def emit_contrib(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "dst" not in b.column_names:
+            return _EMPTY_MSG
         w = pc.divide(b["rank"], pc.cast(b["out_cnt"], pa.float64()))
         t = pa.table({"node": b["dst"], "w": w})
         # partial per-batch pre-agg: shuffle unique-dst rows, not edge rows
@@ -255,6 +272,8 @@ def _pagerank_shuffle(
         )
 
     def emit_zeros(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "node" not in b.column_names:
+            return _EMPTY_MSG
         return pa.table(
             {
                 "node": b["node"],
@@ -279,13 +298,24 @@ def _pagerank_shuffle(
             right_on=("node",),
         )
         agg = (
-            joined.map_batches(emit_contrib, batch_format="pyarrow")
-            .union(ranks.map_batches(emit_zeros, batch_format="pyarrow"))
+            joined.map_batches(
+                emit_contrib, batch_format="pyarrow", batch_size=262144
+            )
+            .union(ranks.map_batches(
+                emit_zeros, batch_format="pyarrow", batch_size=262144
+            ))
             .groupby("node", num_partitions=parts)
             .aggregate(Sum("w", alias_name="s"), Max("oc", alias_name="out_cnt"))
         )
 
+        _EMPTY_RANKS = pa.table(
+            {"node": pa.array([], pa.int64()), "out_cnt": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.float64())}
+        )
+
         def rescale(b: pa.Table, _dm=dm) -> pa.Table:
+            if b.num_rows == 0 or "node" not in b.column_names:
+                return _EMPTY_RANKS
             # operation order mirrors SQL_PAGERANK exactly:
             # base/N + d*(s + dm/N) — scalar subterms fold once, like
             # DuckDB's constant scalar subqueries
@@ -295,7 +325,9 @@ def _pagerank_shuffle(
                 {"node": b["node"], "out_cnt": b["out_cnt"], "rank": pa.array(r)}
             )
 
-        ranks = agg.map_batches(rescale, batch_format="pyarrow").materialize()
+        ranks = agg.map_batches(
+            rescale, batch_format="pyarrow", batch_size=262144
+        ).materialize()
 
     def finalize(b: pa.Table) -> pa.Table:
         return pa.table(

@@ -74,7 +74,11 @@ def read_parquet(paths, **kwargs) -> "rd.Dataset":
     if "schema" not in kwargs:
         try:
             sample = _probe_sample(paths)
-            if sample and not _under_hive_dir(sample[0]):
+            # ANY hive-partitioned shard in the sample disables the probe:
+            # a mixed list (plain files + key=value dirs) would pin the
+            # plain file's footer schema and silently drop the injected
+            # partition column from the hive shards' blocks
+            if sample and not any(_under_hive_dir(p) for p in sample):
                 schema = pq.read_schema(sample[0]).remove_metadata()
                 for other in sample[1:]:
                     # metadata-insensitive compare: a pandas-version blob

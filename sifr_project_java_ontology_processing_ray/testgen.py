@@ -564,10 +564,18 @@ def fixture_dir(root: str = "/tmp/sifr_fixtures") -> str:
 def pages_path_for(
     sf_dir: str, root: str = "/tmp/sifr_pages", replicate: int = 1
 ) -> str:
-    """Pages parquet for a given testdata dir, materialized on first use."""
+    """Pages parquet for a given testdata dir, materialized on first use.
+
+    The cache key embeds the generator fingerprint: an edit to
+    ``pages_table_from_documents`` (or anything it calls) must invalidate
+    the cached corpus, or the engine would read stale pages while
+    documents-derived SQL oracles (domain_stats / latest_snapshot / kg_pr)
+    restate expectations with the NEW formula — the exact staleness class
+    the ``fixture_dir`` marker exists to prevent."""
     key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     if replicate > 1:
         key = f"{key}_x{replicate}"
+    key = f"{key}_{_fixture_fingerprint()}"
     return write_pages_for_sf(
         sf_dir, os.path.join(root, key, "pages.parquet"), replicate=replicate
     )

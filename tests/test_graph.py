@@ -83,10 +83,18 @@ def test_shuffle_and_broadcast_paths_agree(ray_session, monkeypatch):
     meta_broadcast = _run(edges)
     monkeypatch.setattr(graph, "BROADCAST_NODE_LIMIT", 0)
     shuffled = _run(edges)
-    assert set(fold_broadcast) == set(meta_broadcast) == set(shuffled)
+    # over-partitioned shuffle: more hash partitions than nodes forces the
+    # empty zero-column aggregate blocks the round maps must guard against
+    monkeypatch.setattr(graph, "join_partitions", lambda rows=None: 16)
+    shuffled_sparse = _run(edges)
+    assert (
+        set(fold_broadcast) == set(meta_broadcast)
+        == set(shuffled) == set(shuffled_sparse)
+    )
     for v in fold_broadcast:
         assert meta_broadcast[v] == pytest.approx(fold_broadcast[v], abs=1e-12), v
         assert shuffled[v] == pytest.approx(fold_broadcast[v], abs=1e-12), v
+        assert shuffled_sparse[v] == pytest.approx(fold_broadcast[v], abs=1e-12), v
 
 
 def test_node_meta_out_degrees(ray_session):
