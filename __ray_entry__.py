@@ -163,7 +163,11 @@ def _q_seq_oracle_pr(sf_dir: str):
         rows.append((f"{tag}_precision", p))
         rows.append((f"{tag}_recall", r))
 
-    mh = textops.q_minhash_dedup(sf_dir)
+    # the verified-pair Dataset is computed ONCE and reused by the pair,
+    # cluster, and (seq-side) curation checks — the LSH verify is the
+    # family's most expensive stage
+    pairs_ds = textops.minhash_verified_pairs(sf_dir).materialize()
+    mh = textops.q_minhash_dedup(sf_dir, pairs=pairs_ds)
     got_mh = {(int(a), int(b)) for a, b in zip(mh.get("a", []), mh.get("b", []))}
     want_mh = so.minhash_pairs_seq(docs)
     add("minhash", got_mh, want_mh)
@@ -175,7 +179,7 @@ def _q_seq_oracle_pr(sf_dir: str):
     }
     add("simhash", got_sh, so.simhash_pairs_seq(docs))
 
-    cl = textops.q_neardup_clusters(sf_dir)
+    cl = textops.q_neardup_clusters(sf_dir, pairs=pairs_ds)
     got_cl = {(int(d), int(c)) for d, c in zip(cl["doc_id"], cl["cluster_id"])}
     add("clusters", got_cl, set(so.clusters_seq(want_mh).items()))
 
@@ -190,7 +194,7 @@ def _q_seq_oracle_pr(sf_dir: str):
 
     curated, _report = curation.curate(sf_dir)
     got_keep = {int(d) for d in curated.to_pandas()["doc_id"]}
-    add("curation", got_keep, so.curated_keep_seq(docs))
+    add("curation", got_keep, so.curated_keep_seq(docs, pairs=want_mh))
 
     return pd.DataFrame(
         {"metric": [r[0] for r in rows], "value": [r[1] for r in rows]}

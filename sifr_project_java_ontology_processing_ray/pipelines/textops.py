@@ -508,16 +508,17 @@ GROUP BY toks.doc_id
 # near-duplicate clustering: verified MinHash pairs → connected components
 # --------------------------------------------------------------------------
 
-def q_neardup_clusters(sf_dir: str):
+def q_neardup_clusters(sf_dir: str, pairs: "rd.Dataset | None" = None):
     """(doc_id, cluster_id) for every document in a near-dup component;
     cluster_id = min doc_id of the component. Components computed with the
     DISTRIBUTED min-label propagation (state/components — the open-
     vocabulary path), not the driver union-find; sequential-oracle test in
     tests/test_neardedup_oracle.py. Consumes the verified-pair Dataset
-    directly (VERDICT r2 #1) — pairs never pass through the driver."""
+    directly (VERDICT r2 #1) — pairs never pass through the driver;
+    ``pairs`` lets the seq-oracle gate reuse an already-computed set."""
     from ..state.components import connected_components
 
-    pairs = minhash_verified_pairs(sf_dir).materialize()
+    pairs = (pairs if pairs is not None else minhash_verified_pairs(sf_dir)).materialize()
     if pairs.count() == 0:
         return pd.DataFrame(
             {"doc_id": pd.Series([], dtype="int64"),
@@ -1042,12 +1043,15 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) ->
     return joined.map_batches(verify, batch_format="pyarrow")
 
 
-def q_minhash_dedup(sf_dir: str):
+def q_minhash_dedup(sf_dir: str, pairs: "rd.Dataset | None" = None):
     """Near-duplicate pairs verified by true token-Jaccard ≥ threshold.
     Returns (a, b, jaccard) — empty when the corpus has no near-dups.
     Thin driver-contract wrapper over ``minhash_verified_pairs``; only the
-    verified pairs (tiny) are collected and sorted."""
-    df = minhash_verified_pairs(sf_dir).to_pandas()
+    verified pairs (tiny) are collected and sorted. ``pairs`` lets a
+    caller that already computed the verified-pair Dataset (the seq-oracle
+    P/R gate runs the pair/cluster/curation family together) skip the
+    recompute."""
+    df = (pairs if pairs is not None else minhash_verified_pairs(sf_dir)).to_pandas()
     if not len(df):
         return _EMPTY_PAIRS.to_pandas()
     return df.sort_values(["a", "b"]).reset_index(drop=True)

@@ -129,10 +129,12 @@ def curated_keep_seq(
     docs: list[tuple[int, str]],
     keep_langs: tuple[str, ...] = ("en",),
     min_quality: float = 0.3,
+    pairs: "set[tuple[int, int]] | None" = None,
 ) -> set[int]:
     """Composed-curation survivor set: min doc_id per exact content hash,
     minus near-dup victims (the b side of every verified pair), lang and
-    quality gated — all derived sequentially."""
+    quality gated — all derived sequentially. ``pairs`` reuses an
+    already-computed minhash pair set."""
     import hashlib
 
     first_per_hash: dict[str, int] = {}
@@ -141,7 +143,7 @@ def curated_keep_seq(
         if h not in first_per_hash:
             first_per_hash[h] = did
     keep = set(first_per_hash.values())
-    near_drop = {b for _a, b in minhash_pairs_seq(docs)}
+    near_drop = {b for _a, b in (pairs if pairs is not None else minhash_pairs_seq(docs))}
     return {
         did
         for did, text in docs
