@@ -80,6 +80,11 @@ def run_bench() -> dict:
     with open(pages, "rb") as f:
         while f.read(1 << 24):
             pass
+    if os.environ.get("GRAFT_BENCH_KG_ONLY") != "1":
+        # latest_snapshot reads its own x4 corpus — materialize it outside
+        # that query's timed window too (a cold fingerprinted cache would
+        # otherwise bill corpus generation to the query)
+        testgen.pages_path_for(SF_DIR, replicate=4)
 
     # cluster warmup OUTSIDE the measured window (standard practice; same at
     # every parallelism level): spawn the worker processes and pay their
