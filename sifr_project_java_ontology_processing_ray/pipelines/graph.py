@@ -119,7 +119,10 @@ META_FOLD_EDGE_LIMIT = 10_000_000
 
 
 def pagerank(
-    edges: rd.Dataset, damping: float = DAMPING, iters: int = ITERS
+    edges: rd.Dataset,
+    damping: float = DAMPING,
+    iters: int = ITERS,
+    checkpoint_dir: str | None = None,
 ) -> rd.Dataset:
     """PageRank over a DISTINCT (src:int64, dst:int64) edge Dataset.
 
@@ -137,6 +140,14 @@ def pagerank(
     - larger: fully shuffled loop (hash join + union-groupby per round,
       ranks re-materialized as the iterative checkpoint) — nothing
       node-sized ever reaches the driver.
+
+    ``checkpoint_dir``: persist the rank state after every completed
+    round (npy on the broadcast path, parquet + completion marker on the
+    shuffle path) and RESUME from the highest completed round on rerun —
+    the north rule's checkpoint/resume contract applied to the iterative
+    loop. float64 round-trips losslessly through both formats, so a
+    resumed run is bit-identical to an uninterrupted one (pinned by
+    test).
     """
     edges = edges.materialize()
     n_edges = edges.count()
@@ -150,7 +161,8 @@ def pagerank(
                 pa.table({"node": pa.array([], pa.int64()), "rank_n": pa.array([], pa.float64())})
             )
         return _pagerank_broadcast(
-            edges, nodes, out_cnt, float(len(nodes)), base, damping, iters
+            edges, nodes, out_cnt, float(len(nodes)), base, damping, iters,
+            checkpoint_dir,
         )
     meta = node_meta(edges).materialize()
     n = float(meta.count())
@@ -164,11 +176,30 @@ def pagerank(
         order = np.argsort(nodes, kind="stable")
         return _pagerank_broadcast(
             edges, nodes[order], mdf["out_cnt"].to_numpy(np.float64)[order],
-            n, base, damping, iters,
+            n, base, damping, iters, checkpoint_dir,
         )
     return _pagerank_shuffle(
-        edges, meta, n, base, damping, iters, join_partitions(rows=n_edges)
+        edges, meta, n, base, damping, iters, join_partitions(rows=n_edges),
+        checkpoint_dir,
     )
+
+
+def _ckpt_resume_round(checkpoint_dir: str | None, iters: int, suffix: str):
+    """(start_round, payload_path): highest completed round ≤ iters found
+    under ``checkpoint_dir`` (0 = cold start). Completion is the existence
+    of the round's payload (npy, written atomically via rename) or its
+    ``_complete`` marker (parquet dirs, marker written after the data)."""
+    if not checkpoint_dir:
+        return 0, None
+    best, path = 0, None
+    for k in range(iters, 0, -1):
+        p = os.path.join(checkpoint_dir, f"round_{k}{suffix}")
+        done = os.path.exists(
+            os.path.join(p, "_complete") if suffix == "" else p
+        )
+        if done:
+            return k, p
+    return best, path
 
 
 def _pagerank_broadcast(
@@ -179,17 +210,22 @@ def _pagerank_broadcast(
     base: float,
     damping: float,
     iters: int,
+    checkpoint_dir: str | None = None,
 ) -> rd.Dataset:
     import ray
 
     dangling = out_cnt == 0
     r = np.full(len(nodes), 1.0 / n)
 
+    start, ckpt = _ckpt_resume_round(checkpoint_dir, iters, ".npy")
+    if ckpt:
+        r = np.load(ckpt)
+
     # the node array is static — ship it ONCE; only the per-src weight
     # array (8 B/node) rides a fresh blob per iteration
     nodes_ref = ray.put(nodes)
 
-    for _ in range(iters):
+    for round_idx in range(start, iters):
         dm = float(r[dangling].sum())
         # per-src contribution weight; dangling nodes never appear as src
         w_src = np.divide(r, out_cnt, out=np.zeros_like(r), where=out_cnt > 0)
@@ -220,6 +256,12 @@ def _pagerank_broadcast(
             np.add.at(s, idx, part["w_sum"].to_numpy(zero_copy_only=False))
         # operation order mirrors SQL_PAGERANK: base/N + d*(s + dm/N)
         r = base / n + damping * (s + dm / n)
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            tmp = os.path.join(checkpoint_dir, f".round_{round_idx + 1}.npy.tmp")
+            with open(tmp, "wb") as f:  # np.save(path) would append .npy
+                np.save(f, r)
+            os.replace(tmp, os.path.join(checkpoint_dir, f"round_{round_idx + 1}.npy"))
 
     from ..state.grouped import dataset_from_table
 
@@ -236,13 +278,18 @@ def _pagerank_shuffle(
     damping: float,
     iters: int,
     parts: int,
+    checkpoint_dir: str | None = None,
 ) -> rd.Dataset:
     def init_rank(b: pa.Table) -> pa.Table:
         return b.append_column(
             "rank", pa.array(np.full(len(b), 1.0 / n, np.float64))
         )
 
-    ranks = meta.map_batches(init_rank, batch_format="pyarrow").materialize()
+    start, ckpt = _ckpt_resume_round(checkpoint_dir, iters, "")
+    if ckpt:
+        ranks = pio.read_parquet(ckpt).materialize()
+    else:
+        ranks = meta.map_batches(init_rank, batch_format="pyarrow").materialize()
 
     # Ray's hash join/aggregate emit ZERO-COLUMN blocks for empty hash
     # partitions (see state/components._norm); every map below guards for
@@ -285,7 +332,7 @@ def _pagerank_shuffle(
     def only_dangling(b: pa.Table) -> pa.Table:
         return b.filter(pc.equal(b["out_cnt"], 0))
 
-    for _ in range(iters):
+    for round_idx in range(start, iters):
         dm = (
             ranks.map_batches(only_dangling, batch_format="pyarrow").sum("rank")
             or 0.0
@@ -328,6 +375,15 @@ def _pagerank_shuffle(
         ranks = agg.map_batches(
             rescale, batch_format="pyarrow", batch_size=262144
         ).materialize()
+        if checkpoint_dir:
+            # rank table written distributed (partitioned parquet); the
+            # _complete marker lands AFTER the data, so a torn write is
+            # never resumed from
+            rp = os.path.join(checkpoint_dir, f"round_{round_idx + 1}")
+            if not os.path.exists(os.path.join(rp, "_complete")):
+                ranks.write_parquet(rp)
+                with open(os.path.join(rp, "_complete"), "w") as f:
+                    f.write("ok\n")
 
     def finalize(b: pa.Table) -> pa.Table:
         return pa.table(

@@ -97,6 +97,35 @@ def test_shuffle_and_broadcast_paths_agree(ray_session, monkeypatch):
         assert shuffled_sparse[v] == pytest.approx(fold_broadcast[v], abs=1e-12), v
 
 
+def test_pagerank_checkpoint_resume(ray_session, monkeypatch, tmp_path):
+    """A checkpointed run interrupted mid-loop resumes from the highest
+    completed round and lands bit-identical to an uninterrupted run —
+    both execution paths."""
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (5, 4), (6, 1), (6, 5), (4, 6)]
+    want = _run(edges)
+
+    for tag, force_shuffle in (("bc", False), ("sh", True)):
+        if force_shuffle:
+            monkeypatch.setattr(graph, "META_FOLD_EDGE_LIMIT", 0)
+            monkeypatch.setattr(graph, "BROADCAST_NODE_LIMIT", 0)
+        ck = str(tmp_path / tag)
+        # phase 1: run only 2 of the 5 rounds (simulated interruption)
+        df = graph.pagerank(_edges_ds(sorted(set(edges))), iters=2,
+                            checkpoint_dir=ck).to_pandas()
+        assert len(df) == 6
+        # phase 2: full run against the same dir — resumes at round 2
+        df = graph.pagerank(_edges_ds(sorted(set(edges))), iters=5,
+                            checkpoint_dir=ck).to_pandas()
+        got = dict(zip(df["node"], df["rank_n"]))
+        assert got == want, tag  # bit-identical, not approx
+        # rounds 3..5 were checkpointed by the resumed run
+        import os
+
+        marker = (lambda k: os.path.join(ck, f"round_{k}.npy")) if not force_shuffle \
+            else (lambda k: os.path.join(ck, f"round_{k}", "_complete"))
+        assert all(os.path.exists(marker(k)) for k in (1, 2, 3, 4, 5)), tag
+
+
 def test_node_meta_out_degrees(ray_session):
     edges = [(1, 2), (1, 3), (2, 3)]
     meta = graph.node_meta(_edges_ds(edges).materialize()).to_pandas()
