@@ -290,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": textops.q_simhash_dedup,
         "ngram_jaccard": textops.q_ngram_jaccard,
         "fingerprints": textops.q_fingerprints,
+        "duplicate_spans": textops.q_duplicate_spans,
         "pages_exact_dedup": textops.q_pages_exact_dedup,
         "pii_redact": textops.q_pii_redact,
         "domain_stats": textops.q_domain_stats,
@@ -367,6 +368,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": textops.SQL_DOC_CHUNKS,
         "bpeish_tokens": textops.SQL_BPEISH_TOKENS,
         "fingerprints": textops.SQL_FINGERPRINTS,
+        "duplicate_spans": textops.SQL_DUPLICATE_SPANS,
         "langid": textops.SQL_LANGID,
         "quality_scores": textops.SQL_QUALITY_SCORES,
         "knn_top10": ann.SQL_KNN_TOP10,

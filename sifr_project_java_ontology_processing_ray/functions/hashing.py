@@ -125,6 +125,37 @@ def rolling_fingerprints(text: str, window: int = 16, mod_bits: int = 6) -> list
     return sorted(out)
 
 
+def window_hashes(data: np.ndarray, window: int = 16) -> np.ndarray:
+    """VECTORIZED Rabin-Karp: hashes of every ``window``-byte window of a
+    uint8 array, h_i = Σ_k data[i+k]·257^(window-1-k) mod 2^61-1 — the
+    same polynomial as ``rolling_fingerprints`` (property-tested equal),
+    but as ``window`` strided numpy passes instead of a per-byte Python
+    loop, so whole-batch buffers hash at memory bandwidth.
+
+    uint64 modular arithmetic: each term byte·p (< 2^69) is computed from
+    p's 32-bit halves — the high half's ·2^32 is reduced via
+    2^61 ≡ 1 (mod M), so x·2^32 ≡ (x >> 29) + ((x & (2^29-1)) << 32) —
+    and the accumulator is folded (s & M) + (s >> 61) each round to stay
+    below 2^62. Returns values already reduced to [0, M)."""
+    n = int(data.size)
+    if n < window:
+        return np.empty(0, np.uint64)
+    M = np.uint64(_MERSENNE)
+    m = n - window + 1
+    s = np.zeros(m, np.uint64)
+    for k in range(window):
+        p = pow(257, window - 1 - k, _MERSENNE)
+        b = data[k : k + m].astype(np.uint64)
+        t = b * np.uint64(p & 0xFFFFFFFF)  # < 2^40
+        hi = b * np.uint64(p >> 32)  # < 2^37
+        t += (hi & np.uint64(0x1FFFFFFF)) << np.uint64(32)  # ·2^32 mod M
+        t += hi >> np.uint64(29)
+        s += (t & M) + (t >> np.uint64(61))
+        s = (s & M) + (s >> np.uint64(61))
+    s = (s & M) + (s >> np.uint64(61))
+    return np.where(s >= M, s - M, s)
+
+
 class HyperLogLog:
     """Minimal mergeable HLL (2^p registers, classic bias constant).
 

@@ -1261,25 +1261,88 @@ WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {NGRAM_JACCARD_THRESHOLD}
 # rolling-hash fingerprints (SQL-checkable: polynomial hash restated in DuckDB)
 # --------------------------------------------------------------------------
 
+def _string_utf8_view(col) -> tuple[np.ndarray, np.ndarray] | None:
+    """Zero-copy (bytes, offsets[n+1]) view of a pyarrow string column —
+    Arrow already stores the column as one contiguous utf-8 buffer plus
+    offsets, so whole-batch byte kernels (``window_hashes``) run directly
+    on the block's memory. None → caller takes the per-row fallback
+    (nulls present or an unexpected layout)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.null_count:
+        return None
+    if pa.types.is_large_string(arr.type):
+        odt = np.int64
+    elif pa.types.is_string(arr.type):
+        odt = np.int32
+    else:
+        return None
+    bufs = arr.buffers()
+    if bufs[2] is None:
+        return None
+    off = np.frombuffer(bufs[1], odt)[arr.offset : arr.offset + len(arr) + 1]
+    return np.frombuffer(bufs[2], np.uint8), off.astype(np.int64)
+
+
+def _doc_selected_fps(batch: pa.Table) -> pa.Table:
+    """(doc_id, fp, n_sel) rows: each doc's DISTINCT winnowing-selected
+    fingerprints (``rolling_fingerprints`` semantics — fp ≡ 0 mod 64 for
+    ≥16-byte docs, the whole-doc hash unconditionally for shorter ones)
+    with the doc's selected-set size riding on every row so no size join
+    is needed later. Hashes all docs of the batch in ONE vectorized pass
+    over the block's concatenated utf-8 buffer; windows spanning doc
+    boundaries are excluded by construction of the start-index gather."""
+    from ..functions.hashing import _MERSENNE, window_hashes
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    view = _string_utf8_view(batch["text"])
+    if view is None:  # fallback: per-row python rolling hash (rare layout)
+        d_out, f_out = [], []
+        for did, text in zip(ids.tolist(), batch["text"].to_pylist()):
+            for h in rolling_fingerprints(text or ""):
+                d_out.append(did)
+                f_out.append(h)
+        df = pd.DataFrame({"doc_id": d_out, "fp": f_out})
+    else:
+        data, off = view
+        lens = off[1:] - off[:-1]
+        cnt = np.where(lens >= 16, lens - 15, 0).astype(np.int64)
+        total = int(cnt.sum())
+        if total:
+            H = window_hashes(data)
+            doc_idx = np.repeat(np.arange(len(lens)), cnt)
+            starts = np.repeat(off[:-1], cnt) + (
+                np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            )
+            fps = H[starts]
+            keep = (fps & np.uint64(63)) == 0
+            doc_idx, fps = doc_idx[keep], fps[keep]
+        else:
+            doc_idx = np.empty(0, np.int64)
+            fps = np.empty(0, np.uint64)
+        rows = [(ids[doc_idx], fps.astype(np.int64))]
+        for d in np.nonzero((lens > 0) & (lens < 16))[0]:
+            h = 0
+            for c in data[off[d] : off[d + 1]].tolist():
+                h = (h * 257 + int(c)) % _MERSENNE
+            rows.append((ids[d : d + 1], np.array([h], np.int64)))
+        df = pd.DataFrame(
+            {
+                "doc_id": np.concatenate([r[0] for r in rows]),
+                "fp": np.concatenate([r[1] for r in rows]),
+            }
+        )
+    df = df.drop_duplicates()
+    df["n_sel"] = df.groupby("doc_id")["fp"].transform("size").astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
 def q_fingerprints(sf_dir: str):
     """Winnowing fingerprints per doc → count of docs sharing ≥1 fingerprint
     with another doc, plus total distinct fingerprints."""
-
-    def fp(batch: pa.Table) -> pa.Table:
-        doc_ids, prints = [], []
-        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            for h in rolling_fingerprints(text):
-                doc_ids.append(did)
-                prints.append(h)
-        return pa.table(
-            {"doc_id": pa.array(doc_ids, pa.int64()),
-             "fp": pa.array(np.array(prints, dtype=np.uint64))}
-        )
-
     from ray.data.aggregate import Count
 
     ds = pio.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
-        fp, batch_format="pyarrow"
+        _doc_selected_fps, batch_format="pyarrow"
     )
     shared = ds.groupby("fp").aggregate(Count(alias_name="n_docs"))
     df = shared.to_pandas()
@@ -1291,14 +1354,16 @@ def q_fingerprints(sf_dir: str):
     )
 
 
-def _sql_fingerprints() -> str:
-    """DuckDB restatement of rolling_fingerprints (hashing.py): the
-    Rabin-Karp polynomial h = Σ byte_j · 257^(w-1-j) mod 2^61-1 is plain
-    modular arithmetic, so each 16-byte window hash is a 16-term HUGEINT
-    sum against an embedded powers-of-257 table (max term < 2^69, sum
-    < 2^73 — inside HUGEINT). Corpus texts are ASCII, so ord(substr()) ==
-    byte value. Short docs hash all bytes unconditionally, mirroring the
-    python short-doc branch."""
+def _sql_fps_cte() -> str:
+    """DuckDB restatement of rolling_fingerprints (hashing.py), shared by
+    SQL_FINGERPRINTS and SQL_DUPLICATE_SPANS: the Rabin-Karp polynomial
+    h = Σ byte_j · 257^(w-1-j) mod 2^61-1 is plain modular arithmetic, so
+    each 16-byte window hash is a 16-term HUGEINT sum against an embedded
+    powers-of-257 table (max term < 2^69, sum < 2^73 — inside HUGEINT).
+    Corpus texts are ASCII, so ord(substr()) == byte value. Short docs
+    hash all bytes unconditionally, mirroring the python short-doc
+    branch. Ends at the ``fps`` CTE: DISTINCT (doc_id, fp) selected
+    fingerprints."""
     M = (1 << 61) - 1
     powers = ", ".join(f"({e}, {pow(257, e, M)}::HUGEINT)" for e in range(16))
     return f"""
@@ -1328,7 +1393,10 @@ fps AS (
     SELECT doc_id, fp FROM winhash WHERE fp % 64 = 0
     UNION ALL SELECT doc_id, fp FROM short
   )
-),
+)"""
+
+
+SQL_FINGERPRINTS = _sql_fps_cte() + """,
 agg AS (SELECT fp, count(*) AS n_docs FROM fps GROUP BY fp)
 SELECT count(*) AS distinct_fingerprints,
        CAST(coalesce(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
@@ -1337,7 +1405,79 @@ FROM agg
 """
 
 
-SQL_FINGERPRINTS = _sql_fingerprints()
+def q_duplicate_spans(sf_dir: str):
+    """Substring-level duplication signal (the shape of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", public
+    method — reimplemented over this engine's winnowing fingerprints
+    rather than a suffix array): a doc whose selected 16-byte-window
+    fingerprints mostly ALSO occur in other docs is made of copied spans
+    even when no whole-doc or shingle-set duplicate exists. Emits
+    (doc_id, n_sel, n_shared) for every doc where ≥ half its selected
+    windows are corpus-shared (2·n_shared ≥ n_sel — integer form, no
+    float edge vs the DuckDB oracle).
+
+    Shape: docs → vectorized whole-batch window hashing
+    (``_doc_selected_fps``: one pass over each block's contiguous utf-8
+    buffer) → groupby(fp) count → hot-fp set (fps in >1 doc) hash-joined
+    back to the (doc_id, fp) stream → groupby(doc_id) counts. Scale: the
+    (doc_id, fp) stream is ~len(text)/64 rows/doc, the join is
+    fp-partitioned (no skew: fps are uniform hashes), and nothing
+    node-sized reaches the driver. The fp stream is materialized once
+    because it feeds both the frequency groupby and the join probe."""
+    from ray.data.aggregate import Count, Max
+
+    from ..state.partitions import join_partitions
+
+    fps = (
+        pio.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(_doc_selected_fps, batch_format="pyarrow")
+        .materialize()
+    )
+    hot = (
+        fps.groupby("fp")
+        .aggregate(Count(alias_name="n_docs"))
+        .map_batches(
+            lambda b: b.filter(pc.greater(b["n_docs"], 1)).select(["fp"])
+            if b.num_columns
+            else b,
+            batch_format="pyarrow",
+        )
+    )
+    per_doc = (
+        fps.join(
+            hot,
+            join_type="inner",
+            num_partitions=join_partitions(rows=fps.count()),
+            on=("fp",),
+        )
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_shared"), Max("n_sel", alias_name="n_sel"))
+    )
+
+    def flag(b: pa.Table) -> pa.Table:
+        if not b.num_columns:
+            return b
+        b = b.filter(
+            pc.greater_equal(
+                pc.multiply(b["n_shared"], pa.scalar(2, pa.int64())), b["n_sel"]
+            )
+        )
+        return b.select(["doc_id", "n_sel", "n_shared"])
+
+    return per_doc.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_DUPLICATE_SPANS = _sql_fps_cte() + """,
+sel AS (SELECT doc_id, count(*) AS n_sel FROM fps GROUP BY doc_id),
+hot AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 1),
+sh AS (
+  SELECT f.doc_id, count(*) AS n_shared
+  FROM fps f JOIN hot USING (fp) GROUP BY f.doc_id
+)
+SELECT s.doc_id, sel.n_sel, s.n_shared
+FROM sh s JOIN sel USING (doc_id)
+WHERE 2 * s.n_shared >= sel.n_sel
+"""
 
 
 # --------------------------------------------------------------------------

@@ -135,6 +135,63 @@ class TestHashing:
         t = "some document text for fingerprinting purposes with enough length"
         assert hashing.rolling_fingerprints(t) == hashing.rolling_fingerprints(t)
 
+    def test_window_hashes_matches_rolling(self):
+        """The vectorized kernel computes the SAME polynomial as the
+        per-byte rolling loop — selected fingerprints must agree on
+        arbitrary byte content (incl. 0xff saturating the modular
+        arithmetic) and lengths spanning the short-doc boundary."""
+        import random
+
+        import numpy as np
+
+        rng = random.Random(11)
+        for n in [16, 17, 31, 64, 257, 1000]:
+            data = bytes(rng.randrange(256) for _ in range(n))
+            h = hashing.window_hashes(np.frombuffer(data, np.uint8))
+            M = (1 << 61) - 1
+            want = []
+            for i in range(n - 15):
+                acc = 0
+                for c in data[i : i + 16]:
+                    acc = (acc * 257 + c) % M
+                want.append(acc)
+            assert h.tolist() == want, n
+        assert hashing.window_hashes(
+            np.frombuffer(b"\xff" * 48, np.uint8)
+        ).tolist() == [
+            hashing.window_hashes(np.frombuffer(b"\xff" * 16, np.uint8))[0]
+        ] * 33
+        assert hashing.window_hashes(np.frombuffer(b"short", np.uint8)).size == 0
+
+    def test_doc_selected_fps_batch(self):
+        """Batch kernel ≡ per-doc rolling_fingerprints: winnow selection,
+        short docs, empty docs, and no cross-doc boundary windows."""
+        import pyarrow as pa
+
+        from sifr_project_java_ontology_processing_ray.pipelines.textops import _doc_selected_fps
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog " * 20,
+            "tiny",
+            "",
+            "the quick brown fox jumps over the lazy dog " * 20,  # exact dup
+            "zz" * 100,
+        ]
+        batch = pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts, pa.string())}
+        )
+        out = _doc_selected_fps(batch)
+        got: dict[int, set[int]] = {}
+        for d, f in zip(out["doc_id"].to_pylist(), out["fp"].to_pylist()):
+            got.setdefault(d, set()).add(f)
+        for i, t in enumerate(texts):
+            want = set(hashing.rolling_fingerprints(t))
+            assert got.get(i, set()) == want, i
+        n_sel = dict(zip(out["doc_id"].to_pylist(), out["n_sel"].to_pylist()))
+        for d, fps in got.items():
+            assert n_sel[d] == len(fps)
+
 
 class TestQuality:
     def test_detect_lang(self):
