@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": graph.q_graph_components,
         "bfs_levels": graph.q_bfs_levels,
         "degree_distribution": graph.q_degree_distribution,
+        "triangle_count": graph.q_triangle_count,
     }
 
 
@@ -390,6 +391,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_components": graph.SQL_GRAPH_COMPONENTS,
         "bfs_levels": graph.SQL_BFS_LEVELS,
         "degree_distribution": graph.SQL_DEGREE_DISTRIBUTION,
+        "triangle_count": graph.SQL_TRIANGLE_COUNT,
         # engine-computed P/R vs the sequential oracle must be exactly 1.0
         "kg_pr": (
             "SELECT 'precision' AS metric, 1.0 AS value "

@@ -198,3 +198,53 @@ def test_pagerank_empty_edges(ray_session):
     # ray's Dataset.to_pandas drops schema on 0-row results; check via arrow
     assert ds.count() == 0
     assert [f.name for f in ds.schema().base_schema] == ["node", "rank_n"]
+
+
+def _und_edges_ds(pairs: list[tuple[int, int]]) -> rd.Dataset:
+    return rd.from_arrow(
+        pa.table(
+            {"a": pa.array([min(p) for p in pairs], pa.int64()),
+             "b": pa.array([max(p) for p in pairs], pa.int64())}
+        )
+    )
+
+
+class TestTriangles:
+    def test_k4_has_four_triangles(self, ray_session):
+        k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+        df = graph.triangle_count(_und_edges_ds(k4)).to_pandas()
+        assert df.iloc[0].to_dict() == {"n_nodes": 4, "n_edges": 6, "n_triangles": 4}
+
+    def test_star_has_none(self, ray_session):
+        star = [(0, k) for k in range(1, 8)]
+        df = graph.triangle_count(_und_edges_ds(star)).to_pandas()
+        assert int(df["n_triangles"][0]) == 0
+
+    def test_matches_brute_force(self, ray_session):
+        """Random graph vs O(n^3) enumeration — pins the rank-orientation
+        wedge algebra (each triangle counted exactly once)."""
+        import itertools
+        import random
+
+        rng = random.Random(5)
+        nodes = list(range(30))
+        pairs = sorted(
+            {tuple(sorted(rng.sample(nodes, 2))) for _ in range(120)}
+        )
+        adj = set(pairs)
+        want = sum(
+            1
+            for x, y, z in itertools.combinations(nodes, 3)
+            if (x, y) in adj and (y, z) in adj and (x, z) in adj
+        )
+        df = graph.triangle_count(_und_edges_ds(pairs)).to_pandas()
+        assert int(df["n_triangles"][0]) == want
+
+    def test_shuffle_path_agrees(self, ray_session, monkeypatch):
+        """Forcing the join-based orientation path yields the same census
+        as the broadcast path."""
+        rngpairs = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4), (0, 4)]
+        want = graph.triangle_count(_und_edges_ds(rngpairs)).to_pandas()
+        monkeypatch.setattr(graph, "BROADCAST_NODE_LIMIT", 0)
+        got = graph.triangle_count(_und_edges_ds(rngpairs)).to_pandas()
+        assert got.equals(want)
