@@ -185,24 +185,6 @@ def pagerank(
     )
 
 
-def _ckpt_resume_round(checkpoint_dir: str | None, iters: int, suffix: str):
-    """(start_round, payload_path): highest completed round ≤ iters found
-    under ``checkpoint_dir`` (0 = cold start). Completion is the existence
-    of the round's payload (npy, written atomically via rename) or its
-    ``_complete`` marker (parquet dirs, marker written after the data)."""
-    if not checkpoint_dir:
-        return 0, None
-    best, path = 0, None
-    for k in range(iters, 0, -1):
-        p = os.path.join(checkpoint_dir, f"round_{k}{suffix}")
-        done = os.path.exists(
-            os.path.join(p, "_complete") if suffix == "" else p
-        )
-        if done:
-            return k, p
-    return best, path
-
-
 def _pagerank_broadcast(
     edges: rd.Dataset,
     nodes: np.ndarray,
@@ -218,7 +200,9 @@ def _pagerank_broadcast(
     dangling = out_cnt == 0
     r = np.full(len(nodes), 1.0 / n)
 
-    start, ckpt = _ckpt_resume_round(checkpoint_dir, iters, ".npy")
+    from ..state import checkpoints as ckpts
+
+    start, ckpt = ckpts.resume_round(checkpoint_dir, iters, "npy")
     if ckpt:
         r = np.load(ckpt)
 
@@ -258,11 +242,7 @@ def _pagerank_broadcast(
         # operation order mirrors SQL_PAGERANK: base/N + d*(s + dm/N)
         r = base / n + damping * (s + dm / n)
         if checkpoint_dir:
-            os.makedirs(checkpoint_dir, exist_ok=True)
-            tmp = os.path.join(checkpoint_dir, f".round_{round_idx + 1}.npy.tmp")
-            with open(tmp, "wb") as f:  # np.save(path) would append .npy
-                np.save(f, r)
-            os.replace(tmp, os.path.join(checkpoint_dir, f"round_{round_idx + 1}.npy"))
+            ckpts.save_npy(checkpoint_dir, round_idx + 1, r)
 
     from ..state.grouped import dataset_from_table
 
@@ -286,7 +266,9 @@ def _pagerank_shuffle(
             "rank", pa.array(np.full(len(b), 1.0 / n, np.float64))
         )
 
-    start, ckpt = _ckpt_resume_round(checkpoint_dir, iters, "")
+    from ..state import checkpoints as ckpts
+
+    start, ckpt = ckpts.resume_round(checkpoint_dir, iters, "parquet")
     if ckpt:
         ranks = pio.read_parquet(ckpt).materialize()
     else:
@@ -378,13 +360,8 @@ def _pagerank_shuffle(
         ).materialize()
         if checkpoint_dir:
             # rank table written distributed (partitioned parquet); the
-            # _complete marker lands AFTER the data, so a torn write is
-            # never resumed from
-            rp = os.path.join(checkpoint_dir, f"round_{round_idx + 1}")
-            if not os.path.exists(os.path.join(rp, "_complete")):
-                ranks.write_parquet(rp)
-                with open(os.path.join(rp, "_complete"), "w") as f:
-                    f.write("ok\n")
+            # _complete marker lands AFTER the data (state/checkpoints.py)
+            ckpts.save_parquet(checkpoint_dir, round_idx + 1, ranks)
 
     def finalize(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -479,7 +456,10 @@ _BFS_UNREACHED = np.int64(1) << 62  # sentinel ≫ any real level, +1-safe
 
 
 def bfs_levels(
-    edges: rd.Dataset, source: int, rounds: int = BFS_ROUNDS
+    edges: rd.Dataset,
+    source: int,
+    rounds: int = BFS_ROUNDS,
+    checkpoint_dir: str | None = None,
 ) -> rd.Dataset:
     """Hop distance from ``source`` over the UNDIRECTED view of a DISTINCT
     (src:int64, dst:int64) edge set, bounded to ``rounds`` relaxation
@@ -500,25 +480,38 @@ def bfs_levels(
         )
     if n_edges <= META_FOLD_EDGE_LIMIT:
         nodes, _ = _node_meta_fold(edges)
-        return _bfs_broadcast(edges, nodes, source, rounds)
-    return _bfs_shuffle(edges, source, rounds)
+        return _bfs_broadcast(edges, nodes, source, rounds, checkpoint_dir)
+    return _bfs_shuffle(edges, source, rounds, checkpoint_dir)
 
 
 def _bfs_broadcast(
-    edges: rd.Dataset, nodes: np.ndarray, source: int, rounds: int
+    edges: rd.Dataset,
+    nodes: np.ndarray,
+    source: int,
+    rounds: int,
+    checkpoint_dir: str | None = None,
 ) -> rd.Dataset:
     import ray
+
+    from ..state import checkpoints as ckpts
 
     dist = np.full(len(nodes), _BFS_UNREACHED, np.int64)
     src_pos = np.searchsorted(nodes, np.int64(source))
     if src_pos < len(nodes) and nodes[src_pos] == source:
         dist[src_pos] = 0
 
+    start, ckpt = ckpts.resume_round(checkpoint_dir, rounds, "npy")
+    if ckpt:
+        dist = np.load(ckpt)
+        done = ckpts.converged_round(checkpoint_dir)
+        if done is not None and done <= start:
+            start = rounds  # frontier exhausted in a prior run
+
     # the node array is static — ship it ONCE; only the level array (8 B/
     # node) rides a fresh blob per round (same shape as _cc_broadcast)
     nodes_ref = ray.put(nodes)
 
-    for _ in range(rounds):
+    for round_idx in range(start, rounds):
         dist_ref = ray.put(dist)
 
         def relax(b: pa.Table, _nref=nodes_ref, _dref=dist_ref) -> pa.Table:
@@ -547,7 +540,10 @@ def _bfs_broadcast(
                 continue
             idx = np.searchsorted(nodes, part["node"].to_numpy(zero_copy_only=False))
             np.minimum.at(new, idx, part["d_min"].to_numpy(zero_copy_only=False))
+        if checkpoint_dir:
+            ckpts.save_npy(checkpoint_dir, round_idx + 1, new)
         if np.array_equal(new, dist):
+            ckpts.mark_converged(checkpoint_dir, round_idx + 1)
             break  # frontier exhausted — identical output either way
         dist = new
 
@@ -559,10 +555,17 @@ def _bfs_broadcast(
     )
 
 
-def _bfs_shuffle(edges: rd.Dataset, source: int, rounds: int) -> rd.Dataset:
+def _bfs_shuffle(
+    edges: rd.Dataset,
+    source: int,
+    rounds: int,
+    checkpoint_dir: str | None = None,
+) -> rd.Dataset:
     """Fully shuffled BFS: levels live as a distributed (node, level)
     Dataset (sentinel = unreached), one hash join + union-groupby-Min per
     round — nothing node-sized reaches the driver."""
+    from ..state import checkpoints as ckpts
+
     parts = join_partitions(rows=edges.count())
 
     def sym(b: pa.Table) -> pa.Table:
@@ -586,11 +589,15 @@ def _bfs_shuffle(edges: rd.Dataset, source: int, rounds: int) -> rd.Dataset:
         lvl[b["node"].to_numpy(zero_copy_only=False) == source] = 0
         return pa.table({"node": b["node"], "level": pa.array(lvl)})
 
-    levels = (
-        node_meta(edges)
-        .map_batches(init_levels, batch_format="pyarrow", batch_size=262144)
-        .materialize()
-    )
+    start, ckpt = ckpts.resume_round(checkpoint_dir, rounds, "parquet")
+    if ckpt:
+        levels = pio.read_parquet(ckpt).materialize()
+    else:
+        levels = (
+            node_meta(edges)
+            .map_batches(init_levels, batch_format="pyarrow", batch_size=262144)
+            .materialize()
+        )
 
     def emit_relax(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "dst" not in b.column_names:
@@ -606,7 +613,7 @@ def _bfs_shuffle(edges: rd.Dataset, source: int, rounds: int) -> rd.Dataset:
 
     from ray.data.aggregate import Min
 
-    for _ in range(rounds):
+    for round_idx in range(start, rounds):
         messages = sym_edges.join(
             levels, join_type="inner", num_partitions=parts,
             on=("src",), right_on=("node",),
@@ -623,6 +630,8 @@ def _bfs_shuffle(edges: rd.Dataset, source: int, rounds: int) -> rd.Dataset:
             )
             .materialize()
         )
+        if checkpoint_dir:
+            ckpts.save_parquet(checkpoint_dir, round_idx + 1, levels)
 
     return levels.map_batches(
         lambda b: b.filter(pc.less(b["level"], pa.scalar(int(_BFS_UNREACHED)))),

@@ -97,13 +97,22 @@ def connected_components(
     check_fixpoint: bool = True,
     broadcast_limit: int = CC_BROADCAST_NODE_LIMIT,
     edge_fold_limit: int = CC_EDGE_FOLD_LIMIT,
+    checkpoint_dir: "str | None" = None,
 ) -> "rd.Dataset":
     """(a, b) edge Dataset → (node, label) Dataset, label = lexicographic
     min of the node's component. Deterministic; ``max_rounds`` bounds the
     component diameter handled (raise for chain-shaped graphs).
     ``broadcast_limit`` gates the small-node-table broadcast loop
     (``_cc_broadcast``); ``edge_fold_limit`` gates the driver-fold node
-    seed. Pass 0 for both to force the fully shuffled path."""
+    seed. Pass 0 for both to force the fully shuffled path.
+
+    ``checkpoint_dir``: persist the label state per completed round and
+    resume from the highest one (state/checkpoints.py — npy on the
+    broadcast path, parquet + marker on the shuffle path); a fixpoint
+    exit writes a ``_converged`` marker so a resumed run skips the loop
+    entirely. Resumed output is bit-identical to an uninterrupted run
+    (min-label propagation is monotone in the label state, so rounds
+    compose)."""
 
     import ray.data as rd
     from ray.data.aggregate import Min
@@ -142,7 +151,7 @@ def connected_components(
         uniq = pc.unique(pa.chunked_array(parts))
         nodes_sorted = _sorted_array(uniq)
         if len(nodes_sorted) <= broadcast_limit:
-            return _cc_broadcast(edges, nodes_sorted, max_rounds)
+            return _cc_broadcast(edges, nodes_sorted, max_rounds, checkpoint_dir)
         labels = dataset_from_table(
             pa.table({"node": nodes_sorted, "label": nodes_sorted})
         ).materialize()
@@ -166,7 +175,7 @@ def connected_components(
             return labels
         if n_nodes <= broadcast_limit:
             col = pa.array(labels.to_pandas()["node"], pa.string())
-            return _cc_broadcast(edges, _sorted_array(col), max_rounds)
+            return _cc_broadcast(edges, _sorted_array(col), max_rounds, checkpoint_dir)
 
     # symmetric message edges (node ← peer)
     def sym(batch: pa.Table) -> pa.Table:
@@ -201,7 +210,18 @@ def connected_components(
             return _EMPTY_LABELS
         return b.select(["node", "label"])
 
-    for round_idx in range(max_rounds):
+    from . import checkpoints as ckpts
+
+    start, ckpt = ckpts.resume_round(checkpoint_dir, max_rounds, "parquet")
+    if ckpt:
+        from ..sources import parquet_io as pio
+
+        labels = pio.read_parquet(ckpt).materialize()
+        done = ckpts.converged_round(checkpoint_dir)
+        if done is not None and done <= start:
+            return labels
+
+    for round_idx in range(start, max_rounds):
         # 1) each node's label flows to its peers: a hash JOIN of the edge
         #    list against the label table (vectorized all the way — the
         #    round-2 implementation grouped per node in python)
@@ -227,6 +247,9 @@ def connected_components(
             .map_batches(_norm, batch_format="pyarrow", batch_size=262144)
         ).materialize()
 
+        if checkpoint_dir:
+            ckpts.save_parquet(checkpoint_dir, round_idx + 1, new_labels)
+
         # round 0 always changes labels on any non-trivial graph — skip
         # its fixpoint job (one fewer distributed round trip)
         if check_fixpoint and round_idx > 0:
@@ -248,6 +271,7 @@ def connected_components(
             )
             labels = new_labels
             if changed == 0:
+                ckpts.mark_converged(checkpoint_dir, round_idx + 1)
                 break
         else:
             labels = new_labels
@@ -255,7 +279,10 @@ def connected_components(
 
 
 def _cc_broadcast(
-    edges: "rd.Dataset", nodes: pa.Array, max_rounds: int
+    edges: "rd.Dataset",
+    nodes: pa.Array,
+    max_rounds: int,
+    checkpoint_dir: "str | None" = None,
 ) -> "rd.Dataset":
     """Broadcast-side min-label propagation: node labels live as a numpy
     index array on the driver, shipped via ``ray.put`` each round; edges
@@ -299,8 +326,16 @@ def _cc_broadcast(
         encode_sym, batch_format="pyarrow", batch_size=262144
     ).materialize()
 
+    from . import checkpoints as ckpts
+
     labels_idx = np.arange(n, dtype=np.int64)
-    for _ in range(max_rounds):
+    start, ckpt = ckpts.resume_round(checkpoint_dir, max_rounds, "npy")
+    if ckpt:
+        labels_idx = np.load(ckpt)
+        done = ckpts.converged_round(checkpoint_dir)
+        if done is not None and done <= start:
+            start = max_rounds  # terminal state: skip the loop
+    for round_idx in range(start, max_rounds):
         lab_ref = ray.put(labels_idx)
 
         def pmin(b: pa.Table, _ref=lab_ref) -> pa.Table:
@@ -318,7 +353,10 @@ def _cc_broadcast(
             ni = part["ni"].to_numpy(zero_copy_only=False)
             m = part["m_min"].to_numpy(zero_copy_only=False)
             np.minimum.at(new, ni, m)
+        if checkpoint_dir:
+            ckpts.save_npy(checkpoint_dir, round_idx + 1, new)
         if np.array_equal(new, labels_idx):
+            ckpts.mark_converged(checkpoint_dir, round_idx + 1)
             break  # fixpoint check is free here — identical output either way
         labels_idx = new
 

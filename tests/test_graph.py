@@ -248,3 +248,60 @@ class TestTriangles:
         monkeypatch.setattr(graph, "BROADCAST_NODE_LIMIT", 0)
         got = graph.triangle_count(_und_edges_ds(rngpairs)).to_pandas()
         assert got.equals(want)
+
+
+class TestIterativeCheckpoints:
+    """CC and BFS loops resume from the highest completed round and land
+    identical to uninterrupted runs on both execution paths (pagerank has
+    its own test above); a converged marker short-circuits the loop."""
+
+    EDGES = [(1, 2), (2, 3), (4, 5), (6, 7), (7, 8), (8, 6), (9, 1)]
+
+    def _cc(self, tmp, **kw):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from sifr_project_java_ontology_processing_ray.state.components import connected_components
+
+        ds = rd.from_arrow(
+            pa.table(
+                {"a": pa.array([f"n{a}" for a, _ in self.EDGES], pa.string()),
+                 "b": pa.array([f"n{b}" for _, b in self.EDGES], pa.string())}
+            )
+        )
+        df = connected_components(ds, max_rounds=5, **kw).to_pandas()
+        return dict(zip(df["node"], df["label"]))
+
+    @pytest.mark.parametrize("force_shuffle", [False, True])
+    def test_cc_resume(self, ray_session, tmp_path, force_shuffle):
+        import os
+
+        kw = (
+            {"broadcast_limit": 0, "edge_fold_limit": 0}
+            if force_shuffle
+            else {}
+        )
+        want = self._cc(tmp_path)
+        ck = str(tmp_path / ("sh" if force_shuffle else "bc"))
+        got = self._cc(tmp_path, checkpoint_dir=ck, **kw)
+        assert got == want
+        assert os.path.exists(os.path.join(ck, "_converged"))
+        # rerun against the converged dir: loop is skipped, output identical
+        got2 = self._cc(tmp_path, checkpoint_dir=ck, **kw)
+        assert got2 == want
+
+    @pytest.mark.parametrize("force_shuffle", [False, True])
+    def test_bfs_resume(self, ray_session, tmp_path, monkeypatch, force_shuffle):
+        edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (2, 7)]
+        if force_shuffle:
+            monkeypatch.setattr(graph, "META_FOLD_EDGE_LIMIT", 0)
+        want = graph.bfs_levels(_edges_ds(edges), source=1, rounds=4).to_pandas()
+        want = dict(zip(want["node"], want["level"]))
+        ck = str(tmp_path / ("sh" if force_shuffle else "bc"))
+        # phase 1: 2 of 4 rounds (simulated interruption)
+        graph.bfs_levels(_edges_ds(edges), source=1, rounds=2, checkpoint_dir=ck)
+        # phase 2: resumed full run
+        df = graph.bfs_levels(
+            _edges_ds(edges), source=1, rounds=4, checkpoint_dir=ck
+        ).to_pandas()
+        assert dict(zip(df["node"], df["level"])) == want
