@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_distinct_users": relational.q_exact_distinct_users,
         "approx_distinct_users": relational.q_approx_distinct_users,
         "asof_latest_order": relational.q_asof_latest_order,
+        "snapshot_delta": relational.q_snapshot_delta,
         "value_quantiles": relational.q_value_quantiles,
         "user_value_median": relational.q_user_value_median,
         # text / training-data ops
@@ -350,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
         "event_sessions": relational.SQL_EVENT_SESSIONS,
         "exact_distinct_users": relational.SQL_EXACT_DISTINCT_USERS,
         "asof_latest_order": relational.SQL_ASOF_LATEST_ORDER,
+        "snapshot_delta": relational.SQL_SNAPSHOT_DELTA,
         "value_quantiles": relational.SQL_VALUE_QUANTILES,
         "user_value_median": relational.SQL_USER_VALUE_MEDIAN,
         "token_counts": textops.SQL_TOKEN_COUNTS,

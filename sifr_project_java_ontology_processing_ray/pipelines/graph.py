@@ -470,7 +470,11 @@ def bfs_levels(
     ``ray.put`` blob and a round is ONE edge scan with per-batch grouped-Min
     partials folded on the driver; above it a fully shuffled loop runs
     (sym-edge hash join + union-groupby-Min per round, levels
-    re-materialized as the iterative checkpoint)."""
+    re-materialized as the iterative checkpoint).
+
+    ``checkpoint_dir``: same round-granular persist/resume contract as
+    :func:`pagerank` (state/checkpoints.py), plus a ``_converged`` marker
+    when the frontier exhausts early."""
     edges = edges.materialize()
     n_edges = edges.count()
     if n_edges == 0:

@@ -1149,3 +1149,67 @@ SQL_USER_VALUE_MEDIAN = """
 SELECT user_id, count(*) AS n_events, round(median(value), 3) AS median_value
 FROM events GROUP BY user_id ORDER BY user_id
 """
+
+
+# snapshot delta: re-crawl diff of a distinct fact set between two
+# snapshot halves — the incremental-update primitive for periodically
+# re-materialized tables (e.g. Common-Crawl snapshot N vs N+1 adjacency)
+def q_snapshot_delta(sf_dir: str):
+    """(user_id, event_type, vb, change) where change ∈ {added, removed}:
+    distinct keys present only in snapshot B (= odd event ids) are
+    'added', only in snapshot A (= even) 'removed'; vb = floor(value/50)
+    buckets the key fine enough that the fixture's halves genuinely
+    diverge (~1k delta rows at sf0.01). ONE bucketed shuffle of per-batch
+    distinct (key, side) partials; each bucket reduces side presence with
+    a vectorized min/max — no anti-join pair of passes, no driver state.
+    At scale this diffs two full snapshots with a single key-partitioned
+    exchange, which is the floor for an exact diff."""
+    from ..state.grouped import bucketed_map_groups
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+                "vb": pc.cast(
+                    pc.floor(pc.divide(b["value"], pa.scalar(50.0))), pa.int64()
+                ),
+                "side": pc.cast(
+                    pc.bit_wise_and(b["event_id"], pa.scalar(1, pa.int64())),
+                    pa.int64(),
+                ),
+            }
+        )
+        # per-batch combiner: the shuffle moves distinct partials
+        return t.group_by(["user_id", "event_type", "vb", "side"]).aggregate([])
+
+    def diff(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type", "vb"], as_index=False)["side"].agg(
+            ["min", "max"]
+        )
+        only_b = g["min"].to_numpy() == 1
+        only_a = g["max"].to_numpy() == 0
+        out = g.loc[only_b | only_a, ["user_id", "event_type", "vb"]].copy()
+        out["change"] = np.where(only_b[only_b | only_a], "added", "removed")
+        return out
+
+    rows = _read(
+        sf_dir, "events", ["event_id", "user_id", "event_type", "value"]
+    ).map_batches(tag, batch_format="pyarrow")
+    return bucketed_map_groups(rows, ["user_id", "event_type", "vb"], diff)
+
+
+SQL_SNAPSHOT_DELTA = """
+WITH k AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(value / 50) AS BIGINT) AS vb
+  FROM events
+),
+a AS (SELECT DISTINCT user_id, event_type, vb FROM k WHERE event_id % 2 = 0),
+b AS (SELECT DISTINCT user_id, event_type, vb FROM k WHERE event_id % 2 = 1)
+SELECT user_id, event_type, vb, 'added' AS change
+FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+UNION ALL
+SELECT user_id, event_type, vb, 'removed' AS change
+FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+"""

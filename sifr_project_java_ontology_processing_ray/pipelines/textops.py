@@ -1180,22 +1180,39 @@ def q_ngram_jaccard(sf_dir: str, threshold: float = NGRAM_JACCARD_THRESHOLD):
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         """Per hash-bucket of shingle groups: emit all co-occurring doc
         pairs, then combine to per-bucket partial intersection counts —
-        the shuffle to the global (a, b) groupby moves partials."""
-        a_out, b_out, sa_out, sb_out = [], [], [], []
-        for _, g in df.groupby("s", sort=False):
-            if len(g) < 2:
-                continue
-            g = g.drop_duplicates("doc_id").sort_values("doc_id")
-            ids = g["doc_id"].to_numpy()
-            szs = g["sz"].to_numpy()
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a_out.append(ids[i]); b_out.append(ids[j])
-                    sa_out.append(szs[i]); sb_out.append(szs[j])
-        out = pd.DataFrame(
-            {"a": pd.Series(a_out, dtype="int64"), "b": pd.Series(b_out, dtype="int64"),
-             "sza": pd.Series(sa_out, dtype="int64"), "szb": pd.Series(sb_out, dtype="int64")}
-        )
+        the shuffle to the global (a, b) groupby moves partials.
+
+        Pair emission is pure numpy block arithmetic (no per-group python
+        loop — shingle groups are tiny and numerous, so a groupby loop
+        costs one python iteration per distinct shingle): elements sorted
+        (shingle, doc_id), each element leads the pairs to the g-1-k
+        elements after it in its group, generated with repeat/cumsum
+        indexing in one shot."""
+        df = df.drop_duplicates(["s", "doc_id"])
+        codes, _ = pd.factorize(df["s"], sort=False)
+        ids_u = df["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((ids_u, codes))
+        c = codes[order]
+        ids = ids_u[order]
+        szs = df["sz"].to_numpy(np.int64)[order]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        g_sz = np.diff(np.r_[starts, len(c)])
+        k = np.arange(len(c)) - np.repeat(starts, g_sz)  # rank in group
+        cnt1 = np.repeat(g_sz, g_sz) - 1 - k  # pairs this element leads
+        n_pairs = int(cnt1.sum())
+        if n_pairs:
+            i_idx = np.repeat(np.arange(len(c)), cnt1)
+            blk = np.cumsum(cnt1) - cnt1
+            j_idx = i_idx + 1 + (np.arange(n_pairs) - np.repeat(blk, cnt1))
+            out = pd.DataFrame(
+                {"a": ids[i_idx], "b": ids[j_idx],
+                 "sza": szs[i_idx], "szb": szs[j_idx]}
+            )
+        else:
+            out = pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                 "sza": pd.Series(dtype="int64"), "szb": pd.Series(dtype="int64")}
+            )
         if not len(out):
             out["n"] = pd.Series([], dtype="int64")
             return out
