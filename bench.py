@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "pagerank",
     "graph_components",
     "bfs_levels",
+    "triangle_count",
+    "duplicate_spans",
+    "snapshot_delta",
 ]
 
 

@@ -111,6 +111,12 @@ def _node_meta_fold(edges: rd.Dataset) -> tuple[np.ndarray, np.ndarray]:
 # shuffle-join path takes over
 BROADCAST_NODE_LIMIT = 50_000_000
 
+# above this DISTINCT-edge count the packed (a<<32|b) edge-set array stops
+# being a broadcast-sized side (~160 MB at the limit) and triangle_count's
+# closing check falls back to the shuffled union-groupby; also requires
+# node ids < 2^31 so keys pack into uint64
+EDGE_BROADCAST_LIMIT = 20_000_000
+
 # below this edge count node metadata folds on the driver from streamed
 # per-batch partials instead of a shuffled groupby (the aggregator-actor
 # fleet is a pure fixed cost at small scale — measured 6.0 s for 600k
@@ -925,54 +931,100 @@ def triangle_count(edges: rd.Dataset) -> rd.Dataset:
 
         oriented = with_deg.map_batches(orient, batch_format="pyarrow")
 
-    def wedge_partials(df: pd.DataFrame) -> pd.DataFrame:
-        """Per src-bucket: emit each source's out-neighbor pairs in
-        undirected-canonical (a < b) order (= the edge set's key), then
-        COMBINE to per-bucket (a, b, w) partial counts so the closing
-        shuffle moves partials, not raw wedges."""
-        a_out, b_out = [], []
-        for _, g in df.groupby("src", sort=False):
-            ds_ = np.unique(g["dst"].to_numpy(np.int64))
-            if len(ds_) < 2:
-                continue
-            i, j = np.triu_indices(len(ds_), k=1)
-            a_out.append(ds_[i])
-            b_out.append(ds_[j])
-        if not a_out:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                 "b": pd.Series(dtype="int64"),
-                                 "w": pd.Series(dtype="int64"),
-                                 "e": pd.Series(dtype="int64")})
-        out = pd.DataFrame({"a": np.concatenate(a_out),
-                            "b": np.concatenate(b_out)})
-        out = out.groupby(["a", "b"], sort=False).size().reset_index(name="w")
-        out["e"] = np.int64(0)
-        return out
+    def _wedge_arrays(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        """All out-neighbor pairs of every src group, in
+        undirected-canonical (a < b) order (= the edge set's key) — pure
+        repeat/cumsum block arithmetic, no per-group python loop (same
+        shape as textops' ngram pair emission)."""
+        src = df["src"].to_numpy(np.int64)
+        dst = df["dst"].to_numpy(np.int64)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        g_sz = np.diff(np.r_[starts, len(src)])
+        k = np.arange(len(src)) - np.repeat(starts, g_sz)
+        cnt1 = np.repeat(g_sz, g_sz) - 1 - k
+        n_pairs = int(cnt1.sum())
+        if n_pairs == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        i_idx = np.repeat(np.arange(len(src)), cnt1)
+        blk = np.cumsum(cnt1) - cnt1
+        j_idx = i_idx + 1 + (np.arange(n_pairs) - np.repeat(blk, cnt1))
+        return dst[i_idx], dst[j_idx]
 
-    def edge_marker(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {"a": b["a"], "b": b["b"],
-             "w": pa.nulls(b.num_rows, pa.int64()).fill_null(0),
-             "e": pa.nulls(b.num_rows, pa.int64()).fill_null(1)}
+    hi = edges.max("b")  # b > a always, so max node id
+    if n_edges <= EDGE_BROADCAST_LIMIT and (hi is None or hi < (1 << 31)):
+        # edge-set broadcast path: the DISTINCT edge set packs into one
+        # sorted uint64 array ((a << 32) | b, ≤ ~160 MB at the gate) and
+        # ships ONCE via ray.put; each wedge bucket then closes its own
+        # wedges with a vectorized searchsorted membership probe and
+        # emits a SCALAR partial — the 35M-row closing shuffle (measured
+        # 19 s at sf0.1) disappears entirely.
+        import ray
+
+        edf = edges.to_pandas()
+        packed = (
+            edf["a"].to_numpy(np.int64).astype(np.uint64) << np.uint64(32)
+        ) | edf["b"].to_numpy(np.int64).astype(np.uint64)
+        packed.sort()
+        edges_ref = ray.put(packed)
+
+        def close_bucket(df: pd.DataFrame, _ref=edges_ref) -> pd.DataFrame:
+            import ray as _ray
+
+            wa, wb = _wedge_arrays(df)
+            if not len(wa):
+                return pd.DataFrame({"t": pd.Series([0], dtype="int64")})
+            keys = (wa.astype(np.uint64) << np.uint64(32)) | wb.astype(np.uint64)
+            es = _ray.get(_ref)  # zero-copy read-only numpy
+            pos = np.searchsorted(es, keys)
+            pos[pos >= len(es)] = len(es) - 1
+            return pd.DataFrame(
+                {"t": pd.Series([int((es[pos] == keys).sum())], dtype="int64")}
+            )
+
+        closed = bucketed_map_groups(oriented, ["src"], close_bucket)
+    else:
+
+        def wedge_partials(df: pd.DataFrame) -> pd.DataFrame:
+            """Per src-bucket: COMBINE wedges to (a, b, w) partial counts
+            so the closing shuffle moves partials, not raw wedges."""
+            wa, wb = _wedge_arrays(df)
+            if not len(wa):
+                return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                     "b": pd.Series(dtype="int64"),
+                                     "w": pd.Series(dtype="int64"),
+                                     "e": pd.Series(dtype="int64")})
+            out = pd.DataFrame({"a": wa, "b": wb})
+            out = out.groupby(["a", "b"], sort=False).size().reset_index(name="w")
+            out["e"] = np.int64(0)
+            return out
+
+        def edge_marker(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"a": b["a"], "b": b["b"],
+                 "w": pa.nulls(b.num_rows, pa.int64()).fill_null(0),
+                 "e": pa.nulls(b.num_rows, pa.int64()).fill_null(1)}
+            )
+
+        def close_wedges(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(["a", "b"], sort=False).agg(
+                w=("w", "sum"), e=("e", "max")
+            )
+            return pd.DataFrame({"t": [np.int64((g["w"] * g["e"]).sum())]})
+
+        # closing check as ONE bucketed union-groupby on (a, b) — wedge
+        # partial counts and edge-presence markers meet in the same
+        # bucket, a triangle being a wedge whose (a, b) key also carries
+        # a marker. (A Dataset.join here measured ~2× slower at toy scale
+        # from hash-join actor startup; the union form shuffles strictly
+        # less: partials.)
+        wedges = bucketed_map_groups(oriented, ["src"], wedge_partials)
+        closed = bucketed_map_groups(
+            wedges.union(edges.map_batches(edge_marker, batch_format="pyarrow")),
+            ["a", "b"],
+            close_wedges,
         )
-
-    def close_wedges(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["a", "b"], sort=False).agg(
-            w=("w", "sum"), e=("e", "max")
-        )
-        return pd.DataFrame({"t": [np.int64((g["w"] * g["e"]).sum())]})
-
-    # closing check as ONE bucketed union-groupby on (a, b) — wedge
-    # partial counts and edge-presence markers meet in the same bucket,
-    # a triangle being a wedge whose (a, b) key also carries a marker.
-    # (A Dataset.join here measured ~2× slower at toy scale from hash-join
-    # actor startup; the union form shuffles strictly less: partials.)
-    wedges = bucketed_map_groups(oriented, ["src"], wedge_partials)
-    closed = bucketed_map_groups(
-        wedges.union(edges.map_batches(edge_marker, batch_format="pyarrow")),
-        ["a", "b"],
-        close_wedges,
-    )
     n_tri = int(closed.sum("t") or 0)
     return dataset_from_table(
         pa.table(

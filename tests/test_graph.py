@@ -241,11 +241,12 @@ class TestTriangles:
         assert int(df["n_triangles"][0]) == want
 
     def test_shuffle_path_agrees(self, ray_session, monkeypatch):
-        """Forcing the join-based orientation path yields the same census
-        as the broadcast path."""
+        """Forcing the join-based orientation AND the shuffled closing
+        check yields the same census as the broadcast fast paths."""
         rngpairs = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4), (0, 4)]
         want = graph.triangle_count(_und_edges_ds(rngpairs)).to_pandas()
         monkeypatch.setattr(graph, "BROADCAST_NODE_LIMIT", 0)
+        monkeypatch.setattr(graph, "EDGE_BROADCAST_LIMIT", 0)
         got = graph.triangle_count(_und_edges_ds(rngpairs)).to_pandas()
         assert got.equals(want)
 
