@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": textops.q_ngram_jaccard,
         "fingerprints": textops.q_fingerprints,
         "duplicate_spans": textops.q_duplicate_spans,
+        "tfidf_keywords": textops.q_tfidf_keywords,
         "pages_exact_dedup": textops.q_pages_exact_dedup,
         "pii_redact": textops.q_pii_redact,
         "domain_stats": textops.q_domain_stats,
@@ -372,6 +373,7 @@ def oracle_sql() -> dict[str, str]:
         "bpeish_tokens": textops.SQL_BPEISH_TOKENS,
         "fingerprints": textops.SQL_FINGERPRINTS,
         "duplicate_spans": textops.SQL_DUPLICATE_SPANS,
+        "tfidf_keywords": textops.SQL_TFIDF_KEYWORDS,
         "langid": textops.SQL_LANGID,
         "quality_scores": textops.SQL_QUALITY_SCORES,
         "knn_top10": ann.SQL_KNN_TOP10,

@@ -1928,3 +1928,116 @@ WITH tok AS (
 SELECT lang, token, n FROM r WHERE rn <= {VOCAB_LANG_K}
 ORDER BY lang, n DESC, token ASC
 """
+
+
+# --------------------------------------------------------------------------
+# per-doc tf-idf keywords (log-free: score = tf·N/df — float-exact in SQL)
+# --------------------------------------------------------------------------
+
+TFIDF_K = 3
+
+
+def q_tfidf_keywords(sf_dir: str):
+    """Top-``TFIDF_K`` keywords per document by tf·N/df (tf = term count
+    in doc, df = document frequency, N = docs with ≥1 token; ties broken
+    by term ascending). The idf is the log-free inverse-df form: every
+    score is ONE integer product and ONE IEEE division, so the engine and
+    the DuckDB oracle compute bit-identical doubles and the rank cutoff
+    can never flip on a last-ulp ln() difference (a log-idf would compare
+    library ln implementations at the top-k boundary).
+
+    Shape: per-batch (doc_id, term, tf) explode with in-batch counting →
+    df via groupby(term) over the distinct stream — tf rows are distinct
+    (doc, term) already, so df = Count — → hash join df back on term
+    (vocab-sized: join, not broadcast) → per-doc top-k in a bucketed
+    groupby with a vectorized per-bucket sort. Whitespace tokenization ==
+    token_counts' (``text.split()`` ≙ ``_SQL_WORDS``)."""
+    from ray.data.aggregate import Count
+
+    from ..state.grouped import bucketed_map_groups
+    from ..state.partitions import join_partitions
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        d_out: list[int] = []
+        t_out: list[str] = []
+        c_out: list[int] = []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = (text or "").split()
+            if not toks:
+                continue
+            # in-batch tf count: one pandas value_counts per doc is slower
+            # than a dict fold at typical doc sizes
+            cnt: dict[str, int] = {}
+            for t in toks:
+                cnt[t] = cnt.get(t, 0) + 1
+            d_out.extend([did] * len(cnt))
+            t_out.extend(cnt.keys())
+            c_out.extend(cnt.values())
+        return pa.table(
+            {"doc_id": pa.array(d_out, pa.int64()),
+             "term": pa.array(t_out, pa.string()),
+             "tf": pa.array(c_out, pa.int64())}
+        )
+
+    tf = (
+        pio.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(tf_rows, batch_format="pyarrow")
+        .materialize()  # consumed three times: df groupby, N, join probe
+    )
+    n_rows = tf.count()
+    df_tbl = tf.groupby("term").aggregate(Count(alias_name="df"))
+    # N: per-batch unique combiner, then a driver-side distinct over the
+    # (already tiny) per-block candidates — one pass, one scalar
+    n_docs = len(
+        tf.map_batches(
+            lambda b: pa.table({"d": pc.unique(b["doc_id"])}),
+            batch_format="pyarrow",
+        ).unique("d")
+    )
+
+    joined = tf.join(
+        df_tbl.map_batches(
+            lambda b: b.select(["term", "df"]) if b.num_columns else b,
+            batch_format="pyarrow",
+        ),
+        join_type="inner",
+        num_partitions=join_partitions(rows=n_rows),
+        on=("term",),
+    )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["score"] = (df["tf"].to_numpy(np.int64) * np.int64(n_docs)).astype(
+            np.float64
+        ) / df["df"].to_numpy(np.int64)
+        df = df.sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        df["rnk"] = df.groupby("doc_id", sort=False).cumcount() + 1
+        out = df.loc[df["rnk"] <= TFIDF_K, ["doc_id", "term", "score", "rnk"]]
+        return out
+
+    return bucketed_map_groups(joined, ["doc_id"], topk)
+
+
+SQL_TFIDF_KEYWORDS = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_WORDS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf * n.n AS DOUBLE) / df.df AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.term
+         ) AS rnk
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, score, rnk FROM scored WHERE rnk <= {TFIDF_K}
+"""
