@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_levels": graph.q_bfs_levels,
         "degree_distribution": graph.q_degree_distribution,
         "triangle_count": graph.q_triangle_count,
+        "clustering_coefficient": graph.q_clustering_coefficient,
     }
 
 
@@ -396,6 +397,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_levels": graph.SQL_BFS_LEVELS,
         "degree_distribution": graph.SQL_DEGREE_DISTRIBUTION,
         "triangle_count": graph.SQL_TRIANGLE_COUNT,
+        "clustering_coefficient": graph.SQL_CLUSTERING_COEFFICIENT,
         # engine-computed P/R vs the sequential oracle must be exactly 1.0
         "kg_pr": (
             "SELECT 'precision' AS metric, 1.0 AS value "

@@ -823,27 +823,35 @@ def co_purchase_edges(sf_dir: str) -> rd.Dataset:
     return bucketed_map_groups(pairs, ["a", "b"], lambda df: df.drop_duplicates())
 
 
-def triangle_count(edges: rd.Dataset) -> rd.Dataset:
-    """Exact triangle count over a DISTINCT undirected (a < b) edge set —
-    the degree-ORIENTED two-join algorithm (Suri & Vassilvitskii's MR
-    pattern, public): orient every edge from its lower-(degree, id)
-    endpoint to the higher one, emit the C(out-degree, 2) out-neighbor
-    pairs of each source as wedges, and count wedges whose closing edge
-    exists via one hash join against the edge set.
+def _wedge_arrays(
+    df: pd.DataFrame,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(src, a, b) for all out-neighbor pairs of every src group, wedge
+    ends in undirected-canonical (a < b) order (= the edge set's key) —
+    pure repeat/cumsum block arithmetic, no per-group python loop (same
+    shape as textops' ngram pair emission)."""
+    src = df["src"].to_numpy(np.int64)
+    dst = df["dst"].to_numpy(np.int64)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+    g_sz = np.diff(np.r_[starts, len(src)])
+    k = np.arange(len(src)) - np.repeat(starts, g_sz)
+    cnt1 = np.repeat(g_sz, g_sz) - 1 - k
+    n_pairs = int(cnt1.sum())
+    if n_pairs == 0:
+        e = np.empty(0, np.int64)
+        return e, e, e
+    i_idx = np.repeat(np.arange(len(src)), cnt1)
+    blk = np.cumsum(cnt1) - cnt1
+    j_idx = i_idx + 1 + (np.arange(n_pairs) - np.repeat(blk, cnt1))
+    return src[i_idx], dst[i_idx], dst[j_idx]
 
-    Why orientation matters at scale: un-oriented wedge emission is
-    Σ deg(v)² — a single web-scale hub generates quadrillions of wedges —
-    while orientation bounds every out-degree by O(√m), making wedge
-    volume O(m^1.5) worst-case regardless of skew. Both joins and the
-    wedge groupby derive parallelism from ``join_partitions``; nothing
-    node-sized reaches the driver."""
+
+def _tri_degrees(edges: rd.Dataset, parts: int) -> rd.Dataset:
+    """Materialized (node, deg) over a DISTINCT undirected (a < b) edge
+    set: per-batch grouped partials → one shuffled Sum."""
     from ray.data.aggregate import Sum
-
-    from ..state.grouped import bucketed_map_groups, dataset_from_table
-
-    edges = edges.materialize()
-    n_edges = edges.count()
-    parts = join_partitions(rows=n_edges)
 
     def deg_partials(b: pa.Table) -> pa.Table:
         t = pa.table(
@@ -856,17 +864,25 @@ def triangle_count(edges: rd.Dataset) -> rd.Dataset:
             {"node": g["node"], "d": pc.cast(g["node_count"], pa.int64())}
         )
 
-    deg = (
+    return (
         edges.map_batches(deg_partials, batch_format="pyarrow")
         .groupby("node", num_partitions=parts)
         .aggregate(Sum("d", alias_name="deg"))
         .materialize()
     )
-    n_nodes = deg.count()
+
+
+def _tri_oriented(
+    edges: rd.Dataset, deg: rd.Dataset, n_nodes: int, parts: int
+) -> tuple[rd.Dataset, "tuple[np.ndarray, np.ndarray] | None"]:
+    """Orient every edge from its lower-(deg, id) endpoint — ties broken
+    by id give a strict total order, so each triangle has exactly one
+    minimum vertex. Returns (oriented src→dst Dataset, sorted (nodes,
+    deg) arrays when the node-sized degree table was broadcast, else
+    None). Orientation bounds every out-degree at O(√m), making wedge
+    volume O(m^1.5) worst-case regardless of hub skew."""
 
     def _orient_np(a, bb, da, db) -> pa.Table:
-        # rank order: (deg, id) — ties broken by id, so orientation is a
-        # strict total order and each triangle has exactly one min vertex
         a_lo = (da < db) | ((da == db) & (a < bb))
         return pa.table(
             {"src": np.where(a_lo, a, bb), "dst": np.where(a_lo, bb, a)}
@@ -881,10 +897,9 @@ def triangle_count(edges: rd.Dataset) -> rd.Dataset:
 
         ddf = deg.to_pandas()
         order = np.argsort(ddf["node"].to_numpy(np.int64), kind="stable")
-        deg_ref = ray.put(
-            (ddf["node"].to_numpy(np.int64)[order],
-             ddf["deg"].to_numpy(np.int64)[order])
-        )
+        arrs = (ddf["node"].to_numpy(np.int64)[order],
+                ddf["deg"].to_numpy(np.int64)[order])
+        deg_ref = ray.put(arrs)
 
         def orient_bc(b: pa.Table, ref=deg_ref) -> pa.Table:
             if b.num_rows == 0:
@@ -897,91 +912,99 @@ def triangle_count(edges: rd.Dataset) -> rd.Dataset:
             db = deg_s[np.searchsorted(nodes_s, bb)]
             return _orient_np(a, bb, da, db)
 
-        oriented = edges.map_batches(orient_bc, batch_format="pyarrow")
-    else:
+        return edges.map_batches(orient_bc, batch_format="pyarrow"), arrs
 
-        def key_a(b: pa.Table) -> pa.Table:
-            if b.num_columns == 0:
-                return b
-            return pa.table({"a": b["node"], "deg_a": b["deg"]})
+    def key_a(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0:
+            return b
+        return pa.table({"a": b["node"], "deg_a": b["deg"]})
 
-        def key_b(b: pa.Table) -> pa.Table:
-            if b.num_columns == 0:
-                return b
-            return pa.table({"b": b["node"], "deg_b": b["deg"]})
+    def key_b(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0:
+            return b
+        return pa.table({"b": b["node"], "deg_b": b["deg"]})
 
-        with_deg = edges.join(
-            deg.map_batches(key_a, batch_format="pyarrow"),
-            join_type="inner", num_partitions=parts, on=("a",),
-        ).join(
-            deg.map_batches(key_b, batch_format="pyarrow"),
-            join_type="inner", num_partitions=parts, on=("b",),
+    with_deg = edges.join(
+        deg.map_batches(key_a, batch_format="pyarrow"),
+        join_type="inner", num_partitions=parts, on=("a",),
+    ).join(
+        deg.map_batches(key_b, batch_format="pyarrow"),
+        join_type="inner", num_partitions=parts, on=("b",),
+    )
+
+    def orient(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        return _orient_np(
+            b["a"].to_numpy(zero_copy_only=False),
+            b["b"].to_numpy(zero_copy_only=False),
+            b["deg_a"].to_numpy(zero_copy_only=False),
+            b["deg_b"].to_numpy(zero_copy_only=False),
         )
 
-        def orient(b: pa.Table) -> pa.Table:
-            if b.num_columns == 0 or b.num_rows == 0:
-                return pa.table({"src": pa.array([], pa.int64()),
-                                 "dst": pa.array([], pa.int64())})
-            return _orient_np(
-                b["a"].to_numpy(zero_copy_only=False),
-                b["b"].to_numpy(zero_copy_only=False),
-                b["deg_a"].to_numpy(zero_copy_only=False),
-                b["deg_b"].to_numpy(zero_copy_only=False),
-            )
+    return with_deg.map_batches(orient, batch_format="pyarrow"), None
 
-        oriented = with_deg.map_batches(orient, batch_format="pyarrow")
 
-    def _wedge_arrays(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
-        """All out-neighbor pairs of every src group, in
-        undirected-canonical (a < b) order (= the edge set's key) — pure
-        repeat/cumsum block arithmetic, no per-group python loop (same
-        shape as textops' ngram pair emission)."""
-        src = df["src"].to_numpy(np.int64)
-        dst = df["dst"].to_numpy(np.int64)
-        order = np.lexsort((dst, src))
-        src, dst = src[order], dst[order]
-        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
-        g_sz = np.diff(np.r_[starts, len(src)])
-        k = np.arange(len(src)) - np.repeat(starts, g_sz)
-        cnt1 = np.repeat(g_sz, g_sz) - 1 - k
-        n_pairs = int(cnt1.sum())
-        if n_pairs == 0:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
-        i_idx = np.repeat(np.arange(len(src)), cnt1)
-        blk = np.cumsum(cnt1) - cnt1
-        j_idx = i_idx + 1 + (np.arange(n_pairs) - np.repeat(blk, cnt1))
-        return dst[i_idx], dst[j_idx]
+def _packed_edge_ref(edges: rd.Dataset):
+    """The DISTINCT edge set packed into one SORTED (a<<32|b) uint64 array
+    shipped once via ray.put — the broadcast side of the closing check."""
+    import ray
+
+    edf = edges.to_pandas()
+    packed = (
+        edf["a"].to_numpy(np.int64).astype(np.uint64) << np.uint64(32)
+    ) | edf["b"].to_numpy(np.int64).astype(np.uint64)
+    packed.sort()
+    return ray.put(packed)
+
+
+def _closing_mask(es: np.ndarray, wa: np.ndarray, wb: np.ndarray) -> np.ndarray:
+    """Boolean mask over wedges whose (a, b) closing edge exists — a
+    vectorized searchsorted probe against the sorted packed edge array."""
+    keys = (wa.astype(np.uint64) << np.uint64(32)) | wb.astype(np.uint64)
+    pos = np.searchsorted(es, keys)
+    pos[pos >= len(es)] = len(es) - 1
+    return es[pos] == keys
+
+
+def triangle_count(edges: rd.Dataset) -> rd.Dataset:
+    """Exact triangle census (n_nodes, n_edges, n_triangles) over a
+    DISTINCT undirected (a < b) edge set — the degree-ORIENTED wedge
+    algorithm (Suri & Vassilvitskii's MR pattern, public): orient, emit
+    each source's C(out-degree, 2) out-neighbor pairs as wedges, count
+    wedges whose closing edge exists.
+
+    Closing check, gated like every small-side in this repo:
+    - ≤ EDGE_BROADCAST_LIMIT and node ids < 2^31: the packed edge set
+      broadcasts once and each wedge bucket emits a SCALAR partial from a
+      vectorized membership probe — no closing shuffle at all (measured
+      19 s → 9.6 s at sf0.1).
+    - larger: wedges combine to (a, b, w) partial counts and meet
+      edge-presence markers in ONE bucketed union-groupby on (a, b) — the
+      shuffle moves partials, not raw wedges. (A Dataset.join here
+      measured ~2× slower at toy scale from hash-join actor startup.)"""
+    from ..state.grouped import bucketed_map_groups, dataset_from_table
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    parts = join_partitions(rows=n_edges)
+    deg = _tri_degrees(edges, parts)
+    n_nodes = deg.count()
+    oriented, _ = _tri_oriented(edges, deg, n_nodes, parts)
 
     hi = edges.max("b")  # b > a always, so max node id
     if n_edges <= EDGE_BROADCAST_LIMIT and (hi is None or hi < (1 << 31)):
-        # edge-set broadcast path: the DISTINCT edge set packs into one
-        # sorted uint64 array ((a << 32) | b, ≤ ~160 MB at the gate) and
-        # ships ONCE via ray.put; each wedge bucket then closes its own
-        # wedges with a vectorized searchsorted membership probe and
-        # emits a SCALAR partial — the 35M-row closing shuffle (measured
-        # 19 s at sf0.1) disappears entirely.
-        import ray
-
-        edf = edges.to_pandas()
-        packed = (
-            edf["a"].to_numpy(np.int64).astype(np.uint64) << np.uint64(32)
-        ) | edf["b"].to_numpy(np.int64).astype(np.uint64)
-        packed.sort()
-        edges_ref = ray.put(packed)
+        edges_ref = _packed_edge_ref(edges)
 
         def close_bucket(df: pd.DataFrame, _ref=edges_ref) -> pd.DataFrame:
             import ray as _ray
 
-            wa, wb = _wedge_arrays(df)
+            _, wa, wb = _wedge_arrays(df)
             if not len(wa):
                 return pd.DataFrame({"t": pd.Series([0], dtype="int64")})
-            keys = (wa.astype(np.uint64) << np.uint64(32)) | wb.astype(np.uint64)
-            es = _ray.get(_ref)  # zero-copy read-only numpy
-            pos = np.searchsorted(es, keys)
-            pos[pos >= len(es)] = len(es) - 1
-            return pd.DataFrame(
-                {"t": pd.Series([int((es[pos] == keys).sum())], dtype="int64")}
-            )
+            m = _closing_mask(_ray.get(_ref), wa, wb)
+            return pd.DataFrame({"t": pd.Series([int(m.sum())], dtype="int64")})
 
         closed = bucketed_map_groups(oriented, ["src"], close_bucket)
     else:
@@ -989,7 +1012,7 @@ def triangle_count(edges: rd.Dataset) -> rd.Dataset:
         def wedge_partials(df: pd.DataFrame) -> pd.DataFrame:
             """Per src-bucket: COMBINE wedges to (a, b, w) partial counts
             so the closing shuffle moves partials, not raw wedges."""
-            wa, wb = _wedge_arrays(df)
+            _, wa, wb = _wedge_arrays(df)
             if not len(wa):
                 return pd.DataFrame({"a": pd.Series(dtype="int64"),
                                      "b": pd.Series(dtype="int64"),
@@ -1013,12 +1036,6 @@ def triangle_count(edges: rd.Dataset) -> rd.Dataset:
             )
             return pd.DataFrame({"t": [np.int64((g["w"] * g["e"]).sum())]})
 
-        # closing check as ONE bucketed union-groupby on (a, b) — wedge
-        # partial counts and edge-presence markers meet in the same
-        # bucket, a triangle being a wedge whose (a, b) key also carries
-        # a marker. (A Dataset.join here measured ~2× slower at toy scale
-        # from hash-join actor startup; the union form shuffles strictly
-        # less: partials.)
         wedges = bucketed_map_groups(oriented, ["src"], wedge_partials)
         closed = bucketed_map_groups(
             wedges.union(edges.map_batches(edge_marker, batch_format="pyarrow")),
@@ -1058,4 +1075,159 @@ tri AS (
 SELECT (SELECT count(*) FROM nodes) AS n_nodes,
        (SELECT count(*) FROM pp) AS n_edges,
        (SELECT c FROM tri) AS n_triangles
+"""
+
+
+def clustering_coefficient(edges: rd.Dataset) -> rd.Dataset:
+    """Per-node local clustering coefficient over a DISTINCT undirected
+    (a < b) edge set: (node, deg, n_tri, coeff) for every node with
+    deg ≥ 2, coeff = 2·n_tri / (deg·(deg−1)) — one integer product and
+    one IEEE division, so the DuckDB oracle computes bit-identical
+    doubles. Each triangle {s, a, b} credits all three vertices.
+
+    Same oriented-wedge machinery as :func:`triangle_count`; the closing
+    check keeps the wedge's source vertex so per-node credits can be
+    emitted. Paths:
+    - edge set ≤ EDGE_BROADCAST_LIMIT (node ids < 2^31): wedge buckets
+      probe the broadcast packed edge set and emit pre-aggregated
+      (node, t) partials; with the degree table already driver-resident
+      (≤ BROADCAST_NODE_LIMIT is implied — nodes ≤ 2·edges), the partials
+      fold onto the degree arrays driver-side (np.add.at, node-sized) —
+      no closing shuffle, no join.
+    - larger: wedges (src, a, b) hash-join the edge set on (a, b), credit
+      partials combine per batch, one groupby(node) Sum, then a left
+      join back onto the degree table."""
+    from ..state.grouped import bucketed_map_groups, dataset_from_table
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    parts = join_partitions(rows=n_edges)
+    deg = _tri_degrees(edges, parts)
+    n_nodes = deg.count()
+    oriented, deg_arrs = _tri_oriented(edges, deg, n_nodes, parts)
+
+    def _coeff_table(nodes, degs, tris) -> pa.Table:
+        m = degs >= 2
+        nodes, degs, tris = nodes[m], degs[m], tris[m]
+        denom = (degs * (degs - 1)).astype(np.float64)
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "deg": pa.array(degs, pa.int64()),
+                "n_tri": pa.array(tris, pa.int64()),
+                "coeff": pa.array((2.0 * tris) / denom, pa.float64()),
+            }
+        )
+
+    hi = edges.max("b")
+    if (
+        n_edges <= EDGE_BROADCAST_LIMIT
+        and (hi is None or hi < (1 << 31))
+        and deg_arrs is not None
+    ):
+        edges_ref = _packed_edge_ref(edges)
+
+        def credit_bucket(df: pd.DataFrame, _ref=edges_ref) -> pd.DataFrame:
+            import ray as _ray
+
+            ws, wa, wb = _wedge_arrays(df)
+            if not len(wa):
+                return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                     "t": pd.Series(dtype="int64")})
+            m = _closing_mask(_ray.get(_ref), wa, wb)
+            cred = np.concatenate([ws[m], wa[m], wb[m]])
+            u, c = np.unique(cred, return_counts=True)
+            return pd.DataFrame({"node": u, "t": c.astype(np.int64)})
+
+        nodes_s, deg_s = deg_arrs
+        tris = np.zeros(len(nodes_s), np.int64)
+        for b in bucketed_map_groups(
+            oriented, ["src"], credit_bucket
+        ).iter_batches(batch_format="pyarrow"):
+            if b.num_rows == 0 or "node" not in b.column_names:
+                continue
+            idx = np.searchsorted(nodes_s, b["node"].to_numpy(zero_copy_only=False))
+            np.add.at(tris, idx, b["t"].to_numpy(zero_copy_only=False))
+        return dataset_from_table(_coeff_table(nodes_s, deg_s, tris))
+
+    # shuffled path: raw wedges carry their source through the closing join
+    def wedge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ws, wa, wb = _wedge_arrays(df)
+        return pd.DataFrame({"src_v": ws, "a": wa, "b": wb})
+
+    wedges = bucketed_map_groups(oriented, ["src"], wedge_rows)
+    closed = wedges.join(
+        edges, join_type="inner", num_partitions=parts, on=("a", "b")
+    )
+
+    def credit_partials(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "src_v" not in b.column_names:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "t": pa.array([], pa.int64())})
+        cred = np.concatenate(
+            [b[c].to_numpy(zero_copy_only=False) for c in ("src_v", "a", "b")]
+        )
+        u, c = np.unique(cred, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "t": pa.array(c.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    tri_counts = (
+        closed.map_batches(credit_partials, batch_format="pyarrow", batch_size=262144)
+        .groupby("node", num_partitions=parts)
+        .aggregate(Sum("t", alias_name="t"))
+    )
+    merged = deg.join(
+        tri_counts, join_type="left_outer", num_partitions=parts, on=("node",)
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "node" not in b.column_names:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "deg": pa.array([], pa.int64()),
+                             "n_tri": pa.array([], pa.int64()),
+                             "coeff": pa.array([], pa.float64())})
+        return _coeff_table(
+            b["node"].to_numpy(zero_copy_only=False),
+            b["deg"].to_numpy(zero_copy_only=False),
+            np.nan_to_num(
+                b["t"].to_numpy(zero_copy_only=False).astype(np.float64)
+            ).astype(np.int64),
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow", batch_size=262144)
+
+
+def q_clustering_coefficient(sf_dir: str):
+    """Local clustering coefficients of the co-purchase graph."""
+    return clustering_coefficient(co_purchase_edges(sf_dir))
+
+
+SQL_CLUSTERING_COEFFICIENT = """
+WITH pp AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+),
+deg AS (
+  SELECT v AS node, count(*) AS deg FROM (
+    SELECT a AS v FROM pp UNION ALL SELECT b FROM pp
+  ) GROUP BY v
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM pp e1
+  JOIN pp e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN pp e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+tcnt AS (
+  SELECT v AS node, count(*) AS t FROM (
+    SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+  ) GROUP BY v
+)
+SELECT d.node, d.deg, coalesce(t.t, 0) AS n_tri,
+       CAST(2 * coalesce(t.t, 0) AS DOUBLE) / (d.deg * (d.deg - 1)) AS coeff
+FROM deg d LEFT JOIN tcnt t USING (node)
+WHERE d.deg >= 2
 """

@@ -306,3 +306,42 @@ class TestIterativeCheckpoints:
             _edges_ds(edges), source=1, rounds=4, checkpoint_dir=ck
         ).to_pandas()
         assert dict(zip(df["node"], df["level"])) == want
+
+
+class TestClusteringCoefficient:
+    PAIRS = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4), (0, 4), (4, 5)]
+
+    def _brute(self):
+        import itertools
+
+        adj: dict[int, set[int]] = {}
+        for a, b in self.PAIRS:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {}
+        for v, nb in adj.items():
+            if len(nb) < 2:
+                continue
+            t = sum(
+                1 for x, y in itertools.combinations(sorted(nb), 2)
+                if y in adj[x]
+            )
+            want[v] = (len(nb), t, 2.0 * t / (len(nb) * (len(nb) - 1)))
+        return want
+
+    def test_matches_brute_force(self, ray_session):
+        df = graph.clustering_coefficient(_und_edges_ds(self.PAIRS)).to_pandas()
+        got = {
+            int(r.node): (int(r.deg), int(r.n_tri), float(r.coeff))
+            for r in df.itertuples()
+        }
+        assert got == self._brute()
+
+    def test_shuffle_path_agrees(self, ray_session, monkeypatch):
+        want = graph.clustering_coefficient(_und_edges_ds(self.PAIRS)).to_pandas()
+        want = want.sort_values("node").reset_index(drop=True)
+        monkeypatch.setattr(graph, "BROADCAST_NODE_LIMIT", 0)
+        monkeypatch.setattr(graph, "EDGE_BROADCAST_LIMIT", 0)
+        got = graph.clustering_coefficient(_und_edges_ds(self.PAIRS)).to_pandas()
+        got = got.sort_values("node").reset_index(drop=True)
+        assert got.equals(want)
