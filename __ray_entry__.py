@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_distribution": graph.q_degree_distribution,
         "triangle_count": graph.q_triangle_count,
         "clustering_coefficient": graph.q_clustering_coefficient,
+        "copurchase_lift": graph.q_copurchase_lift,
     }
 
 
@@ -398,6 +399,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_distribution": graph.SQL_DEGREE_DISTRIBUTION,
         "triangle_count": graph.SQL_TRIANGLE_COUNT,
         "clustering_coefficient": graph.SQL_CLUSTERING_COEFFICIENT,
+        "copurchase_lift": graph.SQL_COPURCHASE_LIFT,
         # engine-computed P/R vs the sequential oracle must be exactly 1.0
         "kg_pr": (
             "SELECT 'precision' AS metric, 1.0 AS value "

@@ -1231,3 +1231,167 @@ SELECT d.node, d.deg, coalesce(t.t, 0) AS n_tri,
 FROM deg d LEFT JOIN tcnt t USING (node)
 WHERE d.deg >= 2
 """
+
+
+# --------------------------------------------------------------------------
+# co-purchase association lift (market-basket mining over the same
+# order→part projection that feeds the triangle family)
+# --------------------------------------------------------------------------
+
+LIFT_MIN_PAIR = 3
+LIFT_MIN = 2.0
+
+
+def q_copurchase_lift(sf_dir: str):
+    """(a, b, n_ab, lift) for part pairs co-purchased in ≥ LIFT_MIN_PAIR
+    orders with lift ≥ LIFT_MIN, where lift = n_ab·N / (n_a·n_b) over
+    distinct (order, part) incidences — the classic association-rule lift,
+    scored float-exactly (two exact integer products, one IEEE division)
+    so the oracle's threshold cut can never flip on rounding.
+
+    Shape: bucketed distinct (order, part) → per-order pair emission
+    (block arithmetic) re-bucketed on (a, b) so each bucket's group size
+    IS the global pair count → per-part counts are node-sized and ride a
+    ``ray.put`` blob into the final scoring map (searchsorted), or two
+    hash joins above BROADCAST_NODE_LIMIT."""
+    from ..state.grouped import bucketed_map_groups
+
+    op = bucketed_map_groups(
+        pio.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_partkey"],
+        ).map_batches(
+            lambda b: b.select(["l_orderkey", "l_partkey"])
+            .group_by(["l_orderkey", "l_partkey"])
+            .aggregate([]),
+            batch_format="pyarrow",
+        ),
+        ["l_orderkey", "l_partkey"],
+        lambda df: df.drop_duplicates(),
+    ).materialize()
+
+    # N = distinct orders: per-batch unique combiner, driver distinct
+    n_orders = len(
+        op.map_batches(
+            lambda b: pa.table({"o": pc.unique(b["l_orderkey"])}),
+            batch_format="pyarrow",
+        ).unique("o")
+    )
+
+    # per-part incidence counts (node-sized)
+    cnt = (
+        op.map_batches(
+            lambda b: (lambda g: pa.table(
+                {"p": g["l_partkey"],
+                 "c": pc.cast(g["l_partkey_count"], pa.int64())}
+            ))(b.group_by("l_partkey").aggregate([("l_partkey", "count")])),
+            batch_format="pyarrow",
+        )
+        .groupby("p", num_partitions=join_partitions(rows=op.count()))
+        .aggregate(Sum("c", alias_name="c"))
+        .materialize()
+    )
+
+    def order_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.rename(columns={"l_orderkey": "src", "l_partkey": "dst"})
+        _, wa, wb = _wedge_arrays(g)
+        return pd.DataFrame({"a": wa, "b": wb})
+
+    pairs = bucketed_map_groups(op, ["l_orderkey"], order_pairs)
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["a", "b"], sort=False).size().reset_index(name="n_ab")
+        return out[out["n_ab"] >= LIFT_MIN_PAIR]
+
+    counted = bucketed_map_groups(pairs, ["a", "b"], pair_counts)
+
+    n_parts = cnt.count()
+    if n_parts <= BROADCAST_NODE_LIMIT:
+        import ray
+
+        cdf = cnt.to_pandas()
+        order = np.argsort(cdf["p"].to_numpy(np.int64), kind="stable")
+        cnt_ref = ray.put(
+            (cdf["p"].to_numpy(np.int64)[order],
+             cdf["c"].to_numpy(np.int64)[order])
+        )
+
+        def score(b: pa.Table, _ref=cnt_ref) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table(
+                    {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                     "n_ab": pa.array([], pa.int64()),
+                     "lift": pa.array([], pa.float64())}
+                )
+            import ray as _ray
+
+            ps, cs = _ray.get(_ref)
+            a = b["a"].to_numpy(zero_copy_only=False)
+            bb = b["b"].to_numpy(zero_copy_only=False)
+            n_ab = b["n_ab"].to_numpy(zero_copy_only=False)
+            lift = (n_ab * np.int64(n_orders)).astype(np.float64) / (
+                cs[np.searchsorted(ps, a)] * cs[np.searchsorted(ps, bb)]
+            )
+            m = lift >= LIFT_MIN
+            return pa.table(
+                {"a": pa.array(a[m]), "b": pa.array(bb[m]),
+                 "n_ab": pa.array(n_ab[m]), "lift": pa.array(lift[m])}
+            )
+
+        return counted.map_batches(score, batch_format="pyarrow")
+
+    parts_j = join_partitions(rows=op.count())
+    joined = counted.join(
+        cnt.map_batches(
+            lambda b: pa.table({"a": b["p"], "ca": b["c"]}) if b.num_columns else b,
+            batch_format="pyarrow",
+        ),
+        join_type="inner", num_partitions=parts_j, on=("a",),
+    ).join(
+        cnt.map_batches(
+            lambda b: pa.table({"b": b["p"], "cb": b["c"]}) if b.num_columns else b,
+            batch_format="pyarrow",
+        ),
+        join_type="inner", num_partitions=parts_j, on=("b",),
+    )
+
+    def score_joined(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "n_ab" not in b.column_names:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "n_ab": pa.array([], pa.int64()),
+                 "lift": pa.array([], pa.float64())}
+            )
+        n_ab = b["n_ab"].to_numpy(zero_copy_only=False)
+        lift = (n_ab * np.int64(n_orders)).astype(np.float64) / (
+            b["ca"].to_numpy(zero_copy_only=False)
+            * b["cb"].to_numpy(zero_copy_only=False)
+        )
+        m = lift >= LIFT_MIN
+        return pa.table(
+            {"a": pa.array(b["a"].to_numpy(zero_copy_only=False)[m]),
+             "b": pa.array(b["b"].to_numpy(zero_copy_only=False)[m]),
+             "n_ab": pa.array(n_ab[m]), "lift": pa.array(lift[m])}
+        )
+
+    return joined.map_batches(score_joined, batch_format="pyarrow")
+
+
+SQL_COPURCHASE_LIFT = f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT count(DISTINCT o) AS n FROM op),
+cnt AS (SELECT p, count(*) AS c FROM op GROUP BY p),
+pairs AS (
+  SELECT x.p AS a, y.p AS b, count(*) AS n_ab
+  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+  GROUP BY 1, 2
+)
+SELECT pairs.a, pairs.b, pairs.n_ab,
+       CAST(pairs.n_ab * n.n AS DOUBLE) / (ca.c * cb.c) AS lift
+FROM pairs
+JOIN cnt ca ON ca.p = pairs.a
+JOIN cnt cb ON cb.p = pairs.b
+CROSS JOIN n
+WHERE pairs.n_ab >= {LIFT_MIN_PAIR}
+  AND CAST(pairs.n_ab * n.n AS DOUBLE) / (ca.c * cb.c) >= {LIFT_MIN}
+"""
