@@ -117,6 +117,35 @@ def _q_kg_pr(sf_dir: str):
     )
 
 
+def _q_kg_delta_pr(sf_dir: str):
+    """Driver-visible exactness of the incremental-KG delta
+    (kg.kg_snapshot_delta between two url-hash-split crawl snapshots)
+    against the sequential oracle's set diff — expected exactly 1.0."""
+    import pandas as pd
+
+    from tools.kg_oracle import kg_oracle_triples
+
+    pa_path, pb_path = testgen.pages_snapshot_halves(sf_dir)
+    mrconso, mrsty = testgen.umls_tables()
+    df = kg.kg_snapshot_delta(pa_path, pb_path, mrconso, mrsty).to_pandas()
+    got = {
+        ch: set(zip(g["subj"], g["pred"], g["obj"]))
+        for ch, g in df.groupby("change")
+    }
+    a = kg_oracle_triples(pa_path, mrconso, mrsty)
+    b = kg_oracle_triples(pb_path, mrconso, mrsty)
+    want = {"added": b - a, "removed": a - b}
+    rows = []
+    for ch in ("added", "removed"):
+        g, w = got.get(ch, set()), want[ch]
+        tp = len(g & w)
+        rows.append((f"precision_{ch}", tp / len(g) if g else 0.0))
+        rows.append((f"recall_{ch}", tp / len(w) if w else 0.0))
+    return pd.DataFrame(
+        {"metric": [r[0] for r in rows], "value": [r[1] for r in rows]}
+    )
+
+
 def _q_enrichment_pr(sf_dir: str):
     """Driver-visible P/R of the distributed enrichment cascade against the
     independent sequential restatement (tools/enrichment_oracle.py), on the
@@ -312,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KG construction + enrichment cascade + generator + cleaner
         "kg_triples": _q_kg,
         "kg_pr": _q_kg_pr,
+        "kg_delta_pr": _q_kg_delta_pr,
         "enrichment_cascade": _q_enrichment,
         "enrichment_pr": _q_enrichment_pr,
         "skos_generation": _q_generation,
@@ -404,6 +434,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_pr": (
             "SELECT 'precision' AS metric, 1.0 AS value "
             "UNION ALL SELECT 'recall', 1.0"
+        ),
+        "kg_delta_pr": (
+            "SELECT 'precision_added' AS metric, 1.0 AS value "
+            "UNION ALL SELECT 'recall_added', 1.0 "
+            "UNION ALL SELECT 'precision_removed', 1.0 "
+            "UNION ALL SELECT 'recall_removed', 1.0"
         ),
         "enrichment_pr": (
             "SELECT 'precision_fixture' AS metric, 1.0 AS value "

@@ -621,3 +621,57 @@ def build_kg(
         )
         return out_ds
     return triples
+
+
+def kg_snapshot_delta(
+    pages_a: str,
+    pages_b: str,
+    mrconso: pa.Table,
+    mrsty: pa.Table,
+    **build_kw,
+) -> "rd.Dataset":
+    """Incremental KG update between two crawl snapshots: (subj, pred,
+    obj, change) with change ∈ {added, removed} — the triples a
+    re-materialization against snapshot B would add to / retire from the
+    snapshot-A graph. This is the operational form of the north rule's
+    periodic re-crawl: downstream consumers apply the delta instead of
+    re-reading the full adjacency.
+
+    Diff = ONE bucketed presence-flag shuffle over the two triple
+    streams (side tag + per-key min/max reduce — same machinery as the
+    relational ``snapshot_delta``), which is the floor for an exact diff:
+    each snapshot's triples cross the wire once, partitioned by (s, p, o).
+    Exactness is driver-gated by ``kg_delta_pr`` against the sequential
+    oracle diff (tools/kg_oracle.py on each half)."""
+    import pandas as pd
+
+    from ..state.grouped import bucketed_map_groups
+
+    def tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"subj": b["subj"], "pred": b["pred"], "obj": b["obj"],
+                 "side": pa.nulls(b.num_rows, pa.int64()).fill_null(side)}
+            )
+
+        return f
+
+    ta = build_kg(pages_a, mrconso, mrsty, **build_kw)
+    tb = build_kg(pages_b, mrconso, mrsty, **build_kw)
+    u = ta.map_batches(tag(0), batch_format="pyarrow").union(
+        tb.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def diff(df: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        g = df.groupby(["subj", "pred", "obj"], as_index=False)["side"].agg(
+            ["min", "max"]
+        )
+        only_b = g["min"].to_numpy() == 1
+        only_a = g["max"].to_numpy() == 0
+        out = g.loc[only_b | only_a, ["subj", "pred", "obj"]].copy()
+        out["change"] = np.where(only_b[only_b | only_a], "added", "removed")
+        return out
+
+    return bucketed_map_groups(u, ["subj", "pred", "obj"], diff)

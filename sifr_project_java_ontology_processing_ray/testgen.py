@@ -581,6 +581,30 @@ def pages_path_for(
     )
 
 
+def pages_snapshot_halves(sf_dir: str) -> tuple[str, str]:
+    """Two disjoint 'crawl snapshot' page files — a deterministic
+    url-hash-parity split of the pages fixture — for the incremental-KG
+    delta surface (``kg.kg_snapshot_delta``). Cached inside the same
+    fingerprinted directory as the source corpus, so a generator edit
+    invalidates the halves together with the whole."""
+    src = pages_path_for(sf_dir)
+    d = os.path.dirname(src)
+    pa_path = os.path.join(d, "pages_snap_a.parquet")
+    pb_path = os.path.join(d, "pages_snap_b.parquet")
+    if os.path.exists(pa_path) and os.path.exists(pb_path):
+        return pa_path, pb_path
+    from .functions.hashing import hash64_np
+
+    t = pq.read_table(src)
+    h = hash64_np(t["url"].to_pylist())
+    mask = (h & np.uint64(1)).astype(bool)
+    for path, m in ((pa_path, ~mask), (pb_path, mask)):
+        tmp = path + ".tmp"
+        pq.write_table(t.filter(pa.array(m)), tmp, row_group_size=4096)
+        os.replace(tmp, path)
+    return pa_path, pb_path
+
+
 def large_ontology(n_entities: int = 20000, seed: int = SEED) -> dict[str, pa.Table]:
     """Scaled synthetic ontology for benchmarking the enrichment cascade:
     n_entities spread across the cascade branches in fixed proportions
