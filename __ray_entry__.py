@@ -27,6 +27,7 @@ from sifr_project_java_ontology_processing_ray.sources import parquet_io as pio
 from sifr_project_java_ontology_processing_ray import testgen  # noqa: E402
 from sifr_project_java_ontology_processing_ray.stages import multimodal as _mm  # noqa: E402
 from sifr_project_java_ontology_processing_ray.pipelines import (  # noqa: E402
+    analytics,
     ann,
     cleaner,
     curation,
@@ -301,6 +302,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_delta": relational.q_snapshot_delta,
         "value_quantiles": relational.q_value_quantiles,
         "user_value_median": relational.q_user_value_median,
+        "user_running_total": analytics.q_user_running_total,
+        "day_retention": analytics.q_day_retention,
+        "value_variance": analytics.q_value_variance,
+        "funnel_conversion": analytics.q_funnel_conversion,
         # text / training-data ops
         "token_counts": textops.q_token_counts,
         "jsonl_token_stats": textops.q_jsonl_token_stats,
@@ -387,6 +392,10 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_delta": relational.SQL_SNAPSHOT_DELTA,
         "value_quantiles": relational.SQL_VALUE_QUANTILES,
         "user_value_median": relational.SQL_USER_VALUE_MEDIAN,
+        "user_running_total": analytics.SQL_USER_RUNNING_TOTAL,
+        "day_retention": analytics.SQL_DAY_RETENTION,
+        "value_variance": analytics.SQL_VALUE_VARIANCE,
+        "funnel_conversion": analytics.SQL_FUNNEL_CONVERSION,
         "token_counts": textops.SQL_TOKEN_COUNTS,
         "exact_dedup": textops.SQL_EXACT_DEDUP,
         "quality_filter": textops.SQL_QUALITY_FILTER,

@@ -1,0 +1,263 @@
+"""Event-stream analytics operators over the ``events`` table.
+
+The web-analytics companions to the windowing/sessionization family in
+``relational.py`` (SURVEY §2.9): ordered per-key prefix aggregation,
+day-over-day retention, exact grouped variance, and funnel conversion.
+Each has an exact DuckDB oracle (``__ray_entry__.oracle_sql``); column
+names and float handling match the SQL exactly.
+
+Scale notes (the shapes, not the toy sizes):
+- Per-key ORDERED computation (running totals, funnels) co-locates each
+  key's rows in one bucket of a single hash shuffle
+  (``state/grouped.bucketed_map_groups``) and runs vectorized inside the
+  bucket — never a python call per key, never a global sort. Per-key row
+  counts are human-activity-bounded, so buckets stay small even at 10^9
+  users.
+- Count/variance style aggregates reduce per-batch partials (Arrow
+  ``group_by``) to ≤|groups| rows before any exchange; the driver folds
+  only group-cardinality-sized frames (days, event types, funnel stages).
+- Exactness discipline: floats only ever appear in a FINAL single
+  division/rounding; everything order-sensitive is carried as integers
+  (cents, day ordinals) so results are bit-stable across parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..state.grouped import bucketed_map_groups
+from .relational import _read
+
+# --------------------------------------------------------------------------
+# ordered per-key prefix aggregation: running total per user
+# (the reference's only ordering guarantee is the deterministic
+# forEachOrdered traversal, AbstractOntologyProcessor.java:59 — here the
+# per-key event-time order is made an explicit contract)
+# --------------------------------------------------------------------------
+
+
+def q_user_running_total(sf_dir: str):
+    """(event_id, user_id, running_total): cumulative sum of ``value`` per
+    user in (ts, event_id) order. One bucketed shuffle on user_id; inside a
+    bucket the cumsum is a single vectorized pandas pass over all keys at
+    once (sort + groupby-cumsum), exactly the sequential left-to-right
+    float addition the SQL window performs — so the doubles are
+    bit-identical, and round(3) is cosmetic, not load-bearing."""
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        out = df[["event_id", "user_id"]].copy()
+        out["running_total"] = df.groupby("user_id")["value"].cumsum().round(3)
+        return out
+
+    out = bucketed_map_groups(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        ["user_id"],
+        combine,
+    )
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+SQL_USER_RUNNING_TOTAL = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 3)
+         AS running_total
+FROM events ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# day-over-day retention: distinct users active on day d AND d+1
+# --------------------------------------------------------------------------
+
+
+def q_day_retention(sf_dir: str):
+    """(day, active, retained): distinct users per UTC day, and how many of
+    them appear again the next day. Per-batch distinct (day, user) partials
+    ride ONE bucketed shuffle keyed on user_id; each user's day set is then
+    complete in its bucket, so next-day presence is a vectorized
+    searchsorted per bucket. Only day-cardinality-sized partial counts
+    reach the driver — at a year of 10^9-user traffic that is 365 rows per
+    bucket, not a users×days exchange."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(b["ts"], pa.date32()), pa.int32())
+        t = pa.table({"user_id": b["user_id"], "d": day})
+        return t.group_by(["user_id", "d"]).aggregate([])  # distinct partial
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        # bucket holds every (user, day) pair of its users (possibly with
+        # cross-batch duplicates — drop them, then vectorized next-day test)
+        df = df.drop_duplicates(["user_id", "d"]).sort_values(["user_id", "d"])
+        u = df["user_id"].to_numpy()
+        d = df["d"].to_numpy()
+        # next row within the same user at exactly d+1 ⇒ retained; the
+        # (user, d) pairs are sorted and unique, so d+1 can only be adjacent
+        nxt = np.zeros(len(df), bool)
+        if len(df):
+            nxt[:-1] = (u[:-1] == u[1:]) & (d[:-1] + 1 == d[1:])
+        g = pd.DataFrame({"d": d, "active": 1, "retained": nxt.astype(np.int64)})
+        return g.groupby("d", as_index=False).sum()
+
+    parts = bucketed_map_groups(
+        _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+            tag, batch_format="pyarrow"
+        ),
+        ["user_id"],
+        combine,
+    ).to_pandas()
+    out = parts.groupby("d", as_index=False).sum().sort_values("d")
+    out["day"] = (
+        out.pop("d").to_numpy().astype("datetime64[D]").astype(str)
+    )
+    return out[["day", "active", "retained"]].reset_index(drop=True)
+
+
+SQL_DAY_RETENTION = """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events)
+SELECT strftime(a.d, '%Y-%m-%d') AS day,
+       count(*) AS active,
+       count(b.user_id) AS retained
+FROM du a LEFT JOIN du b
+  ON b.user_id = a.user_id AND b.d = a.d + INTERVAL 1 DAY
+GROUP BY a.d ORDER BY day
+"""
+
+
+# --------------------------------------------------------------------------
+# exact grouped variance via integer cents (float sums are order-sensitive;
+# integer moment sums are not — the distributed-exactness discipline)
+# --------------------------------------------------------------------------
+
+
+def q_value_variance(sf_dir: str):
+    """(event_type, n, variance_value): exact population variance of
+    ``value`` per event_type. ``value`` is carried as integer cents
+    (floor(v*100 + 0.5) — identical double math in the oracle), the batch
+    partials are integer moment sums (n, Σc, Σc²) — order-independent, so
+    any parallelism gives the same bits — and the single float division
+    happens once, driver-side, on exact integers. Partials are Arrow
+    group_by combiners: the shuffle moves ≤|event types| rows per batch."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(b["value"], pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.int64(),
+        )
+        t = pa.table(
+            {"event_type": b["event_type"], "c": c, "c2": pc.multiply(c, c)}
+        )
+        return (
+            t.group_by("event_type")
+            .aggregate([("c", "count"), ("c", "sum"), ("c2", "sum")])
+            .rename_columns(["event_type", "p_n", "p_s", "p_s2"])
+        )
+
+    parts = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    # python-int (object) partial fold: Σc² per group exceeds int64 around
+    # 10^11 rows — the driver fold is the one place that sees full sums
+    for c in ("p_n", "p_s", "p_s2"):
+        parts[c] = parts[c].astype(object)
+    g = parts.groupby("event_type", as_index=False).sum()
+    rows = []
+    for _, r in g.iterrows():
+        # python ints: no int64 overflow at any scale (n·Σc² − (Σc)²)
+        n, s, s2 = int(r["p_n"]), int(r["p_s"]), int(r["p_s2"])
+        var = float(n * s2 - s * s) / float(n * n) / 10000.0
+        rows.append((r["event_type"], n, round(var, 6)))
+    return pd.DataFrame(rows, columns=["event_type", "n", "variance_value"]).sort_values(
+        "event_type"
+    ).reset_index(drop=True)
+
+
+SQL_VALUE_VARIANCE = """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cv
+  FROM events
+)
+SELECT event_type, count(*) AS n,
+       round(CAST(count(*) * sum(cv * cv) - sum(cv) * sum(cv) AS DOUBLE)
+             / CAST(count(*) * count(*) AS DOUBLE) / 10000.0, 6)
+         AS variance_value
+FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# funnel conversion: first-view → first-click → first-purchase ordering
+# --------------------------------------------------------------------------
+
+_FUNNEL = ["view", "click", "purchase"]
+
+
+def q_funnel_conversion(sf_dir: str):
+    """(stage, users): users with a 'view'; of those, users whose first
+    'click' is strictly after their first 'view'; of those, users whose
+    first 'purchase' is strictly after that first 'click'. Per-batch
+    partial = min(ts) per (user, stage type) — an Arrow combiner, so the
+    bucketed shuffle moves ≤3 rows per user — and each bucket pivots its
+    users vectorized and emits 3 partial counts; the driver folds a
+    3-row frame per bucket."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["event_type"], value_set=pa.array(_FUNNEL))
+        t = pa.table(
+            {"user_id": b["user_id"], "event_type": b["event_type"], "ts": b["ts"]}
+        ).filter(m)
+        return t.group_by(["user_id", "event_type"]).aggregate([("ts", "min")])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.pivot_table(
+            index="user_id", columns="event_type", values="ts_min", aggfunc="min"
+        )
+        v = p["view"].notna() if "view" in p else pd.Series(False, index=p.index)
+        c = (p["click"] > p["view"]) & v if "click" in p and "view" in p else (
+            pd.Series(False, index=p.index)
+        )
+        pu = (p["purchase"] > p["click"]) & c if "purchase" in p and "click" in p else (
+            pd.Series(False, index=p.index)
+        )
+        return pd.DataFrame(
+            {
+                "stage": ["view", "view>click", "view>click>purchase"],
+                "p_users": [int(v.sum()), int(c.sum()), int(pu.sum())],
+            }
+        )
+
+    parts = bucketed_map_groups(
+        _read(sf_dir, "events", ["user_id", "event_type", "ts"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["user_id"],
+        combine,
+    ).to_pandas()
+    out = parts.groupby("stage", as_index=False)["p_users"].sum()
+    out = out.rename(columns={"p_users": "users"})
+    # funnel order, not lexicographic
+    order = {"view": 0, "view>click": 1, "view>click>purchase": 2}
+    return out.sort_values("stage", key=lambda s: s.map(order)).reset_index(drop=True)
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH f AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'view') AS v,
+         min(ts) FILTER (WHERE event_type = 'click') AS c,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS p
+  FROM events GROUP BY user_id
+)
+SELECT 'view' AS stage, count(*) AS users FROM f WHERE v IS NOT NULL
+UNION ALL
+SELECT 'view>click', count(*) FROM f WHERE v IS NOT NULL AND c > v
+UNION ALL
+SELECT 'view>click>purchase', count(*) FROM f
+WHERE v IS NOT NULL AND c > v AND p > c
+"""

@@ -57,6 +57,11 @@ SUBSET = [
     "user_value_median",
     "seq_oracle_pr",
     "unigram_lm_score",
+    # event-stream analytics family (session-5 additions)
+    "user_running_total",
+    "day_retention",
+    "value_variance",
+    "funnel_conversion",
     # graph-analytics family + jsonl source (session-4 additions)
     "pagerank",
     "bfs_levels",
