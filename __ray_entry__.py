@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": textops.q_decontaminate,
         "latest_snapshot": textops.q_latest_snapshot,
         "vocab_by_lang": textops.q_vocab_by_lang,
+        "collocations": textops.q_collocations,
         "unigram_lm_score": textops.q_unigram_lm_score,
         "corpus_curation": curation.q_corpus_curation,
         "seq_oracle_pr": _q_seq_oracle_pr,
@@ -405,6 +406,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": textops.SQL_DECONTAMINATE,
         "latest_snapshot": textops.SQL_LATEST_SNAPSHOT,
         "vocab_by_lang": textops.SQL_VOCAB_BY_LANG,
+        "collocations": textops.SQL_COLLOCATIONS,
         "unigram_lm_score": textops.SQL_UNIGRAM_LM,
         "repetition_stats": textops.SQL_REPETITION_STATS,
         "train_val_split": textops.SQL_TRAIN_VAL_SPLIT,

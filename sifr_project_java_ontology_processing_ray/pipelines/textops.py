@@ -505,8 +505,133 @@ GROUP BY toks.doc_id
 
 
 # --------------------------------------------------------------------------
-# near-duplicate clustering: verified MinHash pairs → connected components
+# bigram collocation mining: pointwise-lift scored adjacent word pairs
 # --------------------------------------------------------------------------
+
+COLLOC_MIN_COUNT = 5
+COLLOC_K = 50
+
+
+def _bigram_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch Counter combiner emitting UNIGRAM and BIGRAM partial
+    counts in one unified (w1, w2, p_cnt) table: unigram rows carry the
+    ``""`` sentinel in w2, and one extra ``("", "", n_nonempty_docs)`` row
+    carries the tokenized-doc count (``str.split()`` never emits an empty
+    token, so neither sentinel can collide). One pass over the batch feeds
+    the numerator count, the denominator counts AND the total-bigram
+    identity T = U − n_nonempty of the lift score — the explode never
+    leaves the task."""
+    import collections
+
+    uni: collections.Counter = collections.Counter()
+    big: collections.Counter = collections.Counter()
+    n_nonempty = 0
+    for t in batch["text"].to_pylist():
+        toks = t.lower().split()
+        if not toks:
+            continue
+        n_nonempty += 1
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    w1s, w2s, cnts = [""], [""], [n_nonempty]
+    for w in sorted(uni):
+        w1s.append(w); w2s.append(""); cnts.append(uni[w])
+    for a, b in sorted(big):
+        w1s.append(a); w2s.append(b); cnts.append(big[(a, b)])
+    return pa.table(
+        {"w1": pa.array(w1s, pa.string()),
+         "w2": pa.array(w2s, pa.string()),
+         "p_cnt": pa.array(cnts, pa.int64())}
+    )
+
+
+def q_collocations(sf_dir: str):
+    """(w1, w2, c_ab, lift): top-``COLLOC_K`` adjacent word pairs by
+    pointwise lift p(ab) / (p(a)·p(b)) = c_ab·U² / (T·u_a·u_b), bigrams
+    with c_ab ≥ COLLOC_MIN_COUNT only — the collocation-mining primitive
+    (the dictionary-generation analog of the reference's label→code
+    frequency indexes, EHealth2017DictionaryToSkos.java:187-204, applied
+    to raw text). U = total tokens, T = total adjacent pairs = U minus
+    the tokenized-doc count (both ride the same partial combiner).
+    Exactness: every factor is an integer count, products are computed as
+    exact python ints, and the single int→double conversion + division is
+    performed identically by the SQL oracle — so ORDER BY on the double
+    is bit-stable, with (w1, w2) tie-breaks. Scale shape: one
+    distinct-(w1,w2) shuffle of per-batch partials; the driver sees only
+    the unigram vocabulary plus threshold-surviving bigram candidates
+    (vocabulary-bounded, the vocab_top50 posture — open-vocab corpora
+    would swap the driver fold for two broadcast joins against the
+    unigram counts)."""
+    from ray.data.aggregate import Sum
+
+    def keep(t: pa.Table) -> pa.Table:
+        # sentinel + unigram rows (w2 = "") always pass; bigram rows must
+        # meet the support threshold — the driver never sees the long tail
+        return t.filter(
+            pc.or_(
+                pc.equal(t["w2"], pa.scalar("")),
+                pc.greater_equal(t["c"], pa.scalar(COLLOC_MIN_COUNT, pa.int64())),
+            )
+        )
+
+    agg = (
+        pio.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+        .map_batches(_bigram_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("p_cnt", alias_name="c"))
+        .map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+    )
+    is_doc = (agg["w1"] == "") & (agg["w2"] == "")
+    is_uni = (agg["w2"] == "") & ~is_doc
+    u_cnt = {w: int(c) for w, c in zip(agg.loc[is_uni, "w1"], agg.loc[is_uni, "c"])}
+    U = sum(u_cnt.values())
+    T = U - int(agg.loc[is_doc, "c"].sum())
+    big = agg.loc[~is_uni & ~is_doc]
+    rows = [
+        (w1, w2, c_ab, float(c_ab * U * U) / float(T * u_cnt[w1] * u_cnt[w2]))
+        for w1, w2, c_ab in zip(big["w1"], big["w2"], big["c"].astype(int))
+    ]
+    out = pd.DataFrame(rows, columns=["w1", "w2", "c_ab", "lift"])
+    out = out.sort_values(
+        ["lift", "w1", "w2"], ascending=[False, True, True]
+    ).head(COLLOC_K)
+    out["c_ab"] = out["c_ab"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+SQL_COLLOCATIONS = r"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     w -> w <> '') AS t
+  FROM documents
+), uni AS (
+  SELECT unnest(t) AS w FROM toks
+), ucnt AS (
+  SELECT w, count(*) AS c FROM uni GROUP BY w
+), tot AS (
+  SELECT count(*) AS u FROM uni
+), idx AS (
+  SELECT unnest(generate_series(1, len(t) - 1)) AS i, t
+  FROM toks WHERE len(t) >= 2
+), bcnt AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS c_ab
+  FROM idx GROUP BY w1, w2 HAVING count(*) >= 5
+), btot AS (
+  SELECT CAST(sum(len(t) - 1) AS BIGINT) AS tt FROM toks WHERE len(t) >= 1
+)
+SELECT b.w1, b.w2, b.c_ab,
+       CAST(b.c_ab * t.u * t.u AS DOUBLE)
+         / CAST(bt.tt * ua.c * ub.c AS DOUBLE) AS lift
+FROM bcnt b
+JOIN ucnt ua ON ua.w = b.w1
+JOIN ucnt ub ON ub.w = b.w2
+CROSS JOIN tot t
+CROSS JOIN btot bt
+ORDER BY lift DESC, b.w1, b.w2
+LIMIT 50
+"""
+
 
 def q_neardup_clusters(sf_dir: str, pairs: "rd.Dataset | None" = None):
     """(doc_id, cluster_id) for every document in a near-dup component;

@@ -62,6 +62,7 @@ SUBSET = [
     "day_retention",
     "value_variance",
     "funnel_conversion",
+    "collocations",
     # graph-analytics family + jsonl source (session-4 additions)
     "pagerank",
     "bfs_levels",
