@@ -306,6 +306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "day_retention": analytics.q_day_retention,
         "value_variance": analytics.q_value_variance,
         "funnel_conversion": analytics.q_funnel_conversion,
+        "value_percentile": analytics.q_value_percentile,
+        "json_field_stats": analytics.q_json_field_stats,
         # text / training-data ops
         "token_counts": textops.q_token_counts,
         "jsonl_token_stats": textops.q_jsonl_token_stats,
@@ -334,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_snapshot": textops.q_latest_snapshot,
         "vocab_by_lang": textops.q_vocab_by_lang,
         "collocations": textops.q_collocations,
+        "inverted_index": textops.q_inverted_index,
         "unigram_lm_score": textops.q_unigram_lm_score,
         "corpus_curation": curation.q_corpus_curation,
         "seq_oracle_pr": _q_seq_oracle_pr,
@@ -397,6 +400,8 @@ def oracle_sql() -> dict[str, str]:
         "day_retention": analytics.SQL_DAY_RETENTION,
         "value_variance": analytics.SQL_VALUE_VARIANCE,
         "funnel_conversion": analytics.SQL_FUNNEL_CONVERSION,
+        "value_percentile": analytics.SQL_VALUE_PERCENTILE,
+        "json_field_stats": analytics.SQL_JSON_FIELD_STATS,
         "token_counts": textops.SQL_TOKEN_COUNTS,
         "exact_dedup": textops.SQL_EXACT_DEDUP,
         "quality_filter": textops.SQL_QUALITY_FILTER,
@@ -407,6 +412,7 @@ def oracle_sql() -> dict[str, str]:
         "latest_snapshot": textops.SQL_LATEST_SNAPSHOT,
         "vocab_by_lang": textops.SQL_VOCAB_BY_LANG,
         "collocations": textops.SQL_COLLOCATIONS,
+        "inverted_index": textops.SQL_INVERTED_INDEX,
         "unigram_lm_score": textops.SQL_UNIGRAM_LM,
         "repetition_stats": textops.SQL_REPETITION_STATS,
         "train_val_split": textops.SQL_TRAIN_VAL_SPLIT,

@@ -246,6 +246,118 @@ def q_funnel_conversion(sf_dir: str):
     return out.sort_values("stage", key=lambda s: s.map(order)).reset_index(drop=True)
 
 
+# --------------------------------------------------------------------------
+# distributed percent-rank: broadcast-CDF ranking without a global sort
+# --------------------------------------------------------------------------
+
+
+def q_value_percentile(sf_dir: str):
+    """(event_id, pct): exact percent_rank of every event's ``value`` —
+    (count of strictly smaller rows) / (n − 1), ties sharing the minimum
+    rank, exactly SQL's percent_rank(). NO global sort: pass 1 reduces
+    per-batch distinct-value count partials to a (value, count) table
+    (distinct-value-bounded — the 2-decimal domain keeps it tiny; an
+    open-domain double column would use the histogram-refinement
+    machinery in relational.distributed_kth_values instead); the driver
+    turns it into a sorted CDF, broadcasts it once via ray.put, and pass
+    2 ranks every row with a vectorized searchsorted. The division is the
+    only float op and both sides compute count_below / (n−1) on exact
+    ints, so the doubles match bit-for-bit."""
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        return (
+            pa.table({"v": b["value"]})
+            .group_by("v")
+            .aggregate([("v", "count")])
+            .rename_columns(["v", "p_n"])
+        )
+
+    counts = (
+        _read(sf_dir, "events", ["value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("v", as_index=False)["p_n"].sum()
+        .sort_values("v")
+    )
+    vals = counts["v"].to_numpy()
+    below = np.concatenate(([0], counts["p_n"].to_numpy().cumsum()[:-1]))
+    n = int(counts["p_n"].sum())
+    ref = ray.put((vals, below, n))
+
+    def rank(b: pa.Table, ref=ref) -> pa.Table:
+        from ..state.broadcast import cached_get
+
+        vals, below, n = cached_get(ref)
+        v = b["value"].to_numpy(zero_copy_only=False)
+        cb = below[np.searchsorted(vals, v)]
+        return pa.table(
+            {"event_id": b["event_id"],
+             "pct": pa.array(cb.astype(np.float64) / float(n - 1), pa.float64())}
+        )
+
+    return _read(sf_dir, "events", ["event_id", "value"]).map_batches(
+        rank, batch_format="pyarrow"
+    )
+
+
+SQL_VALUE_PERCENTILE = """
+SELECT event_id, percent_rank() OVER (ORDER BY value) AS pct FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# semi-structured field extraction: typed stats out of a JSON props column
+# --------------------------------------------------------------------------
+
+
+def q_json_field_stats(sf_dir: str):
+    """(event_type, n_with_k, sum_k, min_k, max_k): extract the integer
+    ``$.k`` field from the JSON ``props`` column with a VECTORIZED Arrow
+    regex (pc.extract_regex — no per-row json.loads in the hot path; a
+    full JSON decode belongs in an actor-pool stage only when the schema
+    is genuinely dynamic) and reduce integer moments per event_type.
+    Per-batch Arrow group_by combiner → ≤|event types| rows per batch
+    reach the shuffle."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        t = pa.table({"event_type": b["event_type"], "k": k}).filter(
+            pc.is_valid(k)
+        )
+        return (
+            t.group_by("event_type")
+            .aggregate([("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")])
+            .rename_columns(["event_type", "p_n", "p_s", "p_min", "p_max"])
+        )
+
+    parts = (
+        _read(sf_dir, "events", ["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    g = parts.groupby("event_type", as_index=False).agg(
+        n_with_k=("p_n", "sum"),
+        sum_k=("p_s", "sum"),
+        min_k=("p_min", "min"),
+        max_k=("p_max", "max"),
+    )
+    return g.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_JSON_FIELD_STATS = """
+WITH j AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, count(k) AS n_with_k, CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM j WHERE k IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 SQL_FUNNEL_CONVERSION = """
 WITH f AS (
   SELECT user_id,

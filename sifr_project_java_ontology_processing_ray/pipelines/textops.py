@@ -633,6 +633,70 @@ LIMIT 50
 """
 
 
+# --------------------------------------------------------------------------
+# inverted index: token → sorted posting list (A2/A3 collect-set semantics
+# applied to raw text — the retrieval-side structure an entity-linking
+# dictionary build produces)
+# --------------------------------------------------------------------------
+
+
+def q_inverted_index(sf_dir: str):
+    """(token, df, postings): per token, its document frequency and the
+    comma-joined ascending doc_id posting list. Per-batch combiner emits
+    DISTINCT (token, doc_id) pairs (within-doc dedup in the task, TreeSet
+    semantics K4/K5 → sorted join), then ONE bucketed shuffle on token
+    assembles each posting list vectorized inside its bucket. Posting
+    lists are df-bounded strings; at open-web scale the df cap / list
+    sharding knob goes here (the reference materializes the same
+    label→concept index driver-side, EHealth2017DictionaryToSkos.java:187-196)."""
+    from ..state.grouped import bucketed_map_groups
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks, dids = [], []
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for w in set(t.lower().split()):
+                toks.append(w)
+                dids.append(did)
+        return pa.table(
+            {"token": pa.array(toks, pa.string()),
+             "doc_id": pa.array(dids, pa.int64())}
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["token", "doc_id"])
+        g = df.groupby("token", as_index=False).agg(
+            df_=("doc_id", "size"),
+            postings=("doc_id", lambda s: ",".join(map(str, s))),
+        )
+        return g.rename(columns={"df_": "df"})
+
+    out = bucketed_map_groups(
+        pio.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(pairs, batch_format="pyarrow"),
+        ["token"],
+        combine,
+    )
+    return out.to_pandas().sort_values("token").reset_index(drop=True)
+
+
+SQL_INVERTED_INDEX = r"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT token, count(*) AS df,
+       string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+FROM pairs WHERE token <> ''
+GROUP BY token ORDER BY token
+"""
+
+
+# --------------------------------------------------------------------------
+# near-duplicate clustering: verified MinHash pairs → connected components
+# --------------------------------------------------------------------------
+
+
 def q_neardup_clusters(sf_dir: str, pairs: "rd.Dataset | None" = None):
     """(doc_id, cluster_id) for every document in a near-dup component;
     cluster_id = min doc_id of the component. Components computed with the

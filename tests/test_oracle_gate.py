@@ -63,6 +63,9 @@ SUBSET = [
     "value_variance",
     "funnel_conversion",
     "collocations",
+    "value_percentile",
+    "json_field_stats",
+    "inverted_index",
     # graph-analytics family + jsonl source (session-4 additions)
     "pagerank",
     "bfs_levels",
