@@ -797,20 +797,22 @@ def co_purchase_edges(sf_dir: str) -> rd.Dataset:
     from ..state.grouped import bucketed_map_groups
 
     def order_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        a_out, b_out = [], []
-        for _, g in df.groupby("l_orderkey", sort=False):
-            parts = np.unique(g["l_partkey"].to_numpy(np.int64))
-            if len(parts) < 2:
-                continue
-            i, j = np.triu_indices(len(parts), k=1)
-            a_out.append(parts[i])
-            b_out.append(parts[j])
-        if not a_out:
+        # distinct (order, part) then the same repeat/cumsum block pair
+        # emission as _wedge_arrays — no per-order python loop
+        ok = df["l_orderkey"].to_numpy(np.int64)
+        pk = df["l_partkey"].to_numpy(np.int64)
+        if not len(ok):
             return pd.DataFrame({"a": pd.Series(dtype="int64"),
                                  "b": pd.Series(dtype="int64")})
-        return pd.DataFrame(
-            {"a": np.concatenate(a_out), "b": np.concatenate(b_out)}
-        ).drop_duplicates()
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        keep = np.r_[True, (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])]
+        ok, pk = ok[keep], pk[keep]
+        _, a, b = _pairs_from_sorted(ok, pk)
+        if not len(a):
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        return pd.DataFrame({"a": a, "b": b}).drop_duplicates()
 
     pairs = bucketed_map_groups(
         pio.read_parquet(
@@ -823,17 +825,14 @@ def co_purchase_edges(sf_dir: str) -> rd.Dataset:
     return bucketed_map_groups(pairs, ["a", "b"], lambda df: df.drop_duplicates())
 
 
-def _wedge_arrays(
-    df: pd.DataFrame,
+def _pairs_from_sorted(
+    src: np.ndarray, dst: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(src, a, b) for all out-neighbor pairs of every src group, wedge
-    ends in undirected-canonical (a < b) order (= the edge set's key) —
-    pure repeat/cumsum block arithmetic, no per-group python loop (same
-    shape as textops' ngram pair emission)."""
-    src = df["src"].to_numpy(np.int64)
-    dst = df["dst"].to_numpy(np.int64)
-    order = np.lexsort((dst, src))
-    src, dst = src[order], dst[order]
+    """(src, dst_i, dst_j) for every within-group pair of a (src, dst)
+    stream already lexsorted by (src, dst) with distinct rows — pure
+    repeat/cumsum block arithmetic, no per-group python loop (same shape
+    as textops' ngram pair emission). dst_i < dst_j follows from the
+    sort, so emitted pairs are in undirected-canonical order."""
     starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
     g_sz = np.diff(np.r_[starts, len(src)])
     k = np.arange(len(src)) - np.repeat(starts, g_sz)
@@ -846,6 +845,17 @@ def _wedge_arrays(
     blk = np.cumsum(cnt1) - cnt1
     j_idx = i_idx + 1 + (np.arange(n_pairs) - np.repeat(blk, cnt1))
     return src[i_idx], dst[i_idx], dst[j_idx]
+
+
+def _wedge_arrays(
+    df: pd.DataFrame,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(src, a, b) for all out-neighbor pairs of every src group, wedge
+    ends in undirected-canonical (a < b) order (= the edge set's key)."""
+    src = df["src"].to_numpy(np.int64)
+    dst = df["dst"].to_numpy(np.int64)
+    order = np.lexsort((dst, src))
+    return _pairs_from_sorted(src[order], dst[order])
 
 
 def _tri_degrees(edges: rd.Dataset, parts: int) -> rd.Dataset:
@@ -946,17 +956,102 @@ def _tri_oriented(
     return with_deg.map_batches(orient, batch_format="pyarrow"), None
 
 
-def _packed_edge_ref(edges: rd.Dataset):
-    """The DISTINCT edge set packed into one SORTED (a<<32|b) uint64 array
-    shipped once via ray.put — the broadcast side of the closing check."""
+def _driver_graph_state(edges: rd.Dataset, n_slices: int):
+    """Driver-side degree/orient/pack for the ≤ EDGE_BROADCAST_LIMIT path.
+
+    On this path the packed edge set ships to every closing task via
+    ``ray.put``, i.e. the edge list is driver-resident anyway; folding
+    the degree count (np.unique) and the
+    (deg, id) orientation into the same pull removes the degree aggregate
+    shuffle and the oriented map pass — measured 5.2 s + 0.3 s of the
+    10.5 s sf0.1 census. Returns ``None`` when the edge set is empty.
+
+    The oriented stream is lexsorted by (src, dst) and cut into
+    ``n_slices`` wedge-volume-balanced, src-group-aligned row ranges so
+    the closing fan-out needs no shuffle at all: every slice task reads
+    the broadcast arrays zero-copy and probes its own wedges.
+    """
     import ray
 
     edf = edges.to_pandas()
-    packed = (
-        edf["a"].to_numpy(np.int64).astype(np.uint64) << np.uint64(32)
-    ) | edf["b"].to_numpy(np.int64).astype(np.uint64)
+    a = edf["a"].to_numpy(np.int64)
+    b = edf["b"].to_numpy(np.int64)
+    if not len(a):
+        return None
+    nodes_s, counts = np.unique(np.concatenate([a, b]), return_counts=True)
+    deg_s = counts.astype(np.int64)
+    da = deg_s[np.searchsorted(nodes_s, a)]
+    db = deg_s[np.searchsorted(nodes_s, b)]
+    a_lo = (da < db) | ((da == db) & (a < b))
+    src = np.where(a_lo, a, b)
+    dst = np.where(a_lo, b, a)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    packed = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
     packed.sort()
-    return ray.put(packed)
+    # slice boundaries balanced by per-group wedge volume C(out-deg, 2)
+    starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+    g_sz = np.diff(np.r_[starts, len(src)])
+    cw = np.cumsum(g_sz * (g_sz - 1) // 2)
+    n_slices = max(1, min(n_slices, len(starts)))
+    targets = np.linspace(0, int(cw[-1]), n_slices + 1)[1:-1]
+    grp_cut = np.unique(np.searchsorted(cw, targets) + 1)
+    grp_cut = grp_cut[grp_cut < len(starts)]
+    bounds = np.r_[0, starts[grp_cut], len(src)].astype(np.int64)
+    return {
+        "nodes": nodes_s,
+        "deg": deg_s,
+        "refs": (ray.put(src), ray.put(dst), ray.put(packed)),
+        "bounds": bounds,
+    }
+
+
+def _close_slices(state, credit: bool) -> rd.Dataset:
+    """Fan the closing probe out over the src-range slices of the
+    broadcast oriented stream. ``credit=False`` → one scalar triangle
+    partial per slice (column ``t``); ``credit=True`` → per-node
+    (node, t) credit partials for the clustering coefficient."""
+    from ..state.grouped import dataset_from_table
+
+    src_ref, dst_ref, packed_ref = state["refs"]
+    bounds = state["bounds"]
+    slices = dataset_from_table(
+        pa.table(
+            {"lo": pa.array(bounds[:-1]), "hi": pa.array(bounds[1:])}
+        ),
+        target_rows=1,
+        max_blocks=len(bounds) - 1,
+    )
+
+    def close(bt: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        src = _ray.get(src_ref)
+        dst = _ray.get(dst_ref)
+        packed = _ray.get(packed_ref)
+        los = bt["lo"].to_numpy(zero_copy_only=False)
+        his = bt["hi"].to_numpy(zero_copy_only=False)
+        n_out, t_out = [], []
+        for lo, hi in zip(los, his):  # ≤ a handful of slice rows per block
+            ws, wa, wb = _pairs_from_sorted(src[lo:hi], dst[lo:hi])
+            if not len(wa):
+                continue
+            m = _closing_mask(packed, wa, wb)
+            if credit:
+                cred = np.concatenate([ws[m], wa[m], wb[m]])
+                u, c = np.unique(cred, return_counts=True)
+                n_out.append(u)
+                t_out.append(c.astype(np.int64))
+            else:
+                t_out.append(np.array([int(m.sum())], np.int64))
+        t = np.concatenate(t_out) if t_out else np.empty(0, np.int64)
+        if credit:
+            n = np.concatenate(n_out) if n_out else np.empty(0, np.int64)
+            return pa.table({"node": pa.array(n, pa.int64()),
+                             "t": pa.array(t, pa.int64())})
+        return pa.table({"t": pa.array(t, pa.int64())})
+
+    return slices.map_batches(close, batch_format="pyarrow")
 
 
 def _closing_mask(es: np.ndarray, wa: np.ndarray, wb: np.ndarray) -> np.ndarray:
@@ -976,38 +1071,39 @@ def triangle_count(edges: rd.Dataset) -> rd.Dataset:
     wedges whose closing edge exists.
 
     Closing check, gated like every small-side in this repo:
-    - ≤ EDGE_BROADCAST_LIMIT and node ids < 2^31: the packed edge set
-      broadcasts once and each wedge bucket emits a SCALAR partial from a
-      vectorized membership probe — no closing shuffle at all (measured
-      19 s → 9.6 s at sf0.1).
-    - larger: wedges combine to (a, b, w) partial counts and meet
-      edge-presence markers in ONE bucketed union-groupby on (a, b) — the
-      shuffle moves partials, not raw wedges. (A Dataset.join here
-      measured ~2× slower at toy scale from hash-join actor startup.)"""
+    - ≤ EDGE_BROADCAST_LIMIT and node ids < 2^31: the edge list is
+      driver-resident anyway (the packed closing array ships via
+      ray.put), so degrees/orientation fold into the same pull
+      (:func:`_driver_graph_state`) and the closing probe fans out over
+      wedge-balanced src slices of the broadcast arrays — no degree
+      aggregate, no oriented map pass, no closing shuffle (measured
+      19 s → 9.6 s → ~4 s at sf0.1).
+    - larger: distributed degrees + orientation; wedges combine to
+      (a, b, w) partial counts and meet edge-presence markers in ONE
+      bucketed union-groupby on (a, b) — the shuffle moves partials, not
+      raw wedges. (A Dataset.join here measured ~2× slower at toy scale
+      from hash-join actor startup.)"""
     from ..state.grouped import bucketed_map_groups, dataset_from_table
 
     edges = edges.materialize()
     n_edges = edges.count()
     parts = join_partitions(rows=n_edges)
-    deg = _tri_degrees(edges, parts)
-    n_nodes = deg.count()
-    oriented, _ = _tri_oriented(edges, deg, n_nodes, parts)
 
-    hi = edges.max("b")  # b > a always, so max node id
+    hi = edges.max("b") if n_edges else None  # b > a always: max node id
     if n_edges <= EDGE_BROADCAST_LIMIT and (hi is None or hi < (1 << 31)):
-        edges_ref = _packed_edge_ref(edges)
-
-        def close_bucket(df: pd.DataFrame, _ref=edges_ref) -> pd.DataFrame:
-            import ray as _ray
-
-            _, wa, wb = _wedge_arrays(df)
-            if not len(wa):
-                return pd.DataFrame({"t": pd.Series([0], dtype="int64")})
-            m = _closing_mask(_ray.get(_ref), wa, wb)
-            return pd.DataFrame({"t": pd.Series([int(m.sum())], dtype="int64")})
-
-        closed = bucketed_map_groups(oriented, ["src"], close_bucket)
+        state = _driver_graph_state(edges, n_slices=2 * parts)
+        if state is None:
+            return dataset_from_table(
+                pa.table({"n_nodes": pa.array([0], pa.int64()),
+                          "n_edges": pa.array([0], pa.int64()),
+                          "n_triangles": pa.array([0], pa.int64())})
+            )
+        n_nodes = len(state["nodes"])
+        closed = _close_slices(state, credit=False)
     else:
+        deg = _tri_degrees(edges, parts)
+        n_nodes = deg.count()
+        oriented, _ = _tri_oriented(edges, deg, n_nodes, parts)
 
         def wedge_partials(df: pd.DataFrame) -> pd.DataFrame:
             """Per src-bucket: COMBINE wedges to (a, b, w) partial counts
@@ -1088,12 +1184,13 @@ def clustering_coefficient(edges: rd.Dataset) -> rd.Dataset:
     Same oriented-wedge machinery as :func:`triangle_count`; the closing
     check keeps the wedge's source vertex so per-node credits can be
     emitted. Paths:
-    - edge set ≤ EDGE_BROADCAST_LIMIT (node ids < 2^31): wedge buckets
-      probe the broadcast packed edge set and emit pre-aggregated
-      (node, t) partials; with the degree table already driver-resident
-      (≤ BROADCAST_NODE_LIMIT is implied — nodes ≤ 2·edges), the partials
-      fold onto the degree arrays driver-side (np.add.at, node-sized) —
-      no closing shuffle, no join.
+    - edge set ≤ EDGE_BROADCAST_LIMIT (node ids < 2^31): degrees and
+      orientation fold into the driver pull the broadcast closing array
+      needs anyway (:func:`_driver_graph_state`); wedge-balanced src
+      slices of the broadcast oriented stream emit pre-aggregated
+      (node, t) credit partials that fold onto the driver-resident degree
+      arrays (np.add.at, node-sized) — no degree aggregate, no closing
+      shuffle, no join.
     - larger: wedges (src, a, b) hash-join the edge set on (a, b), credit
       partials combine per batch, one groupby(node) Sum, then a left
       join back onto the degree table."""
@@ -1102,9 +1199,6 @@ def clustering_coefficient(edges: rd.Dataset) -> rd.Dataset:
     edges = edges.materialize()
     n_edges = edges.count()
     parts = join_partitions(rows=n_edges)
-    deg = _tri_degrees(edges, parts)
-    n_nodes = deg.count()
-    oriented, deg_arrs = _tri_oriented(edges, deg, n_nodes, parts)
 
     def _coeff_table(nodes, degs, tris) -> pa.Table:
         m = degs >= 2
@@ -1119,31 +1213,21 @@ def clustering_coefficient(edges: rd.Dataset) -> rd.Dataset:
             }
         )
 
-    hi = edges.max("b")
-    if (
-        n_edges <= EDGE_BROADCAST_LIMIT
-        and (hi is None or hi < (1 << 31))
-        and deg_arrs is not None
-    ):
-        edges_ref = _packed_edge_ref(edges)
-
-        def credit_bucket(df: pd.DataFrame, _ref=edges_ref) -> pd.DataFrame:
-            import ray as _ray
-
-            ws, wa, wb = _wedge_arrays(df)
-            if not len(wa):
-                return pd.DataFrame({"node": pd.Series(dtype="int64"),
-                                     "t": pd.Series(dtype="int64")})
-            m = _closing_mask(_ray.get(_ref), wa, wb)
-            cred = np.concatenate([ws[m], wa[m], wb[m]])
-            u, c = np.unique(cred, return_counts=True)
-            return pd.DataFrame({"node": u, "t": c.astype(np.int64)})
-
-        nodes_s, deg_s = deg_arrs
+    hi = edges.max("b") if n_edges else None
+    if n_edges <= EDGE_BROADCAST_LIMIT and (hi is None or hi < (1 << 31)):
+        state = _driver_graph_state(edges, n_slices=2 * parts)
+        if state is None:
+            return dataset_from_table(
+                pa.table({"node": pa.array([], pa.int64()),
+                          "deg": pa.array([], pa.int64()),
+                          "n_tri": pa.array([], pa.int64()),
+                          "coeff": pa.array([], pa.float64())})
+            )
+        nodes_s, deg_s = state["nodes"], state["deg"]
         tris = np.zeros(len(nodes_s), np.int64)
-        for b in bucketed_map_groups(
-            oriented, ["src"], credit_bucket
-        ).iter_batches(batch_format="pyarrow"):
+        for b in _close_slices(state, credit=True).iter_batches(
+            batch_format="pyarrow"
+        ):
             if b.num_rows == 0 or "node" not in b.column_names:
                 continue
             idx = np.searchsorted(nodes_s, b["node"].to_numpy(zero_copy_only=False))
@@ -1151,6 +1235,10 @@ def clustering_coefficient(edges: rd.Dataset) -> rd.Dataset:
         return dataset_from_table(_coeff_table(nodes_s, deg_s, tris))
 
     # shuffled path: raw wedges carry their source through the closing join
+    deg = _tri_degrees(edges, parts)
+    n_nodes = deg.count()
+    oriented, _ = _tri_oriented(edges, deg, n_nodes, parts)
+
     def wedge_rows(df: pd.DataFrame) -> pd.DataFrame:
         ws, wa, wb = _wedge_arrays(df)
         return pd.DataFrame({"src_v": ws, "a": wa, "b": wb})
