@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": graph.q_triangle_count,
         "clustering_coefficient": graph.q_clustering_coefficient,
         "copurchase_lift": graph.q_copurchase_lift,
+        "kcore": graph.q_kcore,
     }
 
 
@@ -447,6 +448,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": graph.SQL_TRIANGLE_COUNT,
         "clustering_coefficient": graph.SQL_CLUSTERING_COEFFICIENT,
         "copurchase_lift": graph.SQL_COPURCHASE_LIFT,
+        "kcore": graph.SQL_KCORE,
         # engine-computed P/R vs the sequential oracle must be exactly 1.0
         "kg_pr": (
             "SELECT 'precision' AS metric, 1.0 AS value "

@@ -1322,6 +1322,157 @@ WHERE d.deg >= 2
 
 
 # --------------------------------------------------------------------------
+# k-core decomposition (fixed-k iterative peeling, bounded rounds like BFS)
+# --------------------------------------------------------------------------
+
+KCORE_K = 80  # between min (≈40) and median (≈117) co-purchase degree, so
+# peeling cascades for several rounds yet the core survives at every SF
+KCORE_ROUNDS = 8  # both paths AND the SQL oracle unroll exactly this bound
+
+
+def _in_sorted(sorted_vals: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Membership of ``x`` in a non-empty SORTED array — searchsorted
+    probe, no hash build (the np.isin path) per round."""
+    pos = np.searchsorted(sorted_vals, x)
+    pos[pos >= len(sorted_vals)] = len(sorted_vals) - 1
+    return sorted_vals[pos] == x
+
+
+def kcore(
+    edges: rd.Dataset, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> rd.Dataset:
+    """k-core of a DISTINCT undirected (a < b) edge set, bounded to
+    ``rounds`` peeling rounds: each round deletes every node whose degree
+    in the surviving subgraph is < k, cascading. Returns (node, core_deg)
+    for the nodes surviving all rounds with their in-core degree —
+    converged iff every core_deg ≥ k (k=80 converges in ≤ 6 rounds on the
+    co-purchase fixture at every SF; the oracle unrolls the same bound).
+
+    Paths (same gates as :func:`triangle_count`):
+    - ≤ EDGE_BROADCAST_LIMIT: peeling is a sequential dependence chain of
+      node-sized steps, so with the edge list driver-safe anyway the whole
+      peel runs vectorized on the driver (np.unique degree census +
+      sorted-membership mask per round; ~100 ms for 1.2M edges × 8
+      rounds) — cheaper than 8 cluster barriers.
+    - larger: per-round distributed peel — degree aggregate
+      (:func:`_tri_degrees`) + two hash joins attach (deg_a, deg_b), a
+      vectorized filter keeps edges with both endpoints ≥ k, and the
+      survivors re-materialize as the round checkpoint; early exit when
+      the edge count stops shrinking. Nothing node- or edge-sized reaches
+      the driver."""
+    from ..state.grouped import dataset_from_table
+
+    _empty = pa.table({"node": pa.array([], pa.int64()),
+                       "core_deg": pa.array([], pa.int64())})
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(_empty)
+    parts = join_partitions(rows=n_edges)
+
+    if n_edges <= EDGE_BROADCAST_LIMIT:
+        edf = edges.to_pandas()
+        a = edf["a"].to_numpy(np.int64)
+        b = edf["b"].to_numpy(np.int64)
+        for _ in range(rounds):
+            nodes, cnt = np.unique(np.concatenate([a, b]), return_counts=True)
+            bad = nodes[cnt < k]
+            if not len(bad):
+                break
+            keep = ~(_in_sorted(bad, a) | _in_sorted(bad, b))
+            a, b = a[keep], b[keep]
+        if not len(a):
+            return rd.from_arrow(_empty)
+        nodes, cnt = np.unique(np.concatenate([a, b]), return_counts=True)
+        return dataset_from_table(
+            pa.table({"node": pa.array(nodes, pa.int64()),
+                      "core_deg": pa.array(cnt.astype(np.int64), pa.int64())})
+        )
+
+    def key_a(bt: pa.Table) -> pa.Table:
+        if bt.num_columns == 0:
+            return bt
+        return pa.table({"a": bt["node"], "deg_a": bt["deg"]})
+
+    def key_b(bt: pa.Table) -> pa.Table:
+        if bt.num_columns == 0:
+            return bt
+        return pa.table({"b": bt["node"], "deg_b": bt["deg"]})
+
+    def keep_ge_k(bt: pa.Table) -> pa.Table:
+        if bt.num_rows == 0 or "a" not in bt.column_names:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        m = pc.and_(pc.greater_equal(bt["deg_a"], pa.scalar(k)),
+                    pc.greater_equal(bt["deg_b"], pa.scalar(k)))
+        return bt.filter(m).select(["a", "b"])
+
+    cur, prev = edges, n_edges
+    for _ in range(rounds):
+        deg = _tri_degrees(cur, parts)
+        cur = (
+            cur.join(deg.map_batches(key_a, batch_format="pyarrow"),
+                     join_type="inner", num_partitions=parts, on=("a",))
+            .join(deg.map_batches(key_b, batch_format="pyarrow"),
+                  join_type="inner", num_partitions=parts, on=("b",))
+            .map_batches(keep_ge_k, batch_format="pyarrow")
+            .materialize()
+        )
+        n_now = cur.count()
+        if n_now == prev:
+            break
+        prev = n_now
+    if cur.count() == 0:
+        return rd.from_arrow(_empty)
+    return _tri_degrees(cur, parts).map_batches(
+        lambda bt: pa.table({"node": bt["node"], "core_deg": bt["deg"]})
+        if bt.num_rows else _empty,
+        batch_format="pyarrow",
+    )
+
+
+def q_kcore(sf_dir: str):
+    """(node, core_deg) of the KCORE_K-core of the co-purchase graph."""
+    return kcore(co_purchase_edges(sf_dir))
+
+
+def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    """Exact DuckDB restatement: the same bounded peel, unrolled — round i
+    keeps edges whose endpoints both have degree ≥ k in e_{i-1}. Every
+    round CTE is MATERIALIZED: each e_i is referenced three times by
+    round i+1, so default inlining re-plans the whole prefix 3^rounds
+    times (observed as a too-many-open-files parquet re-scan storm)."""
+    sql = """WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+d{i - 1} AS MATERIALIZED (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM e{i - 1} UNION ALL SELECT b FROM e{i - 1}
+  ) GROUP BY v
+),
+e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i - 1} e
+  JOIN d{i - 1} da ON da.v = e.a AND da.d >= {k}
+  JOIN d{i - 1} db ON db.v = e.b AND db.d >= {k}
+)"""
+    sql += f""",
+dfin AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
+  ) GROUP BY v
+)
+SELECT v AS node, CAST(d AS BIGINT) AS core_deg FROM dfin"""
+    return sql
+
+
+SQL_KCORE = _kcore_sql()
+
+
+# --------------------------------------------------------------------------
 # co-purchase association lift (market-basket mining over the same
 # order→part projection that feeds the triangle family)
 # --------------------------------------------------------------------------

@@ -345,3 +345,73 @@ class TestClusteringCoefficient:
         got = graph.clustering_coefficient(_und_edges_ds(self.PAIRS)).to_pandas()
         got = got.sort_values("node").reset_index(drop=True)
         assert got.equals(want)
+
+
+class TestKCore:
+    def test_clique_plus_pendant_chain(self, ray_session):
+        """K5 with a pendant path: k=4 peels the path (cascading through
+        its joint) and keeps exactly the clique at degree 4."""
+        k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+        chain = [(4, 10), (10, 11), (11, 12)]
+        df = (
+            graph.kcore(_und_edges_ds(k5 + chain), k=4)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        assert df["node"].tolist() == [0, 1, 2, 3, 4]
+        assert df["core_deg"].tolist() == [4] * 5
+
+    def test_full_collapse_returns_empty(self, ray_session):
+        star = [(0, k) for k in range(1, 6)]
+        df = graph.kcore(_und_edges_ds(star), k=2).to_pandas()
+        assert len(df) == 0
+
+    def test_matches_sequential_peel(self, ray_session):
+        import random
+
+        rng = random.Random(11)
+        nodes = list(range(40))
+        pairs = sorted(
+            {tuple(sorted(rng.sample(nodes, 2))) for _ in range(200)}
+        )
+        want = {}
+        cur = set(pairs)
+        for _ in range(graph.KCORE_ROUNDS):
+            deg: dict[int, int] = {}
+            for a, b in cur:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            bad = {v for v, d in deg.items() if d < 5}
+            if not bad:
+                break
+            cur = {(a, b) for a, b in cur if a not in bad and b not in bad}
+        for a, b in cur:
+            want[a] = want.get(a, 0) + 1
+            want[b] = want.get(b, 0) + 1
+        df = graph.kcore(_und_edges_ds(pairs), k=5).to_pandas()
+        got = dict(zip(df["node"], df["core_deg"]))
+        assert got == want
+
+    def test_shuffle_path_agrees(self, ray_session, monkeypatch):
+        import random
+
+        rng = random.Random(12)
+        nodes = list(range(30))
+        pairs = sorted(
+            {tuple(sorted(rng.sample(nodes, 2))) for _ in range(150)}
+        )
+        want = (
+            graph.kcore(_und_edges_ds(pairs), k=6)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        monkeypatch.setattr(graph, "EDGE_BROADCAST_LIMIT", 0)
+        got = (
+            graph.kcore(_und_edges_ds(pairs), k=6)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        assert got.equals(want)
