@@ -367,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coefficient": graph.q_clustering_coefficient,
         "copurchase_lift": graph.q_copurchase_lift,
         "kcore": graph.q_kcore,
+        "hits": graph.q_hits,
     }
 
 
@@ -449,6 +450,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coefficient": graph.SQL_CLUSTERING_COEFFICIENT,
         "copurchase_lift": graph.SQL_COPURCHASE_LIFT,
         "kcore": graph.SQL_KCORE,
+        "hits": graph.SQL_HITS,
         # engine-computed P/R vs the sequential oracle must be exactly 1.0
         "kg_pr": (
             "SELECT 'precision' AS metric, 1.0 AS value "

@@ -1473,6 +1473,239 @@ SQL_KCORE = _kcore_sql()
 
 
 # --------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg) over the directed bipartite graph
+# --------------------------------------------------------------------------
+
+HITS_ITERS = 5
+
+
+def hits(edges: rd.Dataset, iters: int = HITS_ITERS) -> rd.Dataset:
+    """HITS over a DISTINCT directed (src:int64, dst:int64) edge set:
+    ``iters`` synchronous rounds of a ← Aᵀh, L2-normalize, h ← Aa,
+    L2-normalize, from h ≡ 1. Returns (node, hub_n, auth_n) scaled by the
+    node count N (same 6-decimal-sensitivity trick as pagerank's rank_n:
+    normalized scores shrink as 1/√N, so the raw values would vanish
+    under the oracle gate's float rounding on big graphs).
+
+    Same two gated paths as :func:`pagerank` (pinned equal by test):
+    - nodes ≤ BROADCAST_NODE_LIMIT: score arrays ride ``ray.put`` blobs;
+      each half-round is ONE edge scan with per-batch grouped partials
+      folded on the driver, and the L2 norm is a driver scalar.
+    - larger: fully shuffled — per half-round one hash join (scores onto
+      the edge stream) + one groupby-Sum, the squared-norm as a
+      distributed scalar aggregate, state re-materialized per round.
+    """
+    import ray
+
+    _empty = pa.table({"node": pa.array([], pa.int64()),
+                       "hub_n": pa.array([], pa.float64()),
+                       "auth_n": pa.array([], pa.float64())})
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(_empty)
+
+    if n_edges <= META_FOLD_EDGE_LIMIT:
+        nodes, _ = _node_meta_fold(edges)
+    else:
+        meta = node_meta(edges).materialize()
+        if meta.count() > BROADCAST_NODE_LIMIT:
+            return _hits_shuffle(edges, meta, iters)
+        mdf = meta.to_pandas()
+        nodes = np.sort(mdf["node"].to_numpy(np.int64))
+
+    from ..state.grouped import dataset_from_table
+
+    nodes_ref = ray.put(nodes)
+
+    def fold_pass(w: np.ndarray, key_from: str, key_to: str) -> np.ndarray:
+        """One edge scan: Σ w[from] grouped by to, folded driver-side."""
+        w_ref = ray.put(w)
+
+        def contrib(b: pa.Table, _nref=nodes_ref, _wref=w_ref,
+                    _f=key_from, _t=key_to) -> pa.Table:
+            lut_nodes = ray.get(_nref)
+            lut_w = ray.get(_wref)
+            idx = np.searchsorted(lut_nodes, b[_f].to_numpy(zero_copy_only=False))
+            t = pa.table(
+                {"node": b[_t], "w": pa.array(lut_w[idx], pa.float64())}
+            )
+            return t.group_by("node").aggregate([("w", "sum")])
+
+        s = np.zeros(len(nodes))
+        for part in edges.map_batches(
+            contrib, batch_format="pyarrow", batch_size=262144
+        ).iter_batches(batch_format="pyarrow"):
+            if part.num_rows == 0 or "node" not in part.column_names:
+                continue
+            idx = np.searchsorted(nodes, part["node"].to_numpy(zero_copy_only=False))
+            np.add.at(s, idx, part["w_sum"].to_numpy(zero_copy_only=False))
+        return s
+
+    h = np.ones(len(nodes))
+    a = np.zeros(len(nodes))
+    for _ in range(iters):
+        a = fold_pass(h, "src", "dst")
+        za = float(np.sqrt((a * a).sum()))
+        a = a / za if za > 0 else a
+        h = fold_pass(a, "dst", "src")
+        zh = float(np.sqrt((h * h).sum()))
+        h = h / zh if zh > 0 else h
+
+    n = float(len(nodes))
+    return dataset_from_table(
+        pa.table({"node": pa.array(nodes), "hub_n": pa.array(h * n),
+                  "auth_n": pa.array(a * n)})
+    )
+
+
+def _hits_shuffle(edges: rd.Dataset, meta: rd.Dataset, iters: int) -> rd.Dataset:
+    """Fully shuffled HITS for > BROADCAST_NODE_LIMIT node tables: state is
+    a distributed (node, h, a) Dataset; each half-round is one hash join +
+    one groupby-Sum, the L2 norm a distributed scalar aggregate."""
+    from ray.data.aggregate import Sum
+
+    parts = join_partitions(rows=edges.count())
+    n = float(meta.count())
+
+    state = meta.map_batches(
+        lambda b: pa.table(
+            {"node": b["node"],
+             "h": pa.array(np.ones(b.num_rows)),
+             "a": pa.array(np.zeros(b.num_rows))}
+        ) if b.num_rows else pa.table(
+            {"node": pa.array([], pa.int64()),
+             "h": pa.array([], pa.float64()),
+             "a": pa.array([], pa.float64())}
+        ),
+        batch_format="pyarrow", batch_size=262144,
+    ).materialize()
+
+    def half_round(score_col: str, key_from: str, key_to: str,
+                   out_col: str, st: rd.Dataset) -> rd.Dataset:
+        msgs = (
+            edges.join(
+                st.map_batches(
+                    lambda b, _c=score_col: pa.table(
+                        {key_from: b["node"], "w": b[_c]}
+                    ) if b.num_rows else pa.table(
+                        {key_from: pa.array([], pa.int64()),
+                         "w": pa.array([], pa.float64())}
+                    ),
+                    batch_format="pyarrow", batch_size=262144,
+                ),
+                join_type="inner", num_partitions=parts, on=(key_from,),
+            )
+            .map_batches(
+                lambda b: pa.table({"node": b[key_to], "w": b["w"]})
+                if b.num_rows and key_to in b.column_names
+                else pa.table({"node": pa.array([], pa.int64()),
+                               "w": pa.array([], pa.float64())}),
+                batch_format="pyarrow", batch_size=262144,
+            )
+            .groupby("node", num_partitions=parts)
+            .aggregate(Sum("w", alias_name="w"))
+            .materialize()
+        )
+        z = float(
+            msgs.map_batches(
+                lambda b: pa.table({"q": pc.multiply(b["w"], b["w"])})
+                if b.num_rows else pa.table({"q": pa.array([], pa.float64())}),
+                batch_format="pyarrow", batch_size=262144,
+            ).sum("q")
+            or 0.0
+        ) ** 0.5
+        merged = st.join(
+            msgs, join_type="left_outer", num_partitions=parts, on=("node",)
+        )
+
+        def apply(b: pa.Table, _z=z, _o=out_col) -> pa.Table:
+            if b.num_rows == 0 or "node" not in b.column_names:
+                return pa.table(
+                    {"node": pa.array([], pa.int64()),
+                     "h": pa.array([], pa.float64()),
+                     "a": pa.array([], pa.float64())}
+                )
+            w = np.nan_to_num(b["w"].to_numpy(zero_copy_only=False).astype(np.float64))
+            vals = w / _z if _z > 0 else w
+            cols = {"node": b["node"], "h": b["h"], "a": b["a"]}
+            cols[_o] = pa.array(vals)
+            return pa.table(cols)
+
+        return merged.map_batches(
+            apply, batch_format="pyarrow", batch_size=262144
+        ).materialize()
+
+    for _ in range(iters):
+        state = half_round("h", "src", "dst", "a", state)
+        state = half_round("a", "dst", "src", "h", state)
+
+    return state.map_batches(
+        lambda b: pa.table(
+            {"node": b["node"],
+             "hub_n": pc.multiply(b["h"], pa.scalar(n)),
+             "auth_n": pc.multiply(b["a"], pa.scalar(n))}
+        ) if b.num_rows and "node" in b.column_names
+        else pa.table({"node": pa.array([], pa.int64()),
+                       "hub_n": pa.array([], pa.float64()),
+                       "auth_n": pa.array([], pa.float64())}),
+        batch_format="pyarrow", batch_size=262144,
+    )
+
+
+def q_hits(sf_dir: str):
+    """(node, hub_n, auth_n) over the order→part bipartite graph: orders
+    are the hubs, parts the authorities (each side's opposite score decays
+    to 0 after round one — bipartite HITS is the co-purchase popularity
+    eigenvector pair)."""
+    return hits(_bipartite_edges(sf_dir))
+
+
+def _hits_sql(iters: int = HITS_ITERS) -> str:
+    """Exact DuckDB restatement: unrolled a/h rounds with MATERIALIZED
+    CTEs (each state is referenced twice per round — default inlining
+    would re-plan the prefix 2^rounds times)."""
+    sql = f"""WITH edges AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS src, l_partkey + {PART_OFFSET} AS dst FROM lineitem
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM nodes),
+h0 AS MATERIALIZED (SELECT node, 1.0 AS s FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+ar{i} AS MATERIALIZED (
+  SELECT n.node, coalesce(m.s, 0) AS s
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(h.s) AS s
+    FROM edges e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst
+  ) m ON n.node = m.node
+),
+a{i} AS MATERIALIZED (
+  SELECT node, CASE WHEN z.z > 0 THEN s / z.z ELSE s END AS s
+  FROM ar{i}, (SELECT sqrt(SUM(s * s)) AS z FROM ar{i}) z
+),
+hr{i} AS MATERIALIZED (
+  SELECT n.node, coalesce(m.s, 0) AS s
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS node, SUM(a.s) AS s
+    FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+  ) m ON n.node = m.node
+),
+h{i} AS MATERIALIZED (
+  SELECT node, CASE WHEN z.z > 0 THEN s / z.z ELSE s END AS s
+  FROM hr{i}, (SELECT sqrt(SUM(s * s)) AS z FROM hr{i}) z
+)"""
+    sql += f"""
+SELECT h.node, h.s * (SELECT c FROM nn) AS hub_n,
+       a.s * (SELECT c FROM nn) AS auth_n
+FROM h{iters} h JOIN a{iters} a USING (node)"""
+    return sql
+
+
+SQL_HITS = _hits_sql()
+
+
+# --------------------------------------------------------------------------
 # co-purchase association lift (market-basket mining over the same
 # order→part projection that feeds the triangle family)
 # --------------------------------------------------------------------------

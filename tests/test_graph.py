@@ -415,3 +415,69 @@ class TestKCore:
             .reset_index(drop=True)
         )
         assert got.equals(want)
+
+
+def _dir_edges_ds(pairs: list[tuple[int, int]]) -> rd.Dataset:
+    return rd.from_arrow(
+        pa.table(
+            {"src": pa.array([p[0] for p in pairs], pa.int64()),
+             "dst": pa.array([p[1] for p in pairs], pa.int64())}
+        )
+    )
+
+
+class TestHits:
+    EDGES = [(1, 10), (1, 11), (2, 10), (2, 12), (3, 11), (3, 12), (3, 13),
+             (4, 13), (5, 10), (5, 13)]
+
+    @staticmethod
+    def _seq_hits(pairs, iters=graph.HITS_ITERS):
+        import numpy as np
+
+        nodes = sorted({v for p in pairs for v in p})
+        pos = {v: i for i, v in enumerate(nodes)}
+        h = np.ones(len(nodes))
+        a = np.zeros(len(nodes))
+        for _ in range(iters):
+            a[:] = 0.0
+            for s, d in pairs:
+                a[pos[d]] += h[pos[s]]
+            z = np.sqrt((a * a).sum())
+            if z > 0:
+                a /= z
+            h[:] = 0.0
+            for s, d in pairs:
+                h[pos[s]] += a[pos[d]]
+            z = np.sqrt((h * h).sum())
+            if z > 0:
+                h /= z
+        n = float(len(nodes))
+        return {v: (h[pos[v]] * n, a[pos[v]] * n) for v in nodes}
+
+    def test_matches_sequential(self, ray_session):
+        want = self._seq_hits(self.EDGES)
+        df = graph.hits(_dir_edges_ds(self.EDGES)).to_pandas()
+        assert len(df) == len(want)
+        for _, r in df.iterrows():
+            wh, wa = want[int(r["node"])]
+            assert abs(r["hub_n"] - wh) < 1e-9
+            assert abs(r["auth_n"] - wa) < 1e-9
+
+    def test_shuffle_path_agrees(self, ray_session, monkeypatch):
+        want = (
+            graph.hits(_dir_edges_ds(self.EDGES))
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        monkeypatch.setattr(graph, "META_FOLD_EDGE_LIMIT", 0)
+        monkeypatch.setattr(graph, "BROADCAST_NODE_LIMIT", 0)
+        got = (
+            graph.hits(_dir_edges_ds(self.EDGES))
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        assert got["node"].tolist() == want["node"].tolist()
+        assert np.allclose(got["hub_n"], want["hub_n"], atol=1e-9)
+        assert np.allclose(got["auth_n"], want["auth_n"], atol=1e-9)
+
+    def test_empty_edges(self, ray_session):
+        df = graph.hits(_dir_edges_ds([])).to_pandas()
+        assert len(df) == 0
