@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": textops.q_repetition_stats,
         "train_val_split": textops.q_train_val_split,
         "stratified_sample": textops.q_stratified_sample,
+        "quota_sample": textops.q_quota_sample,
         "vocab_top50": textops.q_vocab_top50,
         "neardup_clusters": textops.q_neardup_clusters,
         "doc_chunks": textops.q_doc_chunks,
@@ -419,6 +420,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": textops.SQL_REPETITION_STATS,
         "train_val_split": textops.SQL_TRAIN_VAL_SPLIT,
         "stratified_sample": textops.SQL_STRATIFIED_SAMPLE,
+        "quota_sample": textops.SQL_QUOTA_SAMPLE,
         "vocab_top50": textops.SQL_VOCAB_TOP50,
         "doc_chunks": textops.SQL_DOC_CHUNKS,
         "bpeish_tokens": textops.SQL_BPEISH_TOKENS,

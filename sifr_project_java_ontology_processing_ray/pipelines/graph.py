@@ -1325,8 +1325,11 @@ WHERE d.deg >= 2
 # k-core decomposition (fixed-k iterative peeling, bounded rounds like BFS)
 # --------------------------------------------------------------------------
 
-KCORE_K = 80  # between min (≈40) and median (≈117) co-purchase degree, so
-# peeling cascades for several rounds yet the core survives at every SF
+KCORE_K = 65  # between min (≈40-49) and median (≈89-117) co-purchase
+# degree, so peeling is non-vacuous yet the core survives at EVERY test SF
+# (k=70+ collapses sf0.001's 200-node graph entirely, and an empty oracled
+# result trips Ray's empty-Dataset.to_pandas() zero-column quirk in the
+# driver's schema compare)
 KCORE_ROUNDS = 8  # both paths AND the SQL oracle unroll exactly this bound
 
 
@@ -1345,8 +1348,9 @@ def kcore(
     ``rounds`` peeling rounds: each round deletes every node whose degree
     in the surviving subgraph is < k, cascading. Returns (node, core_deg)
     for the nodes surviving all rounds with their in-core degree —
-    converged iff every core_deg ≥ k (k=80 converges in ≤ 6 rounds on the
-    co-purchase fixture at every SF; the oracle unrolls the same bound).
+    converged iff every core_deg ≥ k (KCORE_K converges in ≤ 6 rounds on
+    the co-purchase fixture at every SF; the oracle unrolls the same
+    bound).
 
     Paths (same gates as :func:`triangle_count`):
     - ≤ EDGE_BROADCAST_LIMIT: peeling is a sequential dependence chain of

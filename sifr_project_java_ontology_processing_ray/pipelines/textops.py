@@ -344,6 +344,64 @@ FROM documents GROUP BY source
 
 
 # --------------------------------------------------------------------------
+# exact-quota sampling: distributed per-group top-n by seeded hash rank
+# --------------------------------------------------------------------------
+
+QUOTA_N = 7
+
+
+def q_quota_sample(sf_dir: str):
+    """EXACTLY ``QUOTA_N`` docs per source, selected by seeded-hash rank —
+    the data-mixing primitive when the recipe specifies absolute per-domain
+    document counts (rate sampling, ``q_stratified_sample``, can't hit an
+    exact quota). Selection order is md5('q|'||doc_id) with doc_id as the
+    tiebreak, so the sample is reproducible across runs, cluster layouts
+    and block splits.
+
+    Shape — distributed per-group top-k with a combiner: each batch keeps
+    only its LOCAL n-smallest per source (candidate volume ≤ n × blocks,
+    independent of corpus size), then one dictionary-bounded bucketed
+    group picks the global n per source. Returns (source, doc_id, rk)."""
+    from ..state.grouped import bucketed_map_groups
+
+    def local_topn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        keys = [hashlib.md5(f"q|{i}".encode()).hexdigest() for i in ids]
+        df = pd.DataFrame(
+            {"source": batch["source"].to_pylist(), "doc_id": ids, "k": keys}
+        )
+        return pa.Table.from_pandas(
+            df.sort_values(["k", "doc_id"])
+            .groupby("source", sort=False)
+            .head(QUOTA_N),
+            preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    def global_topn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["k", "doc_id"]).groupby("source", sort=False).head(QUOTA_N)
+        df["rk"] = df.groupby("source", sort=False).cumcount() + 1
+        return df[["source", "doc_id", "rk"]]
+
+    return bucketed_map_groups(
+        pio.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "source"])
+        .map_batches(local_topn, batch_format="pyarrow"),
+        ["source"],
+        global_topn,
+    )
+
+
+SQL_QUOTA_SAMPLE = f"""
+SELECT source, doc_id, rk FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source ORDER BY md5('q|' || doc_id), doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= {QUOTA_N}
+"""
+
+
+# --------------------------------------------------------------------------
 # vocabulary build: token explode → partial counts → global top-k
 # --------------------------------------------------------------------------
 

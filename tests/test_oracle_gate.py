@@ -72,6 +72,10 @@ SUBSET = [
     "graph_components",
     "jsonl_token_stats",
     "degree_distribution",
+    # session-6 additions
+    "kcore",
+    "hits",
+    "quota_sample",
 ]
 
 
