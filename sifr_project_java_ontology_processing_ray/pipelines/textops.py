@@ -1682,53 +1682,46 @@ def q_duplicate_spans(sf_dir: str):
 
     Shape: docs → vectorized whole-batch window hashing
     (``_doc_selected_fps``: one pass over each block's contiguous utf-8
-    buffer) → groupby(fp) count → hot-fp set (fps in >1 doc) hash-joined
-    back to the (doc_id, fp) stream → groupby(doc_id) counts. Scale: the
-    (doc_id, fp) stream is ~len(text)/64 rows/doc, the join is
-    fp-partitioned (no skew: fps are uniform hashes), and nothing
-    node-sized reaches the driver. The fp stream is materialized once
-    because it feeds both the frequency groupby and the join probe."""
-    from ray.data.aggregate import Count, Max
-
-    from ..state.partitions import join_partitions
+    buffer) → ONE bucketed shuffle on fp whose bucket callback holds every
+    row of each fp, so the shared flag AND the per-doc partial counts
+    (n_sel_p, n_shared_p) come out of the same vectorized pass → one
+    bucketed doc_id shuffle of the doc-sized partials sums and applies the
+    ≥half filter in-bucket. Scale: the (doc_id, fp) stream is
+    ~len(text)/64 rows/doc, fp buckets are skew-free (uniform hashes), and
+    nothing corpus-sized reaches the driver. (This replaced a
+    materialize + groupby(fp) + hash join + groupby(doc) plan — the join
+    actor fleet and the second full-stream sort shuffle were pure fixed
+    cost; equal wall time on a contended host, two fewer all-to-all ops
+    and no materialize of the fp stream.)"""
+    from ..state.grouped import bucketed_map_groups
 
     fps = (
         pio.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
         .map_batches(_doc_selected_fps, batch_format="pyarrow")
-        .materialize()
-    )
-    hot = (
-        fps.groupby("fp")
-        .aggregate(Count(alias_name="n_docs"))
-        .map_batches(
-            lambda b: b.filter(pc.greater(b["n_docs"], 1)).select(["fp"])
-            if b.num_columns
-            else b,
-            batch_format="pyarrow",
-        )
-    )
-    per_doc = (
-        fps.join(
-            hot,
-            join_type="inner",
-            num_partitions=join_partitions(rows=fps.count()),
-            on=("fp",),
-        )
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="n_shared"), Max("n_sel", alias_name="n_sel"))
+        .map_batches(lambda b: b.select(["doc_id", "fp"]), batch_format="pyarrow")
     )
 
-    def flag(b: pa.Table) -> pa.Table:
-        if not b.num_columns:
-            return b
-        b = b.filter(
-            pc.greater_equal(
-                pc.multiply(b["n_shared"], pa.scalar(2, pa.int64())), b["n_sel"]
-            )
+    def fp_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        sh = (df.groupby("fp", sort=False)["fp"].transform("size") > 1).to_numpy()
+        return (
+            df.assign(sh=sh.astype(np.int64))
+            .groupby("doc_id", sort=False)
+            .agg(n_sel_p=("fp", "size"), n_shared_p=("sh", "sum"))
+            .reset_index()
         )
-        return b.select(["doc_id", "n_sel", "n_shared"])
 
-    return per_doc.map_batches(flag, batch_format="pyarrow")
+    def doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("doc_id", sort=False)
+            .agg(n_sel=("n_sel_p", "sum"), n_shared=("n_shared_p", "sum"))
+            .reset_index()
+        )
+        g = g[2 * g["n_shared"] >= g["n_sel"]]
+        return g[["doc_id", "n_sel", "n_shared"]]
+
+    return bucketed_map_groups(
+        bucketed_map_groups(fps, ["fp"], fp_bucket), ["doc_id"], doc_bucket
+    )
 
 
 SQL_DUPLICATE_SPANS = _sql_fps_cte() + """,
