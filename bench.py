@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "triangle_count",
     "duplicate_spans",
     "snapshot_delta",
+    "kcore",
+    "hits",
+    "quota_sample",
 ]
 
 
