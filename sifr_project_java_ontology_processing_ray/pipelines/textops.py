@@ -465,6 +465,91 @@ GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
 
 
 # --------------------------------------------------------------------------
+# BPE merge learning (tokenizer training over the corpus's word counts)
+# --------------------------------------------------------------------------
+
+BPE_ROUNDS = 12
+BPE_VOCAB_CAP = 50_000
+
+
+def q_bpe_merges(sf_dir: str, rounds: int = BPE_ROUNDS, cap: int = BPE_VOCAB_CAP):
+    """(rk, left, right, merged, n) — the first ``rounds`` byte-pair-
+    encoding merges learned from the corpus (Sennrich et al. 2016, public
+    algorithm): per round, merge the adjacent symbol pair with the highest
+    frequency-weighted count (overlapping pairs counted, merges applied
+    left-to-right non-overlapping), ties broken lexicographically.
+    Word-internal merges over the engine's shared whitespace+lowercase
+    tokenization, no end-of-word marker.
+
+    Distribution: the corpus-sized work — the unigram word census — is
+    the same per-batch Counter combiner + small groupby as the vocab/LM
+    queries, and a DISTRIBUTED sort+limit caps the learning table at
+    ``cap`` words (standard practice: BPE learns from a word-frequency
+    table, which the cap bounds; the driver never sees the distinct-word
+    set). The merge loop itself then runs on the driver over the capped
+    (word, n) rows — per round O(Σ|word|) symbols, cap-bounded and
+    corpus-size independent. Deterministic given the (count desc, token
+    asc) sort; exact vs the pure-python sequential oracle in tests
+    (left-to-right non-overlapping merge application has no SQL
+    restatement, so this is a rows-only gate entry)."""
+    import collections
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        pio.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+        .map_batches(_token_count_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("p_cnt", alias_name="n"))
+    )
+    vocab = (
+        counts.sort(["n", "token"], descending=[True, False])
+        .limit(cap)
+        .to_pandas()
+    )
+    words = [
+        (tuple(t), int(n))
+        for t, n in zip(vocab["token"], vocab["n"])
+        if len(t) >= 2
+    ]
+    out = []
+    for rk in range(1, rounds + 1):
+        pair_n: collections.Counter = collections.Counter()
+        for sym, n in words:
+            for i in range(len(sym) - 1):
+                pair_n[(sym[i], sym[i + 1])] += n
+        if not pair_n:
+            break
+        (left, right), n_best = min(
+            pair_n.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merged = left + right
+        out.append((rk, left, right, merged, n_best))
+        new_words = []
+        for sym, n in words:
+            if len(sym) >= 2:
+                res = []
+                i = 0
+                while i < len(sym):
+                    if (
+                        i < len(sym) - 1
+                        and sym[i] == left
+                        and sym[i + 1] == right
+                    ):
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(sym[i])
+                        i += 1
+                sym = tuple(res)
+            new_words.append((sym, n))
+        words = new_words
+    return pd.DataFrame(
+        out, columns=["rk", "left", "right", "merged", "n"]
+    ).astype({"rk": "int64", "n": "int64"})
+
+
+# --------------------------------------------------------------------------
 # unigram LM quality scoring (CCNet-style: mean token log-probability)
 # --------------------------------------------------------------------------
 

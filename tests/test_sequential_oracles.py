@@ -178,3 +178,42 @@ def test_unigram_lm_score_matches_sequential(ray_session, sf_small, docs):
         merged = got.merge(want, on="doc_id", suffixes=("_got", "_want"))
         assert len(merged) == len(want) == len(got)
         assert (merged["lm_score_got"] - merged["lm_score_want"]).abs().max() < 1e-9
+
+
+def test_bpe_merges_match_sequential(ray_session, sf_small, docs):
+    """Pure-python BPE (Sennrich get_stats/merge semantics) over the same
+    corpus: word counts via Counter, overlapping pair counts, left-to-right
+    non-overlapping merge application, (count desc, pair asc) selection."""
+    import collections
+
+    wc: collections.Counter = collections.Counter()
+    for t in docs["text"]:
+        wc.update((t or "").lower().split())
+    words = [(tuple(w), n) for w, n in wc.items() if len(w) >= 2]
+    want_rows = []
+    for rk in range(1, textops.BPE_ROUNDS + 1):
+        pair_n: collections.Counter = collections.Counter()
+        for sym, n in words:
+            for i in range(len(sym) - 1):
+                pair_n[(sym[i], sym[i + 1])] += n
+        if not pair_n:
+            break
+        (left, right), n_best = min(pair_n.items(), key=lambda kv: (-kv[1], kv[0]))
+        want_rows.append((rk, left, right, left + right, n_best))
+        nw = []
+        for sym, n in words:
+            res, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == left and sym[i + 1] == right:
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(sym[i])
+                    i += 1
+            nw.append((tuple(res), n))
+        words = nw
+    want = pd.DataFrame(
+        want_rows, columns=["rk", "left", "right", "merged", "n"]
+    ).astype({"rk": "int64", "n": "int64"})
+    got = _to_df(textops.q_bpe_merges(sf_small)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
