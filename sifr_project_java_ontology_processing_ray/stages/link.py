@@ -15,6 +15,7 @@ the mention context as a tie-breaking secondary component.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -290,20 +291,26 @@ class MentionLinker:
                 for t, h in zip(texts, batch["html"].to_pylist())
             ]
         sc = self.scorer
-        o_url, o_ts, o_surface, o_pos = [], [], [], []
-        o_cui, o_term, o_score, o_next, o_prev = [], [], [], [], []
-        for url, ts, text in zip(
-            batch["url"].to_pylist(),
-            batch["warc_ts"].to_pylist(),
-            texts,
-        ):
+        trie, match = self.trie, self.match
+        diag = self.emit_diagnostics
+        # the emission loop appends ONLY the per-mention essentials
+        # (surface, position, cui [, diagnostics]); url/warc_ts repeat
+        # per page and come from one vectorized arrow take afterwards,
+        # and the page-local successor/predecessor pointers are plain
+        # list shifts with page-boundary fixups — this halved the loop's
+        # python-append volume (profiled: ~0.9M list appends per
+        # 2000-page batch were ~40% of __call__ self-time)
+        o_surface, o_pos, o_cui = [], [], []
+        o_term, o_score = [], []
+        page_rows: list[int] = []  # batch row index of each emitting page
+        page_cnts: list[int] = []  # its mention count
+        for row_i, text in enumerate(texts):
             if not text:
                 continue
             toks = tokenize(text)
             n = len(toks)
             i = 0
-            first_of_page = len(o_url)
-            trie, match = self.trie, self.match
+            start = len(o_surface)
             while i < n:
                 matched = match(trie, toks, i)
                 if not matched:
@@ -325,28 +332,35 @@ class MentionLinker:
                         total = s + sc._ctx_score(c, t_, ctx)
                         if total > score:
                             cui, term, score = c, t_, total
-                if len(o_url) > first_of_page:
-                    o_next[-1] = surface  # successor pointer (page-local)
-                    o_prev.append(o_surface[-1])  # predecessor pointer
-                else:
-                    o_prev.append(None)
-                o_url.append(url)
-                o_ts.append(ts)
                 o_surface.append(surface)
                 o_pos.append(i)
                 o_cui.append(cui)
-                o_term.append(term)
-                o_score.append(score)
-                o_next.append(None)
+                if diag:
+                    o_term.append(term)
+                    o_score.append(score)
                 i += L
+            cnt = len(o_surface) - start
+            if cnt:
+                page_rows.append(row_i)
+                page_cnts.append(cnt)
+        reps = np.asarray(page_cnts, np.int64)
+        take_idx = pa.array(np.repeat(np.asarray(page_rows, np.int64), reps))
+        o_next = o_surface[1:] + [None] if o_surface else []
+        o_prev = [None] + o_surface[:-1] if o_surface else []
+        if len(reps):
+            ends = np.cumsum(reps)
+            for e in ends:
+                o_next[e - 1] = None
+            for s_ in (ends - reps):
+                o_prev[s_] = None
         cols = {
-            "url": pa.array(o_url, pa.string()),
-            "warc_ts": pa.array(o_ts, pa.timestamp("us")),
+            "url": pc.take(batch["url"], take_idx),
+            "warc_ts": pc.take(batch["warc_ts"], take_idx),
             "surface": pa.array(o_surface, pa.string()),
             "position": pa.array(o_pos, pa.int32()),
             "cui": pa.array(o_cui, pa.string()),
         }
-        if self.emit_diagnostics:
+        if diag:
             cols["term"] = pa.array(o_term, pa.string())
             cols["score"] = pa.array(o_score, pa.float64())
         cols["next_surface"] = pa.array(o_next, pa.string())
