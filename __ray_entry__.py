@@ -370,6 +370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_lift": graph.q_copurchase_lift,
         "kcore": graph.q_kcore,
         "hits": graph.q_hits,
+        "assortativity": graph.q_assortativity,
     }
 
 
@@ -454,6 +455,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_lift": graph.SQL_COPURCHASE_LIFT,
         "kcore": graph.SQL_KCORE,
         "hits": graph.SQL_HITS,
+        "assortativity": graph.SQL_ASSORTATIVITY,
         # engine-computed P/R vs the sequential oracle must be exactly 1.0
         "kg_pr": (
             "SELECT 'precision' AS metric, 1.0 AS value "

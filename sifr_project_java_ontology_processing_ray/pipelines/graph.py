@@ -1477,6 +1477,155 @@ SQL_KCORE = _kcore_sql()
 
 
 # --------------------------------------------------------------------------
+# degree assortativity (Newman's degree-degree Pearson r over edges)
+# --------------------------------------------------------------------------
+
+
+def _exact_i64_sum(arr: np.ndarray, chunk: int = 1 << 18) -> int:
+    """Exact python-int total of an int64 array: int64 chunk sums folded
+    into an unbounded python int. Exact while any chunk's true sum fits
+    int64 — with ≤ 2^18-element chunks that holds for element magnitudes
+    up to 2^45 (degree products up to deg ≈ 4M), far past the
+    EDGE_BROADCAST_LIMIT gate this path runs under."""
+    total = 0
+    for lo in range(0, len(arr), chunk):
+        total += int(arr[lo : lo + chunk].sum())
+    return total
+
+
+def assortativity(edges: rd.Dataset) -> rd.Dataset:
+    """Degree assortativity of a DISTINCT undirected (a < b) edge set:
+    Pearson correlation of endpoint degrees over the SYMMETRIZED edge
+    list (each edge contributes both orderings — Newman 2002, public).
+    Returns one row (n_edges, assortativity).
+
+    Exactness: the five sufficient statistics (n, Σx, Σxy, Σx², Σy²) are
+    integers (degrees are counts), accumulated exactly — python-int fold
+    under the broadcast gate, int64 partial sums + groupby above it —
+    and the final r is the SAME two-cast-one-divide double expression the
+    DuckDB oracle computes from its HUGEINT sums, so the float matches
+    bit-for-bit, not just to rounding."""
+    import math
+
+    from ..state.grouped import dataset_from_table
+
+    def _result(n: int, sx: int, sxy: int, sxx: int, syy: int) -> rd.Dataset:
+        num = float(n * sxy - sx * sx)
+        den = math.sqrt(float(n * sxx - sx * sx) * float(n * syy - sx * sx))
+        r = num / den if den > 0 else 0.0
+        return dataset_from_table(
+            pa.table({"n_edges": pa.array([n // 2], pa.int64()),
+                      "assortativity": pa.array([r], pa.float64())})
+        )
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return dataset_from_table(
+            pa.table({"n_edges": pa.array([0], pa.int64()),
+                      "assortativity": pa.array([0.0], pa.float64())})
+        )
+    parts = join_partitions(rows=n_edges)
+
+    if n_edges <= EDGE_BROADCAST_LIMIT:
+        edf = edges.to_pandas()
+        a = edf["a"].to_numpy(np.int64)
+        b = edf["b"].to_numpy(np.int64)
+        nodes, cnt = np.unique(np.concatenate([a, b]), return_counts=True)
+        deg = cnt.astype(np.int64)
+        da = deg[np.searchsorted(nodes, a)]
+        db = deg[np.searchsorted(nodes, b)]
+        # symmetrized: x over (da, db), y over (db, da); Σx = Σy,
+        # Σx² = Σy², and Σxy = 2·Σ(da·db)
+        n = 2 * len(a)
+        sx = _exact_i64_sum(da) + _exact_i64_sum(db)
+        sxy = 2 * _exact_i64_sum(da * db)
+        sxx = _exact_i64_sum(da * da) + _exact_i64_sum(db * db)
+        return _result(n, sx, sxy, sxx, sxx)
+
+    # distributed: degree join (same machinery as the census) → per-batch
+    # int64 partial sums → one tiny groupby fold
+    deg = _tri_degrees(edges, parts)
+
+    def key_a(bt: pa.Table) -> pa.Table:
+        if bt.num_columns == 0:
+            return bt
+        return pa.table({"a": bt["node"], "deg_a": bt["deg"]})
+
+    def key_b(bt: pa.Table) -> pa.Table:
+        if bt.num_columns == 0:
+            return bt
+        return pa.table({"b": bt["node"], "deg_b": bt["deg"]})
+
+    joined = edges.join(
+        deg.map_batches(key_a, batch_format="pyarrow"),
+        join_type="inner", num_partitions=parts, on=("a",),
+    ).join(
+        deg.map_batches(key_b, batch_format="pyarrow"),
+        join_type="inner", num_partitions=parts, on=("b",),
+    )
+
+    def sums(bt: pa.Table) -> pa.Table:
+        if bt.num_rows == 0 or "deg_a" not in bt.column_names:
+            z = pa.array([], pa.int64())
+            return pa.table({"n": z, "sx": z, "sxy": z, "sxx": z})
+        da = bt["deg_a"].to_numpy(zero_copy_only=False)
+        db = bt["deg_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"n": pa.array([2 * len(da)], pa.int64()),
+             "sx": pa.array([_exact_i64_sum(da) + _exact_i64_sum(db)], pa.int64()),
+             "sxy": pa.array([2 * _exact_i64_sum(da * db)], pa.int64()),
+             "sxx": pa.array(
+                 [_exact_i64_sum(da * da) + _exact_i64_sum(db * db)], pa.int64()
+             )}
+        )
+
+    part_sums = joined.map_batches(sums, batch_format="pyarrow").to_pandas()
+    n = int(part_sums["n"].sum())
+    sx = int(part_sums["sx"].sum())
+    sxy = int(part_sums["sxy"].sum())
+    sxx = int(part_sums["sxx"].sum())
+    return _result(n, sx, sxy, sxx, sxx)
+
+
+def q_assortativity(sf_dir: str):
+    """Degree assortativity of the co-purchase graph."""
+    return assortativity(co_purchase_edges(sf_dir))
+
+
+SQL_ASSORTATIVITY = """
+WITH pp AS MATERIALIZED (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+),
+deg AS MATERIALIZED (
+  SELECT v, count(*)::BIGINT AS d FROM (
+    SELECT a AS v FROM pp UNION ALL SELECT b FROM pp
+  ) GROUP BY v
+),
+sym AS (
+  SELECT a AS x, b AS y FROM pp UNION ALL SELECT b, a FROM pp
+),
+j AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM sym JOIN deg da ON da.v = sym.x JOIN deg db ON db.v = sym.y
+),
+s AS (
+  SELECT count(*)::HUGEINT AS n, sum(dx)::HUGEINT AS sx,
+         sum(dx * dy)::HUGEINT AS sxy, sum(dx * dx)::HUGEINT AS sxx,
+         sum(dy * dy)::HUGEINT AS syy
+  FROM j
+)
+SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+       CAST(n * sxy - sx * sx AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sx * sx AS DOUBLE)) AS assortativity
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
 # HITS hubs & authorities (Kleinberg) over the directed bipartite graph
 # --------------------------------------------------------------------------
 

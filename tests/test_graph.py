@@ -481,3 +481,32 @@ class TestHits:
     def test_empty_edges(self, ray_session):
         df = graph.hits(_dir_edges_ds([])).to_pandas()
         assert len(df) == 0
+
+
+class TestAssortativity:
+    def test_matches_numpy_reference(self, ray_session):
+        import random
+
+        rng = random.Random(21)
+        nodes = list(range(25))
+        pairs = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(90)})
+        a = np.array([p[0] for p in pairs]); b = np.array([p[1] for p in pairs])
+        ns, cnt = np.unique(np.concatenate([a, b]), return_counts=True)
+        da = cnt[np.searchsorted(ns, a)].astype(float)
+        db = cnt[np.searchsorted(ns, b)].astype(float)
+        x = np.concatenate([da, db]); y = np.concatenate([db, da])
+        want = np.corrcoef(x, y)[0, 1]
+        df = graph.assortativity(_und_edges_ds(pairs)).to_pandas()
+        assert int(df["n_edges"][0]) == len(pairs)
+        assert abs(df["assortativity"][0] - want) < 1e-9
+
+    def test_shuffle_path_agrees(self, ray_session, monkeypatch):
+        import random
+
+        rng = random.Random(22)
+        nodes = list(range(30))
+        pairs = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(120)})
+        want = graph.assortativity(_und_edges_ds(pairs)).to_pandas()
+        monkeypatch.setattr(graph, "EDGE_BROADCAST_LIMIT", 0)
+        got = graph.assortativity(_und_edges_ds(pairs)).to_pandas()
+        assert got.equals(want)

@@ -76,6 +76,7 @@ SUBSET = [
     "kcore",
     "hits",
     "quota_sample",
+    "assortativity",
 ]
 
 
