@@ -30,6 +30,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -410,8 +412,22 @@ def build_kg(
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         concurrency = max(2, ncpu - 4)
 
+    import time as _time
+
+    _phase_log = bool(os.environ.get("GRAFT_KG_PHASE_LOG"))
+
+    def _phase(name: str, t0: float) -> float:
+        t1 = _time.perf_counter()
+        if _phase_log:
+            import sys as _sys
+
+            print(f"[kg-phase] {name}: {t1 - t0:.2f}s", file=_sys.stderr)
+        return t1
+
+    _t = _time.perf_counter()
     tables = build_link_tables(mrconso)
     tables_bc = Broadcast.put(tables)
+    _t = _phase("tables", _t)
 
     # lang rides only in the separate page_meta read below — pruned here
     pages = pio.read_parquet(
@@ -447,6 +463,7 @@ def build_kg(
         concurrency=concurrency,
         num_cpus=1,
     ).materialize()  # consumed by edges + unmatched + entities; ≪ input size
+    _t = _phase("linker", _t)
 
     # OVERLAP: page triples depend on nothing downstream of the linker, so
     # their read+emit+materialize runs on a side thread while the driver
@@ -535,10 +552,12 @@ def build_kg(
         # scale that saves one full write+read of the mention volume through
         # the object store.
         apply_canon = ApplyCanonical(maps_bc)
+        _t = _phase("edges+unionfind", _t)
     finally:
         # join on success AND error paths (ADVICE r3): never leave the
         # page-triple execution orphaned behind a raised exception
         _pages_th.join()
+    _t = _phase("pages_thread_join", _t)
 
     # --- triple emission -------------------------------------------------
     if "err" in _pages_box:
