@@ -321,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": textops.q_stratified_sample,
         "quota_sample": textops.q_quota_sample,
         "bpe_merges": textops.q_bpe_merges,
+        "heavy_tokens": textops.q_heavy_tokens,
         "vocab_top50": textops.q_vocab_top50,
         "neardup_clusters": textops.q_neardup_clusters,
         "doc_chunks": textops.q_doc_chunks,

@@ -465,6 +465,91 @@ GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
 
 
 # --------------------------------------------------------------------------
+# frequent-items sketch (mergeable bounded top-m partials, SpaceSaving-
+# style error bounds) — the bounded-memory complement to the exact vocab
+# census, same family as the HLL/Bloom sketches in functions/hashing
+# --------------------------------------------------------------------------
+
+HH_PARTIAL_M = 256  # per-block sketch capacity
+HH_PHI = 0.002  # report tokens guaranteed ≥ φ·N of all token occurrences
+
+
+def q_heavy_tokens(sf_dir: str, m: int = HH_PARTIAL_M, phi: float = HH_PHI):
+    """(token, count_lo, count_hi) for every token whose GUARANTEED count
+    (count_lo) reaches φ·N — frequent-items sketching with bounded memory
+    per task AND per driver, the operator you reach for when the distinct
+    universe (tokens, urls, user ids) dwarfs memory but the heavy tail is
+    what matters.
+
+    Shape: each block keeps only its top-``m`` token counts plus the
+    SpaceSaving bound err_p = the largest DROPPED count (any token absent
+    from the partial has block count ≤ err_p). The driver folds the
+    union of kept sets: lo(t) = Σ counts where present, hi(t) = lo(t) +
+    Σ err_p where absent. The merge is commutative over partials —
+    NO re-pruning during the fold — so the result is independent of
+    block arrival order (deterministic across runs and parallelism).
+    Driver memory ≤ m × blocks rows, corpus-size independent.
+
+    Rows-only gate entry (sketch internals have no SQL restatement); the
+    sequential oracle pins the two sketch guarantees — bracketing and
+    no-false-negatives above φ·N + Σerr — and exact equality on the test
+    fixture where m exceeds the block vocabulary."""
+    import collections
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: collections.Counter = collections.Counter()
+        for t in batch["text"].to_pylist():
+            if t:
+                counts.update(t.lower().split())
+        top = counts.most_common()
+        kept = top[:m]
+        err = max((c for _, c in top[m:]), default=0)
+        n_total = sum(counts.values())
+        toks = [t for t, _ in kept]
+        return pa.table(
+            {"token": pa.array(toks, pa.string()),
+             "cnt": pa.array([c for _, c in kept], pa.int64()),
+             "err": pa.array([err] * len(toks), pa.int64()),
+             "n_p": pa.array(
+                 [n_total] + [0] * (len(toks) - 1) if toks else [], pa.int64()
+             )}
+        )
+
+    parts_tok: list = []
+    parts_cnt: list = []
+    errs: list[int] = []
+    present: list[set] = []
+    grand_n = 0
+    stream = (
+        pio.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+    )
+    for b in stream.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0 or "token" not in b.column_names:
+            continue
+        toks = b["token"].to_pylist()
+        parts_tok.append(toks)
+        parts_cnt.append(b["cnt"].to_pylist())
+        errs.append(int(b["err"][0].as_py()))
+        present.append(set(toks))
+        grand_n += int(pc.sum(b["n_p"]).as_py() or 0)
+    lo: dict[str, int] = {}
+    for toks, cnts in zip(parts_tok, parts_cnt):
+        for t, c in zip(toks, cnts):
+            lo[t] = lo.get(t, 0) + c
+    thresh = phi * grand_n
+    rows = []
+    for t, c in lo.items():
+        if c >= thresh:
+            hi = c + sum(e for e, pres in zip(errs, present) if t not in pres)
+            rows.append((t, c, hi))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return pd.DataFrame(rows, columns=["token", "count_lo", "count_hi"]).astype(
+        {"count_lo": "int64", "count_hi": "int64"}
+    )
+
+
+# --------------------------------------------------------------------------
 # BPE merge learning (tokenizer training over the corpus's word counts)
 # --------------------------------------------------------------------------
 

@@ -217,3 +217,28 @@ def test_bpe_merges_match_sequential(ray_session, sf_small, docs):
     ).astype({"rk": "int64", "n": "int64"})
     got = _to_df(textops.q_bpe_merges(sf_small)).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_heavy_tokens_guarantees(ray_session, sf_small, docs):
+    """Sketch guarantees vs exact counts: (a) bracketing — count_lo ≤ true
+    ≤ count_hi for every reported token; (b) no false negatives — every
+    token with true count ≥ φ·N + Σerr is reported; (c) on this fixture
+    the per-block vocabulary fits the sketch capacity, so the output
+    equals the exact φ-heavy set."""
+    import collections
+
+    true: collections.Counter = collections.Counter()
+    for t in docs["text"]:
+        if t:
+            true.update(t.lower().split())
+    n = sum(true.values())
+    got = _to_df(textops.q_heavy_tokens(sf_small))
+    for _, r in got.iterrows():
+        assert r["count_lo"] <= true[r["token"]] <= r["count_hi"], r["token"]
+    thresh = textops.HH_PHI * n
+    exact_set = {t for t, c in true.items() if c >= thresh}
+    # (c): capacity not exceeded on the fixture → sketch is exact
+    assert set(got["token"]) == exact_set
+    assert (got["count_lo"] == got["count_hi"]).all()
+    got_counts = dict(zip(got["token"], got["count_lo"]))
+    assert all(got_counts[t] == true[t] for t in exact_set)
