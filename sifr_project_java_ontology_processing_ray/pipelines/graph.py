@@ -882,6 +882,31 @@ def _tri_degrees(edges: rd.Dataset, parts: int) -> rd.Dataset:
     )
 
 
+def _attach_degrees(edges: rd.Dataset, deg: rd.Dataset, parts: int) -> rd.Dataset:
+    """Attach (deg_a, deg_b) to a distinct (a, b) edge stream via two hash
+    joins against the materialized degree table — the shared shuffle-path
+    building block of the census orientation, k-core peel and
+    assortativity."""
+
+    def key_a(bt: pa.Table) -> pa.Table:
+        if bt.num_columns == 0:
+            return bt
+        return pa.table({"a": bt["node"], "deg_a": bt["deg"]})
+
+    def key_b(bt: pa.Table) -> pa.Table:
+        if bt.num_columns == 0:
+            return bt
+        return pa.table({"b": bt["node"], "deg_b": bt["deg"]})
+
+    return edges.join(
+        deg.map_batches(key_a, batch_format="pyarrow"),
+        join_type="inner", num_partitions=parts, on=("a",),
+    ).join(
+        deg.map_batches(key_b, batch_format="pyarrow"),
+        join_type="inner", num_partitions=parts, on=("b",),
+    )
+
+
 def _tri_oriented(
     edges: rd.Dataset, deg: rd.Dataset, n_nodes: int, parts: int
 ) -> tuple[rd.Dataset, "tuple[np.ndarray, np.ndarray] | None"]:
@@ -924,23 +949,7 @@ def _tri_oriented(
 
         return edges.map_batches(orient_bc, batch_format="pyarrow"), arrs
 
-    def key_a(b: pa.Table) -> pa.Table:
-        if b.num_columns == 0:
-            return b
-        return pa.table({"a": b["node"], "deg_a": b["deg"]})
-
-    def key_b(b: pa.Table) -> pa.Table:
-        if b.num_columns == 0:
-            return b
-        return pa.table({"b": b["node"], "deg_b": b["deg"]})
-
-    with_deg = edges.join(
-        deg.map_batches(key_a, batch_format="pyarrow"),
-        join_type="inner", num_partitions=parts, on=("a",),
-    ).join(
-        deg.map_batches(key_b, batch_format="pyarrow"),
-        join_type="inner", num_partitions=parts, on=("b",),
-    )
+    with_deg = _attach_degrees(edges, deg, parts)
 
     def orient(b: pa.Table) -> pa.Table:
         if b.num_columns == 0 or b.num_rows == 0:
@@ -1393,16 +1402,6 @@ def kcore(
                       "core_deg": pa.array(cnt.astype(np.int64), pa.int64())})
         )
 
-    def key_a(bt: pa.Table) -> pa.Table:
-        if bt.num_columns == 0:
-            return bt
-        return pa.table({"a": bt["node"], "deg_a": bt["deg"]})
-
-    def key_b(bt: pa.Table) -> pa.Table:
-        if bt.num_columns == 0:
-            return bt
-        return pa.table({"b": bt["node"], "deg_b": bt["deg"]})
-
     def keep_ge_k(bt: pa.Table) -> pa.Table:
         if bt.num_rows == 0 or "a" not in bt.column_names:
             return pa.table({"a": pa.array([], pa.int64()),
@@ -1415,10 +1414,7 @@ def kcore(
     for _ in range(rounds):
         deg = _tri_degrees(cur, parts)
         cur = (
-            cur.join(deg.map_batches(key_a, batch_format="pyarrow"),
-                     join_type="inner", num_partitions=parts, on=("a",))
-            .join(deg.map_batches(key_b, batch_format="pyarrow"),
-                  join_type="inner", num_partitions=parts, on=("b",))
+            _attach_degrees(cur, deg, parts)
             .map_batches(keep_ge_k, batch_format="pyarrow")
             .materialize()
         )
@@ -1485,12 +1481,26 @@ def _exact_i64_sum(arr: np.ndarray, chunk: int = 1 << 18) -> int:
     """Exact python-int total of an int64 array: int64 chunk sums folded
     into an unbounded python int. Exact while any chunk's true sum fits
     int64 — with ≤ 2^18-element chunks that holds for element magnitudes
-    up to 2^45 (degree products up to deg ≈ 4M), far past the
-    EDGE_BROADCAST_LIMIT gate this path runs under."""
+    up to 2^45."""
     total = 0
     for lo in range(0, len(arr), chunk):
         total += int(arr[lo : lo + chunk].sum())
     return total
+
+
+def _exact_prod_sum(x: np.ndarray, y: np.ndarray) -> int:
+    """Exact Σ x·y for non-negative int64 arrays with elements < 2^31
+    (degrees — a degree ≥ 2^31 would need two billion distinct
+    neighbors; guarded below). The product is computed exactly in uint64
+    (< 2^62) and split into 31-bit halves so every chunk sum stays far
+    inside int64 at ANY scale — no wraparound on the > EDGE_BROADCAST_LIMIT
+    path where a hub's deg² would overflow a plain int64 chunk sum."""
+    if len(x) and (int(x.max()) >= (1 << 31) or int(y.max()) >= (1 << 31)):
+        raise ValueError("assortativity: degree ≥ 2^31 unsupported")
+    p = x.astype(np.uint64) * y.astype(np.uint64)
+    hi = (p >> np.uint64(31)).astype(np.int64)  # < 2^31
+    lo = (p & np.uint64((1 << 31) - 1)).astype(np.int64)  # < 2^31
+    return (_exact_i64_sum(hi) << 31) + _exact_i64_sum(lo)
 
 
 def assortativity(edges: rd.Dataset) -> rd.Dataset:
@@ -1539,52 +1549,44 @@ def assortativity(edges: rd.Dataset) -> rd.Dataset:
         # Σx² = Σy², and Σxy = 2·Σ(da·db)
         n = 2 * len(a)
         sx = _exact_i64_sum(da) + _exact_i64_sum(db)
-        sxy = 2 * _exact_i64_sum(da * db)
-        sxx = _exact_i64_sum(da * da) + _exact_i64_sum(db * db)
+        sxy = 2 * _exact_prod_sum(da, db)
+        sxx = _exact_prod_sum(da, da) + _exact_prod_sum(db, db)
         return _result(n, sx, sxy, sxx, sxx)
 
     # distributed: degree join (same machinery as the census) → per-batch
     # int64 partial sums → one tiny groupby fold
     deg = _tri_degrees(edges, parts)
 
-    def key_a(bt: pa.Table) -> pa.Table:
-        if bt.num_columns == 0:
-            return bt
-        return pa.table({"a": bt["node"], "deg_a": bt["deg"]})
-
-    def key_b(bt: pa.Table) -> pa.Table:
-        if bt.num_columns == 0:
-            return bt
-        return pa.table({"b": bt["node"], "deg_b": bt["deg"]})
-
-    joined = edges.join(
-        deg.map_batches(key_a, batch_format="pyarrow"),
-        join_type="inner", num_partitions=parts, on=("a",),
-    ).join(
-        deg.map_batches(key_b, batch_format="pyarrow"),
-        join_type="inner", num_partitions=parts, on=("b",),
-    )
+    joined = _attach_degrees(edges, deg, parts)
 
     def sums(bt: pa.Table) -> pa.Table:
+        """One-row exact partial: the unbounded-magnitude sums (Σxy, Σx²
+        can exceed int64 on this > EDGE_BROADCAST_LIMIT path) travel as
+        decimal STRINGS and fold to python ints on the driver."""
         if bt.num_rows == 0 or "deg_a" not in bt.column_names:
-            z = pa.array([], pa.int64())
-            return pa.table({"n": z, "sx": z, "sxy": z, "sxx": z})
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "sx": pa.array([], pa.string()),
+                             "sxy": pa.array([], pa.string()),
+                             "sxx": pa.array([], pa.string())})
         da = bt["deg_a"].to_numpy(zero_copy_only=False)
         db = bt["deg_b"].to_numpy(zero_copy_only=False)
         return pa.table(
             {"n": pa.array([2 * len(da)], pa.int64()),
-             "sx": pa.array([_exact_i64_sum(da) + _exact_i64_sum(db)], pa.int64()),
-             "sxy": pa.array([2 * _exact_i64_sum(da * db)], pa.int64()),
+             "sx": pa.array(
+                 [str(_exact_i64_sum(da) + _exact_i64_sum(db))], pa.string()
+             ),
+             "sxy": pa.array([str(2 * _exact_prod_sum(da, db))], pa.string()),
              "sxx": pa.array(
-                 [_exact_i64_sum(da * da) + _exact_i64_sum(db * db)], pa.int64()
+                 [str(_exact_prod_sum(da, da) + _exact_prod_sum(db, db))],
+                 pa.string(),
              )}
         )
 
     part_sums = joined.map_batches(sums, batch_format="pyarrow").to_pandas()
     n = int(part_sums["n"].sum())
-    sx = int(part_sums["sx"].sum())
-    sxy = int(part_sums["sxy"].sum())
-    sxx = int(part_sums["sxx"].sum())
+    sx = sum(int(v) for v in part_sums["sx"])
+    sxy = sum(int(v) for v in part_sums["sxy"])
+    sxx = sum(int(v) for v in part_sums["sxx"])
     return _result(n, sx, sxy, sxx, sxx)
 
 
@@ -1618,9 +1620,12 @@ s AS (
   FROM j
 )
 SELECT CAST(n / 2 AS BIGINT) AS n_edges,
-       CAST(n * sxy - sx * sx AS DOUBLE)
-         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                * CAST(n * syy - sx * sx AS DOUBLE)) AS assortativity
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE)
+                 * CAST(n * syy - sx * sx AS DOUBLE) > 0
+            THEN CAST(n * sxy - sx * sx AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sx * sx AS DOUBLE))
+            ELSE 0.0 END AS assortativity
 FROM s
 """
 

