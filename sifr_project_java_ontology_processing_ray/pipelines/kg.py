@@ -406,14 +406,20 @@ def build_kg(
 ) -> "rd.Dataset":
     """Run the flagship KG-construction pipeline; returns the triples
     Dataset (also written partitioned+manifested when ``out_dir`` given)."""
-    if concurrency is None:
-        import ray
+    import ray
 
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    if concurrency is None:
         # the linker pool does CPU-bound python work → one full core per
         # actor, ~60% of the node; the vectorized light pools run at 0.5
         # CPU so they interleave with the stateless read/write tasks
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
         concurrency = max(2, ncpu - 4)
+    if read_blocks is None:
+        # a single pages file otherwise reads as ONE task (Ray splits
+        # blocks only after the read) — measured 11.2 s serial vs 1.2 s
+        # split for 800k pages; the fixture writes 4096-row groups so the
+        # file is row-group splittable
+        read_blocks = 4 * ncpu
 
     import time as _time
 
@@ -483,7 +489,10 @@ def build_kg(
     # orphaned concurrent execution.
     import threading
 
-    page_meta = pio.read_parquet(pages_path, columns=["url", "warc_ts", "lang"])
+    page_meta = pio.read_parquet(
+        pages_path, columns=["url", "warc_ts", "lang"],
+        override_num_blocks=read_blocks,
+    )
     if dedup_pages:
         from ..state.grouped import bucketed_map_groups
 

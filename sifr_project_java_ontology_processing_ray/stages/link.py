@@ -157,6 +157,12 @@ class CandidateScorer:
         # surface → [(cui, term, surface_score)], (cui, ctx) → ctx_score
         self._surface_memo: dict[str, list[tuple[str, str, float]]] = {}
         self._ctx_memo: dict[tuple[str, str], float] = {}
+        # full-resolution memo for AMBIGUOUS mentions: (surface, ctx) →
+        # (cui, term, score). A mention's outcome is a pure function of
+        # that pair, and web contexts repeat heavily (boilerplate,
+        # recrawls), so this collapses the per-candidate ctx-score loop
+        # to one dict probe on the hot path
+        self._res_memo: dict[tuple[str, str], tuple] = {}
 
     def _scored_candidates(self, surface: str) -> list[tuple[str, str, float]]:
         hit = self._surface_memo.get(surface)
@@ -280,6 +286,69 @@ class MentionLinker:
         # object-store traffic through the materialized linked stream
         self.emit_diagnostics = emit_diagnostics
         self.emit_edge_partials = emit_edge_partials
+        # fully vectorized scan+resolve path for max-phrase-length ≤ 2
+        # dictionaries (byte-equal to the trie loop, pinned by test);
+        # the python loop below stays as the general-max_len fallback
+        self._vec = (
+            self._build_vec_tables(state["index"])
+            if state["max_len"] <= 2
+            else None
+        )
+
+    def _build_vec_tables(self, index: dict) -> dict | None:
+        """Dictionary-sized lookup arrays for the vectorized scan:
+        token-id vocabulary, single-token surface ids, packed bigram keys,
+        and the per-surface resolution of the scorer cascade (kind 0 = no
+        candidate, 1 = unambiguous — cui/term/score precomputed, 2 =
+        ambiguous — context path). All state is O(|dictionary|)."""
+        singles: dict[str, str] = {}
+        pairs: dict[tuple, str] = {}
+        for toks, term in index.items():
+            if len(toks) == 1:
+                singles[toks[0]] = term
+            else:
+                pairs[toks] = term
+        vocab = sorted(
+            set(singles) | {tok for p in pairs for tok in p}
+        )
+        if len(vocab) >= (1 << 20):  # packed-bigram key space bound
+            return None
+        vid = {tok: i for i, tok in enumerate(vocab)}
+        surfaces = sorted(set(singles.values()) | set(pairs.values()))
+        sidx = {s: i for i, s in enumerate(surfaces)}
+        single_sid = np.full(max(len(vocab), 1), -1, np.int64)
+        for tok, term in singles.items():
+            single_sid[vid[tok]] = sidx[term]
+        bk = sorted(
+            ((vid[a] << 20) | vid[b], sidx[term])
+            for (a, b), term in pairs.items()
+        )
+        res_kind = np.zeros(len(surfaces), np.int8)
+        res_cui = np.empty(len(surfaces), object)
+        res_term = np.empty(len(surfaces), object)
+        res_score = np.empty(len(surfaces), object)
+        for i, s in enumerate(surfaces):
+            cands = self.scorer._scored_candidates(s)
+            if not cands:
+                res_kind[i] = 0
+                res_cui[i] = res_term[i] = res_score[i] = None
+            elif len(cands) == 1:
+                res_kind[i] = 1
+                res_cui[i], res_term[i], res_score[i] = cands[0]
+            else:
+                res_kind[i] = 2
+                res_cui[i] = res_term[i] = res_score[i] = None
+        return {
+            "vocab_arr": pa.array(vocab, pa.string()),
+            "single_sid": single_sid,
+            "bigram_keys": np.array([k for k, _ in bk], np.int64),
+            "bigram_sid": np.array([s for _, s in bk], np.int64),
+            "surface_np": np.array(surfaces, object),
+            "res_kind": res_kind,
+            "res_cui": res_cui,
+            "res_term": res_term,
+            "res_score": res_score,
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.text import extract_text, tokenize
@@ -290,6 +359,8 @@ class MentionLinker:
                 t if t else extract_text(h)
                 for t, h in zip(texts, batch["html"].to_pylist())
             ]
+        if self._vec is not None:
+            return self._with_edge_partials(self._call_vec(batch, texts))
         sc = self.scorer
         trie, match = self.trie, self.match
         diag = self.emit_diagnostics
@@ -365,7 +436,142 @@ class MentionLinker:
             cols["score"] = pa.array(o_score, pa.float64())
         cols["next_surface"] = pa.array(o_next, pa.string())
         cols["prev_surface"] = pa.array(o_prev, pa.string())
-        t = pa.table(cols)
+        return self._with_edge_partials(pa.table(cols))
+
+    def _call_vec(self, batch: pa.Table, texts: list) -> pa.Table:
+        """Vectorized greedy longest-match scan + resolution for
+        max-phrase-length ≤ 2 dictionaries. Exact semantics of the trie
+        loop (byte-equal output, pinned by test):
+
+        - pair candidates: positions i where (tok_i, tok_{i+1}) is a
+          2-token term and i is not the last token of its page — a packed
+          (id<<20|id) searchsorted probe.
+        - greedy non-overlap (the loop's ``i += 2``): pair_take[i] =
+          is_pair[i] & ~pair_take[i-1], i.e. even offsets within each
+          maximal run of consecutive pair candidates — run starts are
+          never preceded by a taken pair, so the run-offset parity rule
+          is the closed form of the recurrence.
+        - singles fire at unconsumed non-pair positions (longest wins).
+        - resolution is a dictionary-sized gather; only AMBIGUOUS
+          surfaces (>1 candidate — context breaks the tie) loop in
+          python, reusing the scorer's (cui, ctx) memo.
+        """
+        from ..functions.text import tokenize
+
+        v = self._vec
+        toks_per_page = [tokenize(t) if t else [] for t in texts]
+        lens = np.array([len(tk) for tk in toks_per_page], np.int64)
+        n = int(lens.sum())
+        W = self.ctx_window
+        diag = self.emit_diagnostics
+        if n == 0:
+            m_idx = np.empty(0, np.int64)
+            m_page = np.empty(0, np.int64)
+            m_pos = np.empty(0, np.int64)
+            m_sid = np.empty(0, np.int64)
+            pair_take = np.empty(0, bool)
+            kind = np.empty(0, np.int8)
+        else:
+            flat = [tok for tk in toks_per_page for tok in tk]
+            ids = (
+                pc.index_in(pa.array(flat, pa.string()), value_set=v["vocab_arr"])
+                .fill_null(-1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            page_of = np.repeat(np.arange(len(lens)), lens)
+            starts = np.cumsum(lens) - lens
+            idxs = np.arange(n)
+            pos_in_page = idxs - starts[page_of]
+            last_of_page = pos_in_page == (lens[page_of] - 1)
+            nxt = np.r_[ids[1:], np.int64(-1)]
+            both = (ids >= 0) & (nxt >= 0) & ~last_of_page
+            bkeys = v["bigram_keys"]
+            if len(bkeys):
+                keys = (ids << 20) | np.where(nxt >= 0, nxt, 0)
+                posb = np.clip(np.searchsorted(bkeys, keys), 0, len(bkeys) - 1)
+                is_pair = both & (bkeys[posb] == keys)
+            else:
+                posb = np.zeros(n, np.int64)
+                is_pair = np.zeros(n, bool)
+            run_start = is_pair & ~np.r_[False, is_pair[:-1]]
+            last_start = np.maximum.accumulate(np.where(run_start, idxs, -1))
+            pair_take = is_pair & (((idxs - last_start) & 1) == 0)
+            consumed = np.r_[False, pair_take[:-1]]
+            sid_single = np.where(
+                ids >= 0, v["single_sid"][np.clip(ids, 0, None)], -1
+            )
+            single_take = (~pair_take) & (~consumed) & (sid_single >= 0)
+            take = pair_take | single_take
+            m_idx = np.flatnonzero(take)
+            sid = np.where(pair_take, v["bigram_sid"][posb] if len(bkeys) else 0,
+                           sid_single)
+            m_sid = sid[m_idx]
+            m_page = page_of[m_idx]
+            m_pos = pos_in_page[m_idx]
+            kind = v["res_kind"][m_sid]
+
+        m = len(m_idx)
+        cui = v["res_cui"][m_sid] if m else np.empty(0, object)
+        term = v["res_term"][m_sid] if m else np.empty(0, object)
+        score = v["res_score"][m_sid] if m else np.empty(0, object)
+        surf = v["surface_np"][m_sid] if m else np.empty(0, object)
+        sc = self.scorer
+        memo = sc._res_memo
+        for j in np.flatnonzero(kind == 2):  # ambiguous: context tiebreak
+            surface = surf[j]
+            toks = toks_per_page[m_page[j]]
+            ip = int(m_pos[j])
+            L = 2 if pair_take[m_idx[j]] else 1
+            ctx = " ".join(
+                toks[max(0, ip - W) : ip] + toks[ip + L : ip + L + W]
+            )
+            hit = memo.get((surface, ctx))
+            if hit is None:
+                best_c, best_t, best_s = None, None, -1.0
+                for c, t_, s in sc._scored_candidates(surface):
+                    total = s + sc._ctx_score(c, t_, ctx)
+                    if total > best_s:
+                        best_c, best_t, best_s = c, t_, total
+                hit = (best_c, best_t, best_s)
+                if len(memo) > 500_000:  # bound actor memory
+                    memo.clear()
+                memo[(surface, ctx)] = hit
+            cui[j], term[j], score[j] = hit
+
+        counts = np.bincount(m_page, minlength=len(lens)) if m else np.zeros(
+            len(lens), np.int64
+        )
+        emitting = np.flatnonzero(counts)
+        reps = counts[emitting]
+        take_idx = pa.array(np.repeat(emitting, reps))
+        surf_list = surf.tolist()
+        o_next = surf_list[1:] + [None] if m else []
+        o_prev = [None] + surf_list[:-1] if m else []
+        if len(reps):
+            ends = np.cumsum(reps)
+            for e in ends:
+                o_next[e - 1] = None
+            for s_ in (ends - reps):
+                o_prev[s_] = None
+        cols = {
+            "url": pc.take(batch["url"], take_idx),
+            "warc_ts": pc.take(batch["warc_ts"], take_idx),
+            "surface": pa.array(surf_list, pa.string()),
+            "position": pa.array(m_pos.astype(np.int32), pa.int32()),
+            "cui": pa.array(cui.tolist(), pa.string()),
+        }
+        if diag:
+            cols["term"] = pa.array(term.tolist(), pa.string())
+            cols["score"] = pa.array(
+                [float(x) if x is not None else None for x in score.tolist()],
+                pa.float64(),
+            )
+        cols["next_surface"] = pa.array(o_next, pa.string())
+        cols["prev_surface"] = pa.array(o_prev, pa.string())
+        return pa.table(cols)
+
+    def _with_edge_partials(self, t: pa.Table) -> pa.Table:
         if not self.emit_edge_partials:
             return t
         linked = t.filter(pc.is_valid(t["cui"]))

@@ -316,3 +316,28 @@ def test_adversarial_fixture_pr(ray_session, umls, tmp_path):
     want = kg_oracle_triples(str(d), mrconso, mrsty, dedup_pages=True)
     p, r = precision_recall(got, want)
     assert p == 1.0 and r == 1.0, (p, r)
+
+
+def test_vectorized_scan_byte_equals_trie_loop(ray_session, pages_small, umls):
+    """The max-phrase-length ≤ 2 vectorized scan path must produce a
+    BYTE-IDENTICAL table to the general trie loop on the same batch, for
+    every diagnostics/edge-partials configuration."""
+    import pyarrow.parquet as _pq
+
+    from sifr_project_java_ontology_processing_ray.stages.link import (
+        MentionLinker,
+        build_link_tables,
+    )
+    from sifr_project_java_ontology_processing_ray.state.broadcast import Broadcast
+
+    mrconso, _ = umls
+    bc = Broadcast.put(build_link_tables(mrconso))
+    batch = _pq.read_table(pages_small)
+    for diag, edge in ((True, False), (False, True), (True, True), (False, False)):
+        linker = MentionLinker(bc, diag, edge)
+        assert linker._vec is not None  # fixture dictionary is ≤ 2 tokens
+        out_vec = linker(batch)
+        linker._vec = None
+        out_loop = linker(batch)
+        assert out_vec.schema == out_loop.schema
+        assert out_vec.equals(out_loop), (diag, edge)
