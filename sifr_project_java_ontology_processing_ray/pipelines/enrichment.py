@@ -440,13 +440,25 @@ def enrich_ontology(
     entities = bucketed_map_groups(
         dataset_from_table(source_triples), ["subj"], pivot_entities_bucket
     )
-    enriched = entities.map_batches(
-        Enricher,
-        fn_constructor_args=(tables_bc, cfg),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=0.5,
-    ).materialize()
+    # same starvation fix as build_kg's linker stage: the per-operator
+    # resource reservation holds back the Enricher pool behind the light
+    # pivot shuffle; the pool is the stage's whole cost, so drop the
+    # reservation for this execution only
+    import ray.data as _rd
+
+    _rctx = _rd.DataContext.get_current()
+    _prev_reservation = _rctx.op_resource_reservation_enabled
+    _rctx.op_resource_reservation_enabled = False
+    try:
+        enriched = entities.map_batches(
+            Enricher,
+            fn_constructor_args=(tables_bc, cfg),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            num_cpus=0.5,
+        ).materialize()
+    finally:
+        _rctx.op_resource_reservation_enabled = _prev_reservation
 
     def emit(batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()
