@@ -1645,10 +1645,17 @@ def hits(edges: rd.Dataset, iters: int = HITS_ITERS) -> rd.Dataset:
     normalized scores shrink as 1/√N, so the raw values would vanish
     under the oracle gate's float rounding on big graphs).
 
-    Same two gated paths as :func:`pagerank` (pinned equal by test):
-    - nodes ≤ BROADCAST_NODE_LIMIT: score arrays ride ``ray.put`` blobs;
-      each half-round is ONE edge scan with per-batch grouped partials
-      folded on the driver, and the L2 norm is a driver scalar.
+    Three gated paths (pinned equal by test):
+    - edges ≤ EDGE_BROADCAST_LIMIT: the edge list is driver-safe (the
+      same gate the census/k-core driver paths use), so the whole
+      iteration runs as numpy bincount passes over driver-resident id
+      arrays — 10 cluster executions of ~0.7 s fixed cost each collapse
+      to ~0.1 s of arithmetic (measured 7.6 → ~2.5 s at sf0.1, the
+      residual being the bipartite edge build).
+    - edges larger but nodes ≤ BROADCAST_NODE_LIMIT: score arrays ride
+      ``ray.put`` blobs; each half-round is ONE edge scan with per-batch
+      grouped partials folded on the driver, and the L2 norm is a driver
+      scalar.
     - larger: fully shuffled — per half-round one hash join (scores onto
       the edge stream) + one groupby-Sum, the squared-norm as a
       distributed scalar aggregate, state re-materialized per round.
@@ -1662,6 +1669,33 @@ def hits(edges: rd.Dataset, iters: int = HITS_ITERS) -> rd.Dataset:
     n_edges = edges.count()
     if n_edges == 0:
         return rd.from_arrow(_empty)
+
+    if n_edges <= EDGE_BROADCAST_LIMIT:
+        from ..state.grouped import dataset_from_table
+
+        edf = edges.to_pandas()
+        src = edf["src"].to_numpy(np.int64)
+        dst = edf["dst"].to_numpy(np.int64)
+        nodes = np.unique(np.concatenate([src, dst]))
+        si = np.searchsorted(nodes, src)
+        di = np.searchsorted(nodes, dst)
+        nn = len(nodes)
+        h = np.ones(nn)
+        a = np.zeros(nn)
+        for _ in range(iters):
+            a = np.bincount(di, weights=h[si], minlength=nn)
+            za = float(np.sqrt((a * a).sum()))
+            if za > 0:
+                a /= za
+            h = np.bincount(si, weights=a[di], minlength=nn)
+            zh = float(np.sqrt((h * h).sum()))
+            if zh > 0:
+                h /= zh
+        n = float(nn)
+        return dataset_from_table(
+            pa.table({"node": pa.array(nodes), "hub_n": pa.array(h * n),
+                      "auth_n": pa.array(a * n)})
+        )
 
     if n_edges <= META_FOLD_EDGE_LIMIT:
         nodes, _ = _node_meta_fold(edges)

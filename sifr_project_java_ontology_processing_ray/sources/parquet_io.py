@@ -70,7 +70,22 @@ def read_parquet(paths, **kwargs) -> "rd.Dataset":
     hive-partitioned inputs, any footer disagreement in the sample
     (schema evolution across shards — Ray's own per-block unification
     must handle those), and any schema-probe failure degrade to the
-    plain read."""
+    plain read.
+
+    ``override_num_blocks`` additionally defaults to 2× cluster CPUs:
+    without it Ray reads a SINGLE file as one task and splits blocks only
+    afterwards, serializing the decode behind one core (measured 1.56 s →
+    0.26 s for the 600k-row lineitem file; 11.2 s → 1.2 s for 800k
+    pages). Callers that know better still pass their own value."""
+    if "override_num_blocks" not in kwargs:
+        try:
+            import ray
+
+            kwargs["override_num_blocks"] = 2 * int(
+                ray.cluster_resources().get("CPU", 8)
+            )
+        except Exception:
+            pass
     if "schema" not in kwargs:
         try:
             sample = _probe_sample(paths)

@@ -463,11 +463,28 @@ class TestHits:
             assert abs(r["hub_n"] - wh) < 1e-9
             assert abs(r["auth_n"] - wa) < 1e-9
 
+    def test_fold_path_agrees(self, ray_session, monkeypatch):
+        """Driver-numpy path (default here) vs the per-round edge-scan
+        fold path (edges gate off)."""
+        want = (
+            graph.hits(_dir_edges_ds(self.EDGES))
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        monkeypatch.setattr(graph, "EDGE_BROADCAST_LIMIT", 0)
+        got = (
+            graph.hits(_dir_edges_ds(self.EDGES))
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        assert got["node"].tolist() == want["node"].tolist()
+        assert np.allclose(got["hub_n"], want["hub_n"], atol=1e-9)
+        assert np.allclose(got["auth_n"], want["auth_n"], atol=1e-9)
+
     def test_shuffle_path_agrees(self, ray_session, monkeypatch):
         want = (
             graph.hits(_dir_edges_ds(self.EDGES))
             .to_pandas().sort_values("node").reset_index(drop=True)
         )
+        monkeypatch.setattr(graph, "EDGE_BROADCAST_LIMIT", 0)
         monkeypatch.setattr(graph, "META_FOLD_EDGE_LIMIT", 0)
         monkeypatch.setattr(graph, "BROADCAST_NODE_LIMIT", 0)
         got = (
