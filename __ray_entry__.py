@@ -428,6 +428,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": textops.SQL_DOC_CHUNKS,
         "bpeish_tokens": textops.SQL_BPEISH_TOKENS,
         "fingerprints": textops.SQL_FINGERPRINTS,
+        "sequence_pack": textops.SQL_SEQUENCE_PACK,
         "duplicate_spans": textops.SQL_DUPLICATE_SPANS,
         "tfidf_keywords": textops.SQL_TFIDF_KEYWORDS,
         "langid": textops.SQL_LANGID,
@@ -444,6 +445,7 @@ def oracle_sql() -> dict[str, str]:
         "skos_generation": generation.sql_skos_generation(testgen.fixture_dir()),
         "multilingual_clean": cleaner.sql_multilingual_clean(testgen.fixture_dir()),
         "reconciliation": reconciler.sql_reconciliation(testgen.fixture_dir()),
+        "enrichment_cascade": enrichment.sql_enrichment_cascade(testgen.fixture_dir()),
         "multimodal_decode": _mm.sql_multimodal_decode(testgen.fixture_dir()),
         "frame_sample": _mm.sql_frame_sample(testgen.fixture_dir()),
         "audio_decode": _mm.sql_audio_decode(testgen.fixture_dir()),

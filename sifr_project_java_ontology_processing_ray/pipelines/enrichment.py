@@ -593,6 +593,169 @@ def compute_stats(enriched_ds, umls_code_to_cuis: dict[str, list[str]]) -> dict[
     return {k: int(agg.get(k, 0) or 0) for k in STAT_NAMES}
 
 
+def sql_enrichment_cascade(fixture_root: str) -> str:
+    """DuckDB restatement of the WHOLE enrichment cascade over the fixture
+    parquets — the third independent derivation of the flagship semantics
+    (Ray pipeline, tools/enrichment_oracle.py sequential python, and this
+    SQL). Covers the full read phase (pivot, own→mined→mapping→code CUI
+    cascade, Tverski/Dice 3-gram disambiguation as a window top-1, the
+    own→mapping→UMLS TUI cascade) and the postProcess emission (changeNote,
+    hasSTY, notation-if-absent, M7 altLabel==prefLabel drop, M9 mined-CUI
+    purge, M18 embedded-@lang parse, mapping re-add).
+
+    Caveats pinned to the fixture: label ties on (obj) between two
+    prefLabel rows of one subject would be input-order-dependent in the
+    engine (none exist), and TRIM here strips spaces where python strip()
+    strips all whitespace (fixture labels use spaces only)."""
+    preds = ", ".join(f"'{p}'" for p in MAPPING_PREDICATES)
+    clean = r"regexp_replace({}, '\^\^.*$', '')"
+    # parse_lang_literal: "label@fr" → (label, fr) (functions/text.py:127)
+    lang_lit = "^[^\"]*@[a-z][a-z]$"
+    parse_label = (
+        "CASE WHEN regexp_matches({0}, '" + lang_lit + "') "
+        "THEN regexp_replace({0}, '@[a-z][a-z]$', '') ELSE {0} END"
+    )
+    note = CHANGE_NOTE.replace("'", "''")
+    return f"""
+WITH src AS (SELECT subj, pred, obj, obj_lang FROM '{fixture_root}/source_triples.parquet'),
+tgt AS (SELECT subj, pred, obj FROM '{fixture_root}/target_triples.parquet'),
+maps AS (SELECT source_class, property, target_class FROM '{fixture_root}/mappings.parquet'),
+conso AS (SELECT cui, lat, str, code FROM '{fixture_root}/mrconso.parquet'),
+sty AS (SELECT cui, tui FROM '{fixture_root}/mrsty.parquet'),
+ents AS (SELECT DISTINCT subj FROM src),
+-- pivot: first prefLabel by obj (engine sorts subj,pred,obj; no obj ties in fixture)
+pref AS (
+  SELECT subj, obj, obj_lang FROM (
+    SELECT subj, obj, obj_lang,
+           row_number() OVER (PARTITION BY subj ORDER BY obj, obj_lang NULLS FIRST) AS rn
+    FROM src WHERE pred = 'skos:prefLabel') WHERE rn = 1),
+pref2 AS (  -- M18: parse an embedded "label@fr" when no lang tag
+  SELECT subj,
+         CASE WHEN obj_lang IS NULL THEN {parse_label.format('obj')} ELSE obj END AS label,
+         CASE WHEN obj_lang IS NULL AND regexp_matches(obj, '{lang_lit}')
+              THEN regexp_extract(obj, '@([a-z][a-z])$', 1) ELSE obj_lang END AS lang,
+         obj AS raw_label
+  FROM pref),
+own_cuis AS (
+  SELECT subj, list_sort(list(DISTINCT {clean.format('obj')})) AS cuis
+  FROM src WHERE pred = 'umls:cui' GROUP BY subj),
+mined AS (  -- M6: altLabel values full-matching the CUI pattern
+  SELECT subj, list_sort(list(DISTINCT {clean.format('obj')})) AS cuis
+  FROM src WHERE pred = 'skos:altLabel'
+    AND regexp_matches({clean.format('obj')}, '^C[0-9]{{7}}$')
+  GROUP BY subj),
+mapped_cuis AS (  -- J2: class → mapped targets → their CUIs
+  SELECT m.source_class AS subj,
+         list_sort(list(DISTINCT {clean.format('t.obj')})) AS cuis
+  FROM maps m JOIN tgt t ON t.subj = m.target_class AND t.pred = 'umls:cui'
+  WHERE m.property IN ({preds}) GROUP BY m.source_class),
+-- M13-M15 composite code: coalesce(min notation, min icd, min icpc, uri fragment)
+codes AS (
+  SELECT e.subj, {clean.format("COALESCE(n.v, i.v, p.v, NULLIF(split_part(regexp_replace(e.subj, '^.*[#/]', ''), '_', 1), ''))")} AS code
+  FROM ents e
+  LEFT JOIN (SELECT subj, min(obj) AS v FROM src WHERE pred = 'skos:notation' GROUP BY subj) n ON n.subj = e.subj
+  LEFT JOIN (SELECT subj, min(obj) AS v FROM src WHERE pred = 'icd:cdCode' GROUP BY subj) i ON i.subj = e.subj
+  LEFT JOIN (SELECT subj, min(obj) AS v FROM src WHERE pred = 'icpc2p:ICPCCODE' GROUP BY subj) p ON p.subj = e.subj),
+code_cuis AS (SELECT code, list_sort(list(DISTINCT cui)) AS cuis FROM conso WHERE code <> '' GROUP BY code),
+code_hit AS (  -- exact code first, then M10-normalized (A0012 → A00.12)
+  SELECT c.subj, COALESCE(x.cuis, y.cuis) AS cuis
+  FROM codes c
+  LEFT JOIN code_cuis x ON x.code = c.code
+  LEFT JOIN code_cuis y ON y.code =
+    CASE WHEN regexp_matches(c.code, '^[A-Z][0-9][0-9][0-9][0-9]?$')
+         THEN regexp_replace(c.code, '^([A-Z][0-9][0-9])', '\\1.') ELSE NULL END),
+cascade AS (  -- cascade ORDER is semantics: own > mined > mapping > code
+  SELECT e.subj,
+         COALESCE(o.cuis, mi.cuis, ma.cuis, ch.cuis, []) AS cuis0,
+         CASE WHEN o.cuis IS NULL AND mi.cuis IS NOT NULL THEN mi.cuis ELSE [] END AS purge,
+         COALESCE(o.cuis, []) AS own
+  FROM ents e
+  LEFT JOIN own_cuis o ON o.subj = e.subj
+  LEFT JOIN mined mi ON mi.subj = e.subj
+  LEFT JOIN mapped_cuis ma ON ma.subj = e.subj
+  LEFT JOIN code_hit ch ON ch.subj = e.subj),
+-- K1 disambiguation: Dice over char-3-grams of '  '||lower(s)||' ' (= the
+-- engine's Tverski α=1 β=γ=0.5), top-1 by (score DESC, term ASC, cui ASC)
+cand AS (
+  SELECT c.subj, u.cui, t.str AS term,
+         '  ' || lower(COALESCE(p.raw_label, '')) || ' ' AS pl,
+         '  ' || lower(t.str) || ' ' AS pt
+  FROM cascade c
+  JOIN (SELECT subj, unnest(cuis0) AS cui FROM cascade WHERE len(cuis0) > 1) u ON u.subj = c.subj
+  JOIN (SELECT DISTINCT cui, str FROM conso WHERE lat = 'ENG') t ON t.cui = u.cui
+  LEFT JOIN pref2 p ON p.subj = c.subj
+  WHERE len(c.cuis0) > 1),
+scored AS (
+  SELECT subj, cui, term,
+         list_distinct([substr(pl, CAST(i AS INT), 3) FOR i IN range(1, len(pl) - 1)]) AS ga,
+         list_distinct([substr(pt, CAST(i AS INT), 3) FOR i IN range(1, len(pt) - 1)]) AS gb
+  FROM cand),
+dis_pick AS (
+  SELECT subj, cui FROM (
+    SELECT subj, cui, row_number() OVER (PARTITION BY subj
+      ORDER BY 2.0 * len(list_intersect(ga, gb)) / (len(ga) + len(gb)) DESC,
+               term ASC, cui ASC) AS rn
+    FROM scored) WHERE rn = 1),
+final_cuis AS (
+  SELECT c.subj,
+         CASE WHEN len(c.cuis0) <= 1 THEN c.cuis0
+              WHEN dp.cui IS NOT NULL THEN [dp.cui]
+              ELSE [c.cuis0[1]] END AS cuis,  -- no candidate terms → min(cui)
+         c.purge, c.own
+  FROM cascade c LEFT JOIN dis_pick dp ON dp.subj = c.subj),
+own_tuis AS (
+  SELECT subj, list_sort(list(DISTINCT {clean.format('obj')})) AS tuis
+  FROM src WHERE pred = 'umls:tui' GROUP BY subj),
+mapped_tuis AS (  -- J3 under target-class semantics (documented divergence)
+  SELECT m.source_class AS subj,
+         list_sort(list(DISTINCT {clean.format('t.obj')})) AS tuis
+  FROM maps m JOIN tgt t ON t.subj = m.target_class AND t.pred = 'umls:tui'
+  WHERE m.property IN ({preds}) GROUP BY m.source_class),
+cui_tuis AS (  -- J5: via the FINAL (post-disambiguation) CUIs
+  SELECT f.subj, list_sort(list(DISTINCT s.tui)) AS tuis
+  FROM (SELECT subj, unnest(cuis) AS cui FROM final_cuis) f
+  JOIN sty s ON s.cui = f.cui GROUP BY f.subj),
+final_tuis AS (
+  SELECT f.subj, COALESCE(ot.tuis, mt.tuis, ct.tuis, []) AS tuis
+  FROM final_cuis f
+  LEFT JOIN own_tuis ot ON ot.subj = f.subj
+  LEFT JOIN mapped_tuis mt ON mt.subj = f.subj
+  LEFT JOIN cui_tuis ct ON ct.subj = f.subj),
+alts AS (  -- distinct (label, lang-or-'') pairs, as the pivot dedups them
+  SELECT DISTINCT subj, obj AS a, COALESCE(obj_lang, '') AS l
+  FROM src WHERE pred = 'skos:altLabel')
+-- 1. updateCUIs
+SELECT subj, 'umls:cui' AS pred, unnest(cuis) AS obj, CAST(NULL AS VARCHAR) AS obj_lang
+FROM final_cuis
+UNION ALL  -- M19 changeNote when any CUI is newly added
+SELECT subj, 'skos:changeNote', '{note}', 'fr'
+FROM final_cuis WHERE len(list_filter(cuis, c -> NOT list_contains(own, c))) > 0
+UNION ALL  -- 3. updateTUIs + hasSTY
+SELECT subj, 'umls:tui', unnest(tuis), NULL FROM final_tuis
+UNION ALL
+SELECT subj, 'umls:hasSTY', 'http://purl.bioontology.org/ontology/STY/' || unnest(tuis), NULL
+FROM final_tuis
+UNION ALL  -- 6. notation if absent
+SELECT subj, 'skos:notation', code, NULL FROM codes
+WHERE code IS NOT NULL
+  AND subj NOT IN (SELECT subj FROM src WHERE pred = 'skos:notation')
+UNION ALL  -- prefLabel (parsed)
+SELECT subj, 'skos:prefLabel', label, lang FROM pref2 WHERE label <> ''
+UNION ALL  -- altLabels surviving M9 purge, M7 ==prefLabel drop, ==code drop
+SELECT al.subj, 'skos:altLabel', al.a, NULLIF(al.l, '')
+FROM alts al
+JOIN final_cuis f ON f.subj = al.subj
+LEFT JOIN pref2 p ON p.subj = al.subj
+LEFT JOIN codes c ON c.subj = al.subj
+WHERE NOT list_contains(f.purge, {clean.format('al.a')})
+  AND (p.label IS NULL OR p.label = ''
+       OR lower(trim({parse_label.format('al.a')})) <> lower(trim(p.label)))
+  AND (c.code IS NULL OR trim({parse_label.format('al.a')}) <> c.code)
+UNION ALL  -- 4. updateMappings re-add
+SELECT source_class, property, target_class, NULL FROM maps
+"""
+
+
 def write_stats_csv(stats: dict[str, int], path: str) -> None:
     """2-line CSV, headers then counts (≙ OntologyStats.writeStatistics,
     stats/OntologyStats.java:62-84)."""

@@ -1035,22 +1035,26 @@ PACK_BUCKETS = 16
 
 
 def q_sequence_pack(sf_dir: str):
-    """Greedy sample packing: docs are hash-bucketed, each bucket packs
-    its docs (doc_id order) into ≤512-token sequences; docs longer than
-    the budget get a pack of their own. Returns per-bucket packing stats.
-    Deterministic under any partitioning (bucket membership and order are
-    content-independent); the partitioning assumption — packing is
-    bucket-local, not globally optimal — is the standard trade-off.
-    Sequential-oracle test in tests/test_sequential_oracles.py."""
-    from ..functions.hashing import hash64
+    """Greedy sample packing: docs are bucketed by ``doc_id % PACK_BUCKETS``
+    (a content-independent modulo partitioner — balanced for dense ids and,
+    unlike a keyed blake2b hash, restatable in the DuckDB oracle), each
+    bucket packs its docs (doc_id order) into ≤512-token sequences; docs
+    longer than the budget get a pack of their own. Returns per-bucket
+    packing stats. Deterministic under any partitioning (bucket membership
+    and order are content-independent); the partitioning assumption —
+    packing is bucket-local, not globally optimal — is the standard
+    trade-off. Exact oracle: SQL_SEQUENCE_PACK (recursive-CTE next-fit)
+    + the sequential test in tests/test_sequential_oracles.py."""
     from ..state.grouped import bucketed_map_groups
 
     def with_bucket(batch: pa.Table) -> pa.Table:
-        toks = pa.array([len(t.split()) for t in batch["text"].to_pylist()], pa.int64())
-        bucket = pa.array(
-            [hash64(str(d)) % PACK_BUCKETS for d in batch["doc_id"].to_pylist()],
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        toks = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+        toks = pc.cast(
+            pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int32()), toks),
             pa.int64(),
         )
+        bucket = pc.bit_wise_and(batch["doc_id"], PACK_BUCKETS - 1)
         return pa.table({"pack_bucket": bucket, "doc_id": batch["doc_id"], "n_tok": toks})
 
     def pack_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -1082,6 +1086,40 @@ def q_sequence_pack(sf_dir: str):
         ignore_index=True,
     ))
     return out.to_pandas().sort_values("pack_bucket").reset_index(drop=True)
+
+
+# Next-fit packing is a sequential fold, out of reach of plain window
+# functions — the oracle restates it as a recursive CTE that advances one
+# doc per bucket per iteration (iteration depth = max docs per bucket;
+# fine at oracle scale, and the ENGINE never runs this — it's the
+# independent check). `doc_id % PACK_BUCKETS` matches the engine's
+# bit_wise_and(doc_id, 15) for the non-negative ids the tables guarantee.
+SQL_SEQUENCE_PACK = rf"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id % {PACK_BUCKETS} AS pack_bucket,
+         LEAST(len({_SQL_WORDS}), {PACK_BUDGET}) AS t,
+         row_number() OVER (PARTITION BY doc_id % {PACK_BUCKETS}
+                            ORDER BY doc_id) AS rn
+  FROM documents
+),
+fold AS (
+  SELECT pack_bucket, rn, t, 1 AS n_packs, t AS fill, 0 AS waste
+  FROM tok WHERE rn = 1
+  UNION ALL
+  SELECT t.pack_bucket, t.rn, t.t,
+         CASE WHEN f.fill + t.t > {PACK_BUDGET} THEN f.n_packs + 1 ELSE f.n_packs END,
+         CASE WHEN f.fill + t.t > {PACK_BUDGET} THEN t.t ELSE f.fill + t.t END,
+         CASE WHEN f.fill + t.t > {PACK_BUDGET} THEN f.waste + {PACK_BUDGET} - f.fill ELSE f.waste END
+  FROM fold f JOIN tok t ON t.pack_bucket = f.pack_bucket AND t.rn = f.rn + 1
+),
+last AS (SELECT pack_bucket, max(rn) AS n_docs FROM tok GROUP BY pack_bucket)
+SELECT l.pack_bucket,
+       CAST(l.n_docs AS BIGINT) AS n_docs,
+       CAST(f.n_packs AS BIGINT) AS n_packs,
+       CAST(f.waste + {PACK_BUDGET} - f.fill AS BIGINT) AS wasted_tokens
+FROM last l JOIN fold f ON f.pack_bucket = l.pack_bucket AND f.rn = l.n_docs
+ORDER BY l.pack_bucket
+"""
 
 
 # --------------------------------------------------------------------------

@@ -251,6 +251,33 @@ def ontology_fixture(seed: int = SEED) -> dict[str, pa.Table]:
         (t8, "umls:cui", "C0000005", None),
         (t8, "umls:tui", "T099", None),
     ]
+    # e9: TWO CUIs via the mapping 2-hop → Tverski disambiguation actually
+    # discriminates (label 'vector' vs candidate terms 'vector'/'merge');
+    # the kept CUI's TUIs then arrive via the UMLS cui→tui path. Terms are
+    # resolved to their generated CUIs so the fixture tracks umls_tables().
+    mrconso_fx, _ = umls_tables(seed)
+    _term_cui = {
+        (s, c) for s, c, lat in zip(
+            mrconso_fx["str"].to_pylist(), mrconso_fx["cui"].to_pylist(),
+            mrconso_fx["lat"].to_pylist(),
+        ) if lat == "ENG"
+    }
+
+    def cui_of(term: str) -> str:
+        return sorted(c for s, c in _term_cui if s == term)[0]
+
+    e9 = ent(9, "I09")
+    t9 = f"{T}target9"
+    src += [
+        (e9, "rdf:type", "skos:Concept", None),
+        (e9, "skos:prefLabel", "vector", "en"),
+    ]
+    maps += [(e9, "skos:relatedMatch", t9)]
+    tgt += [
+        (t9, "rdf:type", "skos:Concept", None),
+        (t9, "umls:cui", cui_of("vector"), None),
+        (t9, "umls:cui", cui_of("merge"), None),
+    ]
 
     def table(rows):
         return pa.table(

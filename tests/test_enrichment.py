@@ -157,12 +157,13 @@ def test_stats_counters(ray_session, tmp_path):
         header = f.readline().strip().split(",")
         values = [int(v) for v in f.readline().strip().split(",")]
     stats = dict(zip(header, values))
-    assert stats["classes"] == 8
+    assert stats["classes"] == 9
     assert stats["with_own_cui"] == 2      # e1, e5
     assert stats["cui_from_altlabel"] == 1  # e2
-    assert stats["cui_from_mapping"] == 2   # e3, e8
+    assert stats["cui_from_mapping"] == 3   # e3, e8, e9
+    assert stats["ambiguous_disambiguated"] == 1  # e9 (two mapped CUIs)
     assert stats["without_cui"] >= 1        # e7
-    assert stats["with_tui"] + stats["without_tui"] == 8
+    assert stats["with_tui"] + stats["without_tui"] == 9
 
 
 def test_large_ontology_scale_shape(ray_session):

@@ -120,11 +120,10 @@ def test_chunking_reconstructs_documents(ray_session, sf_small, docs):
 
 def test_sequence_pack_matches_sequential(ray_session, sf_small, docs):
     got = textops.q_sequence_pack(sf_small)
-    from sifr_project_java_ontology_processing_ray.functions.hashing import hash64
 
     buckets: dict = {}
     for _, row in docs.sort_values("doc_id").iterrows():
-        b = hash64(str(row["doc_id"])) % textops.PACK_BUCKETS
+        b = int(row["doc_id"]) % textops.PACK_BUCKETS
         buckets.setdefault(b, []).append(min(len(row["text"].split()), textops.PACK_BUDGET))
     import pandas as pd
 

@@ -23,7 +23,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from sifr_project_java_ontology_processing_ray.functions.hashing import (  # noqa: E402
     MinHasher,
     hamming64,
-    hash64,
     shingles,
     simhash,
 )
@@ -107,7 +106,7 @@ def sequence_pack_seq(docs: list[tuple[int, str]]) -> set[tuple[int, int, int, i
     Returns (pack_bucket, n_docs, n_packs, wasted_tokens) rows."""
     buckets: dict = {}
     for did, text in sorted(docs):
-        b = hash64(str(did)) % textops.PACK_BUCKETS
+        b = int(did) % textops.PACK_BUCKETS
         buckets.setdefault(b, []).append(min(len(text.split()), textops.PACK_BUDGET))
     rows = set()
     for b in sorted(buckets):
