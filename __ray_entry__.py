@@ -428,6 +428,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": textops.SQL_DOC_CHUNKS,
         "bpeish_tokens": textops.SQL_BPEISH_TOKENS,
         "fingerprints": textops.SQL_FINGERPRINTS,
+        "bpe_merges": textops.SQL_BPE_MERGES,
         "sequence_pack": textops.SQL_SEQUENCE_PACK,
         "duplicate_spans": textops.SQL_DUPLICATE_SPANS,
         "tfidf_keywords": textops.SQL_TFIDF_KEYWORDS,

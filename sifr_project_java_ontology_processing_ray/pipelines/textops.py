@@ -570,9 +570,8 @@ def q_bpe_merges(sf_dir: str, rounds: int = BPE_ROUNDS, cap: int = BPE_VOCAB_CAP
     set). The merge loop itself then runs on the driver over the capped
     (word, n) rows — per round O(Σ|word|) symbols, cap-bounded and
     corpus-size independent. Deterministic given the (count desc, token
-    asc) sort; exact vs the pure-python sequential oracle in tests
-    (left-to-right non-overlapping merge application has no SQL
-    restatement, so this is a rows-only gate entry)."""
+    asc) sort; exact vs the pure-python sequential oracle in tests AND
+    vs SQL_BPE_MERGES, an unrolled per-round DuckDB restatement."""
     import collections
 
     from ray.data.aggregate import Sum
@@ -628,6 +627,65 @@ def q_bpe_merges(sf_dir: str, rounds: int = BPE_ROUNDS, cap: int = BPE_VOCAB_CAP
     return pd.DataFrame(
         out, columns=["rk", "left", "right", "merged", "n"]
     ).astype({"rk": "int64", "n": "int64"})
+
+
+def _sql_bpe_merges(rounds: int = BPE_ROUNDS, cap: int = BPE_VOCAB_CAP) -> str:
+    """Exact DuckDB restatement of q_bpe_merges as ``rounds`` unrolled CTE
+    blocks. The trick that makes left-to-right non-overlapping merge
+    application SQL-expressible: each word's symbolization is encoded as a
+    string of ``\\x1f``-wrapped symbols (``\\x1f s1 \\x1f \\x1f s2 \\x1f …``),
+    so applying merge (l, r) is a plain ``replace()`` of
+    ``\\x1f l \\x1f \\x1f r \\x1f`` with ``\\x1f lr \\x1f`` — SQL replace scans
+    left-to-right and never rescans its own replacement, which is exactly
+    BPE's non-overlapping application order, and the wrapping seps keep a
+    symbol from matching a suffix/prefix of a longer one. Every CTE is
+    MATERIALIZED: w{{k}} is referenced twice (pair census + next round) and
+    un-materialized inlining doubles the expression tree per round.
+    Assumes document text contains no ``\\x1f`` (it is not whitespace, so a
+    token containing it would corrupt the encoding; the synthetic fixtures
+    are control-char-free)."""
+    s = "chr(31)"
+    tok = rf"""
+    SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents WHERE trim(text) <> '')
+    WHERE token <> ''
+    GROUP BY token ORDER BY n DESC, token LIMIT {cap}"""
+    parts = [
+        f"""WITH w0 AS MATERIALIZED (
+  SELECT regexp_replace(token, '(.)', {s} || '\\1' || {s}, 'g') AS enc, n
+  FROM ({tok})
+  WHERE length(token) >= 2
+)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+p{k} AS MATERIALIZED (
+  SELECT l, r, CAST(sum(n) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_slice(L, 1, len(L) - 1)) AS l,
+           unnest(list_slice(L, 2, len(L))) AS r, n
+    FROM (SELECT list_transform(str_split(enc, {s} || {s}), x -> trim(x, {s})) AS L, n
+          FROM w{k - 1})
+    WHERE len(L) >= 2
+  ) GROUP BY l, r
+),
+m{k} AS MATERIALIZED (
+  SELECT {k} AS rk, l, r, l || r AS merged, cnt FROM p{k}
+  ORDER BY cnt DESC, l, r LIMIT 1
+),
+w{k} AS MATERIALIZED (
+  SELECT replace(enc, {s} || m.l || {s} || {s} || m.r || {s},
+                      {s} || m.l || m.r || {s}) AS enc, w.n
+  FROM w{k - 1} w, m{k} m
+)""")
+    union = "\nUNION ALL\n".join(f"SELECT * FROM m{k}" for k in range(1, rounds + 1))
+    parts.append(f"""
+SELECT CAST(rk AS BIGINT) AS rk, l AS "left", r AS "right", merged, cnt AS n
+FROM ({union}) ORDER BY rk""")
+    return "".join(parts)
+
+
+SQL_BPE_MERGES = _sql_bpe_merges()
 
 
 # --------------------------------------------------------------------------

@@ -77,6 +77,9 @@ SUBSET = [
     "hits",
     "quota_sample",
     "assortativity",
+    "sequence_pack",
+    "enrichment_cascade",
+    "bpe_merges",
 ]
 
 
