@@ -965,6 +965,11 @@ def _tri_oriented(
     return with_deg.map_batches(orient, batch_format="pyarrow"), None
 
 
+# Sentinel: node ids too wide for 32-bit packing — caller falls back to
+# the shuffled path. Distinct from None (empty edge set → empty result).
+_IDS_TOO_WIDE = object()
+
+
 def _driver_graph_state(edges: rd.Dataset, n_slices: int):
     """Driver-side degree/orient/pack for the ≤ EDGE_BROADCAST_LIMIT path.
 
@@ -973,7 +978,10 @@ def _driver_graph_state(edges: rd.Dataset, n_slices: int):
     the degree count (np.unique) and the
     (deg, id) orientation into the same pull removes the degree aggregate
     shuffle and the oriented map pass — measured 5.2 s + 0.3 s of the
-    10.5 s sf0.1 census. Returns ``None`` when the edge set is empty.
+    10.5 s sf0.1 census. Returns ``None`` when the edge set is empty, and
+    ``_IDS_TOO_WIDE`` when any node id ≥ 2^31 (the 32-bit packing bound,
+    checked HERE on the already-pulled arrays instead of a separate
+    ``edges.max("b")`` Dataset aggregate — one fewer full execution).
 
     The oriented stream is lexsorted by (src, dst) and cut into
     ``n_slices`` wedge-volume-balanced, src-group-aligned row ranges so
@@ -987,6 +995,8 @@ def _driver_graph_state(edges: rd.Dataset, n_slices: int):
     b = edf["b"].to_numpy(np.int64)
     if not len(a):
         return None
+    if int(b.max()) >= (1 << 31):  # b > a on every row, so b bounds both
+        return _IDS_TOO_WIDE
     nodes_s, counts = np.unique(np.concatenate([a, b]), return_counts=True)
     deg_s = counts.astype(np.int64)
     da = deg_s[np.searchsorted(nodes_s, a)]
@@ -1015,52 +1025,93 @@ def _driver_graph_state(edges: rd.Dataset, n_slices: int):
     }
 
 
-def _close_slices(state, credit: bool) -> rd.Dataset:
-    """Fan the closing probe out over the src-range slices of the
-    broadcast oriented stream. ``credit=False`` → one scalar triangle
-    partial per slice (column ``t``); ``credit=True`` → per-node
-    (node, t) credit partials for the clustering coefficient."""
-    from ..state.grouped import dataset_from_table
+_CLOSE_TASK_REMOTE = None
 
+
+_CLOSE_CHUNK_WEDGES = 1 << 19  # ≈ 12 MB of wedge arrays per emit+probe round
+
+
+def _close_slice_task(src, dst, packed, lo, hi, credit: bool):
+    """One closing-probe slice: emit the slice's wedges, probe the packed
+    edge array. Scalar triangle partial (``credit=False``) or per-node
+    (nodes, t) credit partials (``credit=True``).
+
+    Wedges are emitted and probed in group-aligned CHUNKS of
+    ~``_CLOSE_CHUNK_WEDGES`` instead of materializing the slice's whole
+    wedge set: peak task memory stays ~12 MB however many wedges the
+    slice carries (measured: the unchunked 40 MB-per-task allocation
+    burst cost 7.7 s of concurrent cold-heap page faults on first use at
+    24-way fan-out; chunked, the buffers stay allocator-resident). The
+    residual bound is a single src group's C(out-deg, 2) — degree
+    orientation caps out-deg at ~sqrt(2·m), so one group's wedges fit
+    long before the slice's do."""
+    s, d = src[lo:hi], dst[lo:hi]
+    if not len(s):
+        return (np.empty(0, np.int64), np.empty(0, np.int64)) if credit else 0
+    starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+    g_sz = np.diff(np.r_[starts, len(s)])
+    cw = np.cumsum(g_sz * (g_sz - 1) // 2)
+    total_w = int(cw[-1])
+    if total_w == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64)) if credit else 0
+    n_chunks = max(1, -(-total_w // _CLOSE_CHUNK_WEDGES))
+    # group-aligned cut points: chunk k covers groups [cuts[k], cuts[k+1])
+    targets = np.arange(1, n_chunks) * (total_w / n_chunks)
+    cuts = np.unique(np.r_[0, np.searchsorted(cw, targets) + 1, len(starts)])
+    row_bounds = np.r_[starts[cuts[:-1]], len(s)]
+    tri = 0
+    us, cs = [], []
+    for r0, r1 in zip(row_bounds[:-1], row_bounds[1:]):
+        ws, wa, wb = _pairs_from_sorted(s[r0:r1], d[r0:r1])
+        if not len(wa):
+            continue
+        m = _closing_mask(packed, wa, wb)
+        if credit:
+            cred = np.concatenate([ws[m], wa[m], wb[m]])
+            u, c = np.unique(cred, return_counts=True)
+            us.append(u)
+            cs.append(c.astype(np.int64))
+        else:
+            tri += int(m.sum())
+    if not credit:
+        return tri
+    if not us:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    # combine the per-chunk partials (a src group never spans chunks, but
+    # wedge ENDS recur across chunks — sum per node)
+    allu = np.concatenate(us)
+    allc = np.concatenate(cs)
+    u, inv = np.unique(allu, return_inverse=True)
+    c = np.zeros(len(u), np.int64)
+    np.add.at(c, inv, allc)
+    return u.astype(np.int64), c
+
+
+def _close_slices(state, credit: bool) -> list:
+    """Fan the closing probe out over the src-range slices of the
+    broadcast oriented stream; returns the slice-result object refs
+    (``ray.get`` them in any order — partials are commutative).
+
+    RAW ray tasks, not a Dataset map: the probe is a pure scalar/array
+    fold over driver-broadcast state, consumed on the driver either way,
+    and the Dataset form (64 one-row blocks → map_batches → sum) measured
+    2.7–3.6 s of per-execution fixed cost against 1.2–1.5 s for the same
+    64 tasks raw at sf0.1 — the per-operator executor spin-up dwarfs the
+    ~50 ms of per-slice compute. The driver path is already gated to
+    driver-resident edge sets (≤ EDGE_BROADCAST_LIMIT), so no streaming
+    backpressure is being bypassed."""
+    import ray
+
+    global _CLOSE_TASK_REMOTE
+    if _CLOSE_TASK_REMOTE is None:  # one export per process
+        _CLOSE_TASK_REMOTE = ray.remote(num_cpus=1)(_close_slice_task)
+    remote = _CLOSE_TASK_REMOTE
     src_ref, dst_ref, packed_ref = state["refs"]
     bounds = state["bounds"]
-    slices = dataset_from_table(
-        pa.table(
-            {"lo": pa.array(bounds[:-1]), "hi": pa.array(bounds[1:])}
-        ),
-        target_rows=1,
-        max_blocks=len(bounds) - 1,
-    )
-
-    def close(bt: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        src = _ray.get(src_ref)
-        dst = _ray.get(dst_ref)
-        packed = _ray.get(packed_ref)
-        los = bt["lo"].to_numpy(zero_copy_only=False)
-        his = bt["hi"].to_numpy(zero_copy_only=False)
-        n_out, t_out = [], []
-        for lo, hi in zip(los, his):  # ≤ a handful of slice rows per block
-            ws, wa, wb = _pairs_from_sorted(src[lo:hi], dst[lo:hi])
-            if not len(wa):
-                continue
-            m = _closing_mask(packed, wa, wb)
-            if credit:
-                cred = np.concatenate([ws[m], wa[m], wb[m]])
-                u, c = np.unique(cred, return_counts=True)
-                n_out.append(u)
-                t_out.append(c.astype(np.int64))
-            else:
-                t_out.append(np.array([int(m.sum())], np.int64))
-        t = np.concatenate(t_out) if t_out else np.empty(0, np.int64)
-        if credit:
-            n = np.concatenate(n_out) if n_out else np.empty(0, np.int64)
-            return pa.table({"node": pa.array(n, pa.int64()),
-                             "t": pa.array(t, pa.int64())})
-        return pa.table({"t": pa.array(t, pa.int64())})
-
-    return slices.map_batches(close, batch_format="pyarrow")
+    return [
+        remote.remote(src_ref, dst_ref, packed_ref, int(lo), int(hi), credit)
+        for lo, hi in zip(bounds[:-1], bounds[1:])
+    ]
 
 
 def _closing_mask(es: np.ndarray, wa: np.ndarray, wb: np.ndarray) -> np.ndarray:
@@ -1094,21 +1145,26 @@ def triangle_count(edges: rd.Dataset) -> rd.Dataset:
       from hash-join actor startup.)"""
     from ..state.grouped import bucketed_map_groups, dataset_from_table
 
+    import ray
+
     edges = edges.materialize()
     n_edges = edges.count()
     parts = join_partitions(rows=n_edges)
 
-    hi = edges.max("b") if n_edges else None  # b > a always: max node id
-    if n_edges <= EDGE_BROADCAST_LIMIT and (hi is None or hi < (1 << 31)):
-        state = _driver_graph_state(edges, n_slices=2 * parts)
-        if state is None:
-            return dataset_from_table(
-                pa.table({"n_nodes": pa.array([0], pa.int64()),
-                          "n_edges": pa.array([0], pa.int64()),
-                          "n_triangles": pa.array([0], pa.int64())})
-            )
+    state = (
+        _driver_graph_state(edges, n_slices=2 * parts)
+        if n_edges <= EDGE_BROADCAST_LIMIT
+        else _IDS_TOO_WIDE
+    )
+    if state is None:
+        return dataset_from_table(
+            pa.table({"n_nodes": pa.array([0], pa.int64()),
+                      "n_edges": pa.array([0], pa.int64()),
+                      "n_triangles": pa.array([0], pa.int64())})
+        )
+    if state is not _IDS_TOO_WIDE:
         n_nodes = len(state["nodes"])
-        closed = _close_slices(state, credit=False)
+        n_tri = sum(ray.get(_close_slices(state, credit=False)))
     else:
         deg = _tri_degrees(edges, parts)
         n_nodes = deg.count()
@@ -1147,7 +1203,7 @@ def triangle_count(edges: rd.Dataset) -> rd.Dataset:
             ["a", "b"],
             close_wedges,
         )
-    n_tri = int(closed.sum("t") or 0)
+        n_tri = int(closed.sum("t") or 0)
     return dataset_from_table(
         pa.table(
             {
@@ -1222,25 +1278,26 @@ def clustering_coefficient(edges: rd.Dataset) -> rd.Dataset:
             }
         )
 
-    hi = edges.max("b") if n_edges else None
-    if n_edges <= EDGE_BROADCAST_LIMIT and (hi is None or hi < (1 << 31)):
-        state = _driver_graph_state(edges, n_slices=2 * parts)
-        if state is None:
-            return dataset_from_table(
-                pa.table({"node": pa.array([], pa.int64()),
-                          "deg": pa.array([], pa.int64()),
-                          "n_tri": pa.array([], pa.int64()),
-                          "coeff": pa.array([], pa.float64())})
-            )
+    import ray
+
+    state = (
+        _driver_graph_state(edges, n_slices=2 * parts)
+        if n_edges <= EDGE_BROADCAST_LIMIT
+        else _IDS_TOO_WIDE
+    )
+    if state is None:
+        return dataset_from_table(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "deg": pa.array([], pa.int64()),
+                      "n_tri": pa.array([], pa.int64()),
+                      "coeff": pa.array([], pa.float64())})
+        )
+    if state is not _IDS_TOO_WIDE:
         nodes_s, deg_s = state["nodes"], state["deg"]
         tris = np.zeros(len(nodes_s), np.int64)
-        for b in _close_slices(state, credit=True).iter_batches(
-            batch_format="pyarrow"
-        ):
-            if b.num_rows == 0 or "node" not in b.column_names:
-                continue
-            idx = np.searchsorted(nodes_s, b["node"].to_numpy(zero_copy_only=False))
-            np.add.at(tris, idx, b["t"].to_numpy(zero_copy_only=False))
+        for u, c in ray.get(_close_slices(state, credit=True)):
+            if len(u):
+                np.add.at(tris, np.searchsorted(nodes_s, u), c)
         return dataset_from_table(_coeff_table(nodes_s, deg_s, tris))
 
     # shuffled path: raw wedges carry their source through the closing join
