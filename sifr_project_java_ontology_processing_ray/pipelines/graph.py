@@ -1031,10 +1031,11 @@ _CLOSE_TASK_REMOTE = None
 _CLOSE_CHUNK_WEDGES = 1 << 19  # ≈ 12 MB of wedge arrays per emit+probe round
 
 
-def _close_slice_task(src, dst, packed, lo, hi, credit: bool):
+def _close_slice_task(src, dst, packed, lo, hi, credit: bool, chunk_wedges: int):
     """One closing-probe slice: emit the slice's wedges, probe the packed
     edge array. Scalar triangle partial (``credit=False``) or per-node
-    (nodes, t) credit partials (``credit=True``).
+    (nodes, t) credit partials (``credit=True``). ``chunk_wedges`` is
+    passed from the driver (module globals don't reach workers).
 
     Wedges are emitted and probed in group-aligned CHUNKS of
     ~``_CLOSE_CHUNK_WEDGES`` instead of materializing the slice's whole
@@ -1054,7 +1055,7 @@ def _close_slice_task(src, dst, packed, lo, hi, credit: bool):
     total_w = int(cw[-1])
     if total_w == 0:
         return (np.empty(0, np.int64), np.empty(0, np.int64)) if credit else 0
-    n_chunks = max(1, -(-total_w // _CLOSE_CHUNK_WEDGES))
+    n_chunks = max(1, -(-total_w // chunk_wedges))
     # group-aligned cut points: chunk k covers groups [cuts[k], cuts[k+1])
     targets = np.arange(1, n_chunks) * (total_w / n_chunks)
     cuts = np.unique(np.r_[0, np.searchsorted(cw, targets) + 1, len(starts)])
@@ -1109,7 +1110,8 @@ def _close_slices(state, credit: bool) -> list:
     src_ref, dst_ref, packed_ref = state["refs"]
     bounds = state["bounds"]
     return [
-        remote.remote(src_ref, dst_ref, packed_ref, int(lo), int(hi), credit)
+        remote.remote(src_ref, dst_ref, packed_ref, int(lo), int(hi), credit,
+                      _CLOSE_CHUNK_WEDGES)
         for lo, hi in zip(bounds[:-1], bounds[1:])
     ]
 

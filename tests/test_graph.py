@@ -250,6 +250,24 @@ class TestTriangles:
         got = graph.triangle_count(_und_edges_ds(rngpairs)).to_pandas()
         assert got.equals(want)
 
+    def test_chunked_close_agrees(self, ray_session, monkeypatch):
+        """A ~1-wedge chunk budget (maximal chunk count, every group its
+        own emit+probe round) must census and credit identically to the
+        single-chunk fast case — pins the group-aligned chunk cuts and
+        the per-chunk credit recombination in _close_slice_task."""
+        import random
+
+        rng = random.Random(11)
+        nodes = list(range(40))
+        pairs = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(200)})
+        want_t = graph.triangle_count(_und_edges_ds(pairs)).to_pandas()
+        want_c = graph.clustering_coefficient(_und_edges_ds(pairs)).to_pandas()
+        monkeypatch.setattr(graph, "_CLOSE_CHUNK_WEDGES", 1)
+        got_t = graph.triangle_count(_und_edges_ds(pairs)).to_pandas()
+        got_c = graph.clustering_coefficient(_und_edges_ds(pairs)).to_pandas()
+        assert got_t.equals(want_t)
+        assert got_c.equals(want_c)
+
 
 class TestIterativeCheckpoints:
     """CC and BFS loops resume from the highest completed round and land
