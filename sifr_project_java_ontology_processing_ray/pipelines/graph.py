@@ -191,6 +191,32 @@ def pagerank(
     )
 
 
+def _contrib_blocks(refs, lut_nodes, lut_w, key_from="src", key_to="dst"):
+    """One block group's weighted-message partial: Σ w(key_from) per
+    key_to node. Runs as a raw task (state/blockfold); returns node-sized
+    numpy (nodes, sums) combined across the group's blocks. Shared by the
+    pagerank (src→dst) and HITS (both directions) broadcast loops."""
+    import ray
+
+    out_n, out_w = [], []
+    for blk in ray.get(refs):
+        if blk.num_rows == 0:
+            continue
+        idx = np.searchsorted(lut_nodes, blk[key_from].to_numpy(zero_copy_only=False))
+        t = pa.table({"node": blk[key_to], "w": pa.array(lut_w[idx], pa.float64())})
+        g = t.group_by("node").aggregate([("w", "sum")])
+        out_n.append(g["node"].to_numpy(zero_copy_only=False))
+        out_w.append(g["w_sum"].to_numpy(zero_copy_only=False))
+    if not out_n:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    alln = np.concatenate(out_n)
+    allw = np.concatenate(out_w)
+    u, inv = np.unique(alln, return_inverse=True)
+    s = np.zeros(len(u), np.float64)
+    np.add.at(s, inv, allw)
+    return u, s
+
+
 def _pagerank_broadcast(
     edges: rd.Dataset,
     nodes: np.ndarray,
@@ -213,8 +239,14 @@ def _pagerank_broadcast(
         r = np.load(ckpt)
 
     # the node array is static — ship it ONCE; only the per-src weight
-    # array (8 B/node) rides a fresh blob per iteration
+    # array (8 B/node) rides a fresh blob per iteration. Rounds run as
+    # raw-task folds over the materialized edge blocks (state/blockfold):
+    # the previous per-round Dataset execution paid ~0.3-0.4 s of executor
+    # fixed cost against ~50 ms of scan, ×iters.
+    from ..state.blockfold import block_ref_groups, fold_blocks
+
     nodes_ref = ray.put(nodes)
+    groups = block_ref_groups(edges)
 
     for round_idx in range(start, iters):
         dm = float(r[dangling].sum())
@@ -222,29 +254,13 @@ def _pagerank_broadcast(
         w_src = np.divide(r, out_cnt, out=np.zeros_like(r), where=out_cnt > 0)
         w_ref = ray.put(w_src)
 
-        def contrib(b: pa.Table, _nref=nodes_ref, _wref=w_ref) -> pa.Table:
-            lut_nodes = ray.get(_nref)
-            lut_w = ray.get(_wref)
-            idx = np.searchsorted(lut_nodes, b["src"].to_numpy(zero_copy_only=False))
-            t = pa.table(
-                {"node": b["dst"], "w": pa.array(lut_w[idx], pa.float64())}
-            )
-            return t.group_by("node").aggregate([("w", "sum")])
-
-        # per-batch partials stream back node-sized (≤ unique-dst rows per
-        # block) and fold on the driver — no per-iteration shuffle op at
+        # per-group partials come back node-sized (≤ unique-dst rows per
+        # group) and fold on the driver — no per-iteration shuffle op at
         # all; the big-graph path below keeps everything distributed.
-        # Explicit batch_size: without it Ray passes EMPTY upstream blocks
-        # through unmapped as zero-column schema-less bundles (breaks the
-        # executor's schema dedup and spams RefBundle warnings)
         s = np.zeros(len(nodes))
-        for part in edges.map_batches(
-            contrib, batch_format="pyarrow", batch_size=262144
-        ).iter_batches(batch_format="pyarrow"):
-            if part.num_rows == 0 or "node" not in part.column_names:
-                continue
-            idx = np.searchsorted(nodes, part["node"].to_numpy(zero_copy_only=False))
-            np.add.at(s, idx, part["w_sum"].to_numpy(zero_copy_only=False))
+        for part_n, part_w in fold_blocks(_contrib_blocks, groups, nodes_ref, w_ref):
+            if len(part_n):
+                np.add.at(s, np.searchsorted(nodes, part_n), part_w)
         # operation order mirrors SQL_PAGERANK: base/N + d*(s + dm/N)
         r = base / n + damping * (s + dm / n)
         if checkpoint_dir:
@@ -494,6 +510,34 @@ def bfs_levels(
     return _bfs_shuffle(edges, source, rounds, checkpoint_dir)
 
 
+def _bfs_relax_blocks(refs, lut_nodes, lut_d):
+    """One block group's BFS relaxation partial: min(level)+1 per reached
+    neighbor, both directions. Raw task (state/blockfold); returns
+    (nodes, min_levels) numpy pair."""
+    import ray
+
+    out_n, out_d = [], []
+    for blk in ray.get(refs):
+        if blk.num_rows == 0:
+            continue
+        src = blk["src"].to_numpy(zero_copy_only=False)
+        dst = blk["dst"].to_numpy(zero_copy_only=False)
+        # undirected: relax both directions; only reached endpoints emit
+        for a, bb in ((src, dst), (dst, src)):
+            d = lut_d[np.searchsorted(lut_nodes, a)]
+            m = d < _BFS_UNREACHED
+            out_n.append(bb[m])
+            out_d.append(d[m] + 1)
+    alln = np.concatenate(out_n) if out_n else np.empty(0, np.int64)
+    if not len(alln):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    alld = np.concatenate(out_d)
+    u, inv = np.unique(alln, return_inverse=True)
+    dmin = np.full(len(u), _BFS_UNREACHED, np.int64)
+    np.minimum.at(dmin, inv, alld)
+    return u, dmin
+
+
 def _bfs_broadcast(
     edges: rd.Dataset,
     nodes: np.ndarray,
@@ -518,38 +562,21 @@ def _bfs_broadcast(
             start = rounds  # frontier exhausted in a prior run
 
     # the node array is static — ship it ONCE; only the level array (8 B/
-    # node) rides a fresh blob per round (same shape as _cc_broadcast)
+    # node) rides a fresh blob per round (same shape as _cc_broadcast).
+    # Rounds are raw-task folds over the materialized edge blocks
+    # (state/blockfold — kills the per-round Dataset-execution fixed cost)
+    from ..state.blockfold import block_ref_groups, fold_blocks
+
     nodes_ref = ray.put(nodes)
+    groups = block_ref_groups(edges)
 
     for round_idx in range(start, rounds):
         dist_ref = ray.put(dist)
 
-        def relax(b: pa.Table, _nref=nodes_ref, _dref=dist_ref) -> pa.Table:
-            lut_nodes = ray.get(_nref)
-            lut_d = ray.get(_dref)
-            src = b["src"].to_numpy(zero_copy_only=False)
-            dst = b["dst"].to_numpy(zero_copy_only=False)
-            # undirected: relax both directions; only reached endpoints emit
-            out_n, out_d = [], []
-            for a, bb in ((src, dst), (dst, src)):
-                d = lut_d[np.searchsorted(lut_nodes, a)]
-                m = d < _BFS_UNREACHED
-                out_n.append(bb[m])
-                out_d.append(d[m] + 1)
-            t = pa.table(
-                {"node": pa.array(np.concatenate(out_n)),
-                 "d": pa.array(np.concatenate(out_d))}
-            )
-            return t.group_by("node").aggregate([("d", "min")])
-
         new = dist.copy()
-        for part in edges.map_batches(
-            relax, batch_format="pyarrow", batch_size=262144
-        ).iter_batches(batch_format="pyarrow"):
-            if part.num_rows == 0 or "node" not in part.column_names:
-                continue
-            idx = np.searchsorted(nodes, part["node"].to_numpy(zero_copy_only=False))
-            np.minimum.at(new, idx, part["d_min"].to_numpy(zero_copy_only=False))
+        for part_n, part_d in fold_blocks(_bfs_relax_blocks, groups, nodes_ref, dist_ref):
+            if len(part_n):
+                np.minimum.at(new, np.searchsorted(nodes, part_n), part_d)
         if checkpoint_dir:
             ckpts.save_npy(checkpoint_dir, round_idx + 1, new)
         if np.array_equal(new, dist):
@@ -1765,32 +1792,22 @@ def hits(edges: rd.Dataset, iters: int = HITS_ITERS) -> rd.Dataset:
         mdf = meta.to_pandas()
         nodes = np.sort(mdf["node"].to_numpy(np.int64))
 
+    from ..state.blockfold import block_ref_groups, fold_blocks
     from ..state.grouped import dataset_from_table
 
     nodes_ref = ray.put(nodes)
+    groups = block_ref_groups(edges)
 
     def fold_pass(w: np.ndarray, key_from: str, key_to: str) -> np.ndarray:
-        """One edge scan: Σ w[from] grouped by to, folded driver-side."""
+        """One edge scan: Σ w[from] grouped by to, folded driver-side —
+        raw-task block fold (state/blockfold), same task as pagerank."""
         w_ref = ray.put(w)
-
-        def contrib(b: pa.Table, _nref=nodes_ref, _wref=w_ref,
-                    _f=key_from, _t=key_to) -> pa.Table:
-            lut_nodes = ray.get(_nref)
-            lut_w = ray.get(_wref)
-            idx = np.searchsorted(lut_nodes, b[_f].to_numpy(zero_copy_only=False))
-            t = pa.table(
-                {"node": b[_t], "w": pa.array(lut_w[idx], pa.float64())}
-            )
-            return t.group_by("node").aggregate([("w", "sum")])
-
         s = np.zeros(len(nodes))
-        for part in edges.map_batches(
-            contrib, batch_format="pyarrow", batch_size=262144
-        ).iter_batches(batch_format="pyarrow"):
-            if part.num_rows == 0 or "node" not in part.column_names:
-                continue
-            idx = np.searchsorted(nodes, part["node"].to_numpy(zero_copy_only=False))
-            np.add.at(s, idx, part["w_sum"].to_numpy(zero_copy_only=False))
+        for part_n, part_w in fold_blocks(
+            _contrib_blocks, groups, nodes_ref, w_ref, key_from, key_to
+        ):
+            if len(part_n):
+                np.add.at(s, np.searchsorted(nodes, part_n), part_w)
         return s
 
     h = np.ones(len(nodes))
