@@ -302,7 +302,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_delta": relational.q_snapshot_delta,
         "value_quantiles": relational.q_value_quantiles,
         "user_value_median": relational.q_user_value_median,
+        "rollup_revenue": relational.q_rollup_revenue,
         "user_running_total": analytics.q_user_running_total,
+        "user_moving_sum": analytics.q_user_moving_sum,
         "day_retention": analytics.q_day_retention,
         "value_variance": analytics.q_value_variance,
         "funnel_conversion": analytics.q_funnel_conversion,
@@ -402,7 +404,9 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_delta": relational.SQL_SNAPSHOT_DELTA,
         "value_quantiles": relational.SQL_VALUE_QUANTILES,
         "user_value_median": relational.SQL_USER_VALUE_MEDIAN,
+        "rollup_revenue": relational.SQL_ROLLUP_REVENUE,
         "user_running_total": analytics.SQL_USER_RUNNING_TOTAL,
+        "user_moving_sum": analytics.SQL_USER_MOVING_SUM,
         "day_retention": analytics.SQL_DAY_RETENTION,
         "value_variance": analytics.SQL_VALUE_VARIANCE,
         "funnel_conversion": analytics.SQL_FUNNEL_CONVERSION,

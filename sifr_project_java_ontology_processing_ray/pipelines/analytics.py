@@ -373,3 +373,57 @@ UNION ALL
 SELECT 'view>click>purchase', count(*) FROM f
 WHERE v IS NOT NULL AND c > v AND p > c
 """
+
+
+# --------------------------------------------------------------------------
+# trailing moving-window aggregation per key (ROWS BETWEEN n PRECEDING)
+# --------------------------------------------------------------------------
+
+
+def q_user_moving_sum(sf_dir: str):
+    """(event_id, user_id, win_n, mov_sum_cents): trailing 4-event moving
+    sum of ``value`` per user in (ts, event_id) order. Same single bucketed
+    shuffle as the running total; inside a bucket the window is three
+    masked shifted adds over ALL keys at once (no per-key python). The
+    order-sensitive sum is carried in integer cents — floor(value*100+0.5)
+    is the identical IEEE double op on both sides, and integer addition is
+    order-free — so the result is bit-stable across any parallelism."""
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        acc = cents.copy()
+        n = np.ones(len(df), np.int64)
+        for k in (1, 2, 3):
+            same = np.zeros(len(df), bool)
+            same[k:] = u[k:] == u[:-k]
+            acc[k:] += np.where(same[k:], cents[:-k], 0)
+            n += same
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": u,
+                "win_n": n,
+                "mov_sum_cents": acc,
+            }
+        )
+
+    out = bucketed_map_groups(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        ["user_id"],
+        combine,
+    )
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+SQL_USER_MOVING_SUM = """
+SELECT event_id, user_id,
+       count(*) OVER w AS win_n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+           AS mov_sum_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""

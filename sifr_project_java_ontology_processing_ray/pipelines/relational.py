@@ -1213,3 +1213,67 @@ UNION ALL
 SELECT user_id, event_type, vb, 'removed' AS change
 FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
 """
+
+
+# --------------------------------------------------------------------------
+# §2.5 extension: hierarchical ROLLUP aggregation (multi-level totals)
+# (the reference's stats battery prints per-dimension AND global counters
+# from one pass — AbstractOntologyProcessor's appendAnnotationStatistics
+# family; ROLLUP is that pattern as one relational operator)
+# --------------------------------------------------------------------------
+
+
+def q_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP(o_orderstatus, o_orderpriority) over orders: the
+    finest level is a distributed partial pre-agg (per-batch Arrow group_by
+    → Sum shuffle of ≤|status×priority| rows per batch); the two coarser
+    levels are derived by re-aggregating the FINEST RESULT — which is
+    group-cardinality-sized, never the base table — so the rollup costs one
+    scan + one tiny shuffle at any scale. NULL group keys mark the rolled-up
+    levels exactly as SQL ROLLUP does (o_orderstatus is never NULL in the
+    data, so the markers are unambiguous)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by(["o_orderstatus", "o_orderpriority"])
+            .aggregate([("o_totalprice", "sum"), ("o_totalprice", "count")])
+            .rename_columns(["o_orderstatus", "o_orderpriority", "p_rev", "p_n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    finest = (
+        _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("p_rev", alias_name="rev"), Sum("p_n", alias_name="n_orders"))
+        .to_pandas()
+    )
+    lvl1 = (
+        finest.groupby("o_orderstatus", as_index=False)[["rev", "n_orders"]]
+        .sum()
+        .assign(o_orderpriority=None)
+    )
+    lvl0 = pd.DataFrame(
+        {
+            "o_orderstatus": [None],
+            "o_orderpriority": [None],
+            "rev": [finest["rev"].sum()],
+            "n_orders": [finest["n_orders"].sum()],
+        }
+    )
+    out = pd.concat([finest, lvl1, lvl0], ignore_index=True)[
+        ["o_orderstatus", "o_orderpriority", "rev", "n_orders"]
+    ]
+    out["revenue"] = out.pop("rev").round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out[["o_orderstatus", "o_orderpriority", "revenue", "n_orders"]]
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
