@@ -303,6 +303,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": relational.q_value_quantiles,
         "user_value_median": relational.q_user_value_median,
         "rollup_revenue": relational.q_rollup_revenue,
+        "cube_revenue": relational.q_cube_revenue,
+        "topk_per_group": relational.q_topk_orders_per_customer,
+        "qty_price_corr": relational.q_qty_price_corr,
+        "event_gaps": analytics.q_event_gaps,
         "user_running_total": analytics.q_user_running_total,
         "user_moving_sum": analytics.q_user_moving_sum,
         "day_retention": analytics.q_day_retention,
@@ -405,6 +409,10 @@ def oracle_sql() -> dict[str, str]:
         "value_quantiles": relational.SQL_VALUE_QUANTILES,
         "user_value_median": relational.SQL_USER_VALUE_MEDIAN,
         "rollup_revenue": relational.SQL_ROLLUP_REVENUE,
+        "cube_revenue": relational.SQL_CUBE_REVENUE,
+        "topk_per_group": relational.SQL_TOPK_ORDERS_PER_CUSTOMER,
+        "qty_price_corr": relational.SQL_QTY_PRICE_CORR,
+        "event_gaps": analytics.SQL_EVENT_GAPS,
         "user_running_total": analytics.SQL_USER_RUNNING_TOTAL,
         "user_moving_sum": analytics.SQL_USER_MOVING_SUM,
         "day_retention": analytics.SQL_DAY_RETENTION,

@@ -427,3 +427,73 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """
+
+
+# --------------------------------------------------------------------------
+# per-key LAG gaps: time between consecutive events per user (the ordered
+# per-key family's diff companion — exact in integer microseconds)
+# --------------------------------------------------------------------------
+
+
+def q_event_gaps(sf_dir: str):
+    """(user_id, n_gaps, avg_gap_s, max_gap_us): inter-event gaps per user
+    in (ts, event_id) order. One bucketed shuffle on user_id; inside a
+    bucket the LAG diff is one vectorized pass over all keys at once
+    (sort + shifted int64-μs subtraction masked at key boundaries). Gaps
+    stay integer μs end-to-end; the single float division mirrors the
+    SQL's CAST exactly. Users with one event have no gaps and are
+    excluded, as in the oracle's WHERE gap IS NOT NULL."""
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        t = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        gap = t[1:] - t[:-1]
+        same = u[1:] == u[:-1]
+        g = pd.DataFrame({"user_id": u[1:][same], "gap_us": gap[same]})
+        if g.empty:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype=np.int64),
+                 "n_gaps": pd.Series([], dtype=np.int64),
+                 "sum_gap_us": pd.Series([], dtype=np.int64),
+                 "max_gap_us": pd.Series([], dtype=np.int64)}
+            )
+        out = g.groupby("user_id", as_index=False).agg(
+            n_gaps=("gap_us", "size"),
+            sum_gap_us=("gap_us", "sum"),
+            max_gap_us=("gap_us", "max"),
+        )
+        return out
+
+    parts = bucketed_map_groups(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        ["user_id"],
+        combine,
+    ).to_pandas()
+    parts["avg_gap_s"] = (
+        parts["sum_gap_us"].astype(np.float64)
+        / parts["n_gaps"].astype(np.float64)
+        / 1e6
+    ).round(6)
+    return (
+        parts[["user_id", "n_gaps", "avg_gap_s", "max_gap_us"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+SQL_EVENT_GAPS = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       count(gap_us) AS n_gaps,
+       round(CAST(sum(gap_us) AS DOUBLE) / CAST(count(gap_us) AS DOUBLE)
+             / 1000000.0, 6) AS avg_gap_s,
+       max(gap_us) AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""

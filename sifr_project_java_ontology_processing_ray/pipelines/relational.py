@@ -1277,3 +1277,226 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
+
+
+# --------------------------------------------------------------------------
+# K-family: per-group top-k (the grouped companion of q_top_orders' global
+# sort+limit; reference semantics: the K2/K3 per-group ordered selections,
+# e.g. shortest-qualifying label per concept in OntologyCUIProcessor)
+# --------------------------------------------------------------------------
+
+def q_topk_orders_per_customer(sf_dir: str, k: int = 2):
+    """(o_custkey, rk, o_orderkey, o_totalprice): each customer's top-k
+    orders by (totalprice DESC, orderkey ASC). Scale shape: a per-batch
+    PARTIAL top-k per key (the final per-key top-k is a subset of the union
+    of per-batch top-ks, so the combiner is lossless) shrinks the shuffle to
+    ≤ k rows per (key, batch); the exact top-k then runs vectorized inside
+    one bucketed shuffle. No global sort, no per-key python call."""
+    from ..state.grouped import bucketed_map_groups
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return pa.Table.from_pandas(
+            df.groupby("o_custkey", sort=False).head(k), preserve_index=False
+        )
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = df.groupby("o_custkey", sort=False).head(k).copy()
+        out["rk"] = out.groupby("o_custkey", sort=False).cumcount() + 1
+        return out[["o_custkey", "rk", "o_orderkey", "o_totalprice"]]
+
+    out = bucketed_map_groups(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+        .map_batches(partial_topk, batch_format="pyarrow"),
+        ["o_custkey"],
+        final_topk,
+    ).to_pandas()
+    return out.sort_values(["o_custkey", "rk"]).reset_index(drop=True)
+
+
+SQL_TOPK_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders)
+WHERE rk <= 2
+ORDER BY o_custkey, rk
+"""
+
+
+# --------------------------------------------------------------------------
+# exact grouped Pearson correlation (integer-moment discipline: the same
+# order-independent exactness as q_value_variance / graph assortativity)
+# --------------------------------------------------------------------------
+
+def q_qty_price_corr(sf_dir: str):
+    """(l_returnflag, n, corr_qty_price): Pearson r between quantity and
+    extendedprice per returnflag. Both are carried as integers (quantity
+    is integral; price as cents via the same floor(v*100+0.5) double math
+    as the oracle), batch partials are the five moment sums — exact in
+    int64 per batch (cents² < 2^48, ≤4096 rows/batch) — and the driver
+    folds python ints (no overflow at any scale), with ONE float
+    expression at the end mirroring the SQL's CAST(... AS DOUBLE) exactly.
+    The shuffle moves ≤|flags| rows per batch."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = pc.cast(pc.floor(pc.add(b["l_quantity"], pa.scalar(0.5))), pa.int64())
+        y = pc.cast(
+            pc.floor(
+                pc.add(pc.multiply(b["l_extendedprice"], pa.scalar(100.0)), pa.scalar(0.5))
+            ),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "x": x,
+                "y": y,
+                "xx": pc.multiply(x, x),
+                "yy": pc.multiply(y, y),
+                "xy": pc.multiply(x, y),
+            }
+        )
+        return (
+            t.group_by("l_returnflag")
+            .aggregate(
+                [("x", "count"), ("x", "sum"), ("y", "sum"),
+                 ("xx", "sum"), ("yy", "sum"), ("xy", "sum")]
+            )
+            .rename_columns(
+                ["l_returnflag", "p_n", "p_x", "p_y", "p_xx", "p_yy", "p_xy"]
+            )
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    for c in ("p_n", "p_x", "p_y", "p_xx", "p_yy", "p_xy"):
+        parts[c] = parts[c].astype(object)  # python-int fold: no overflow
+    g = parts.groupby("l_returnflag", as_index=False).sum()
+    import math
+
+    rows = []
+    for _, r in g.iterrows():
+        n, sx, sy = int(r["p_n"]), int(r["p_x"]), int(r["p_y"])
+        sxx, syy, sxy = int(r["p_xx"]), int(r["p_yy"]), int(r["p_xy"])
+        num = n * sxy - sx * sy
+        den = math.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+        rows.append((r["l_returnflag"], n, round(float(num) / den, 9)))
+    return (
+        pd.DataFrame(rows, columns=["l_returnflag", "n", "corr_qty_price"])
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+
+
+SQL_QTY_PRICE_CORR = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity + 0.5) AS HUGEINT) AS x,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, count(*)::HUGEINT AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM c GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 9)
+         AS corr_qty_price
+FROM s ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# GROUP BY CUBE: all four grouping sets derived from ONE finest-level
+# distributed aggregate (same one-scan shape as q_rollup_revenue)
+# --------------------------------------------------------------------------
+
+def q_cube_revenue(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus) over lineitem revenue.
+    The base table is scanned ONCE into per-batch partials; the three
+    coarser grouping sets re-aggregate the group-cardinality-sized finest
+    result driver-side — at any scale the cube costs one scan + one tiny
+    shuffle. NULL keys mark rolled-up levels exactly as SQL CUBE (neither
+    column is NULL in the data, so markers are unambiguous)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "rev": rev,
+            }
+        )
+        return (
+            t.group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("rev", "sum"), ("rev", "count")])
+            .rename_columns(["l_returnflag", "l_linestatus", "p_rev", "p_n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    finest = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("p_rev", alias_name="rev"), Sum("p_n", alias_name="n_rows"))
+        .to_pandas()
+    )
+    by_flag = (
+        finest.groupby("l_returnflag", as_index=False)[["rev", "n_rows"]]
+        .sum()
+        .assign(l_linestatus=None)
+    )
+    by_status = (
+        finest.groupby("l_linestatus", as_index=False)[["rev", "n_rows"]]
+        .sum()
+        .assign(l_returnflag=None)
+    )
+    total = pd.DataFrame(
+        {
+            "l_returnflag": [None],
+            "l_linestatus": [None],
+            "rev": [finest["rev"].sum()],
+            "n_rows": [finest["n_rows"].sum()],
+        }
+    )
+    out = pd.concat([finest, by_flag, by_status, total], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "rev", "n_rows"]
+    ]
+    out["revenue"] = out.pop("rev").round(2)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out[["l_returnflag", "l_linestatus", "revenue", "n_rows"]]
+
+
+SQL_CUBE_REVENUE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""

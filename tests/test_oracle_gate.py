@@ -80,6 +80,11 @@ SUBSET = [
     "sequence_pack",
     "enrichment_cascade",
     "bpe_merges",
+    # session-7 additions
+    "topk_per_group",
+    "qty_price_corr",
+    "cube_revenue",
+    "event_gaps",
 ]
 
 
