@@ -497,3 +497,134 @@ SELECT user_id,
 FROM g WHERE gap_us IS NOT NULL
 GROUP BY user_id ORDER BY user_id
 """
+
+
+# --------------------------------------------------------------------------
+# RANGE-interval window: per-event sum over the SAME user's preceding hour.
+# The distributed shape is a bounded time-range SELF-JOIN: events bucketed
+# by (user, hour) meet every candidate contributor in (hour, hour-1), so
+# pair volume is per-user-hour density², never |events|² — the standard
+# bounded-range-join co-partitioning. Exact integer cents end-to-end.
+# --------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+
+
+def q_user_hour_window_sum(sf_dir: str):
+    """(event_id, user_id, win_cents): sum of ``value`` (as integer cents)
+    over the user's events in the RANGE window [ts − 1h, ts]. One bucketed
+    shuffle on user_id; inside a bucket each event row merges with the
+    contributor copies tagged (hour, hour+1) — two vectorized pandas
+    merges, a Δt filter, one groupby-sum. RANGE peer semantics (equal-ts
+    rows all included) fall out of the Δt ≥ 0 filter. Integer sums: no
+    float-order sensitivity at any parallelism."""
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        cv = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        h = t // _HOUR_US
+        rows = pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy(), "user_id": df["user_id"].to_numpy(),
+             "h": h, "t_row": t}
+        )
+        contrib = pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(), "h": h, "t_c": t, "cv": cv}
+        )
+        # an event contributes to windows anchored in its own hour and the
+        # next one; [t-1h, t] can only intersect those two hour buckets
+        contrib_next = contrib.assign(h=contrib["h"] + 1)
+        pairs = rows.merge(
+            pd.concat([contrib, contrib_next], ignore_index=True),
+            on=["user_id", "h"],
+        )
+        dt = pairs["t_row"] - pairs["t_c"]
+        pairs = pairs[(dt >= 0) & (dt <= _HOUR_US)]
+        out = pairs.groupby(["event_id", "user_id"], as_index=False)["cv"].sum()
+        return out.rename(columns={"cv": "win_cents"})
+
+    out = bucketed_map_groups(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        ["user_id"],
+        combine,
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_USER_HOUR_WINDOW_SUM = """
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cv
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(sum(cv) OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                    AND CURRENT ROW) AS BIGINT)
+         AS win_cents
+FROM c ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# exact per-group discrete percentile (p90) from a distributed value-count
+# histogram — the shuffle moves ≤ |group × distinct cents| rows, never the
+# base table (value domain is cents-bounded; document the assumption)
+# --------------------------------------------------------------------------
+
+
+def q_value_p90(sf_dir: str):
+    """(event_type, n, p90_value): the discrete 90th percentile of
+    ``value`` per event_type under the explicit rule ``element at
+    row_number ceil(0.9·n) in cv order`` — stated identically in the SQL,
+    so no dependence on any engine's quantile convention. Per-batch
+    (event_type, cents) count partials → one Sum shuffle of histogram
+    rows → driver cumsum over the group-×-distinct-cents-sized result."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        cv = pc.cast(
+            pc.floor(pc.add(pc.multiply(b["value"], pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.int64(),
+        )
+        t = pa.table({"event_type": b["event_type"], "cv": cv})
+        return (
+            t.group_by(["event_type", "cv"])
+            .aggregate([("cv", "count")])
+            .rename_columns(["event_type", "cv", "p_n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "cv"])
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["event_type", "cv"])
+    )
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        n = int(g["n"].sum())
+        target = (9 * n + 9) // 10  # ceil(9n/10), pure integer — the SQL
+        # uses the same (9*n+9)//10 form: ceil(0.9*n) in doubles can
+        # overshoot (0.9*60 → 54.0000000000000013 → ceil 55)
+        cum = g["n"].cumsum().to_numpy()
+        cv = int(g["cv"].to_numpy()[np.searchsorted(cum, target)])
+        rows.append((et, n, round(cv / 100.0, 2)))
+    return pd.DataFrame(rows, columns=["event_type", "n", "p90_value"])
+
+
+SQL_VALUE_P90 = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cv
+  FROM events
+), r AS (
+  SELECT event_type, cv,
+         row_number() OVER (PARTITION BY event_type ORDER BY cv) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+)
+SELECT event_type, n, round(cv / 100.0, 2) AS p90_value
+FROM r WHERE rn = (9 * n + 9) // 10
+ORDER BY event_type
+"""

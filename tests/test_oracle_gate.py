@@ -85,6 +85,8 @@ SUBSET = [
     "qty_price_corr",
     "cube_revenue",
     "event_gaps",
+    "hour_window_sum",
+    "value_p90",
 ]
 
 
