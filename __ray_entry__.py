@@ -373,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": graph.q_pagerank,
         "graph_components": graph.q_graph_components,
         "bfs_levels": graph.q_bfs_levels,
+        "sssp": graph.q_sssp,
         "degree_distribution": graph.q_degree_distribution,
         "triangle_count": graph.q_triangle_count,
         "clustering_coefficient": graph.q_clustering_coefficient,
@@ -469,6 +470,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": graph.SQL_PAGERANK,
         "graph_components": graph.SQL_GRAPH_COMPONENTS,
         "bfs_levels": graph.SQL_BFS_LEVELS,
+        "sssp": graph.SQL_SSSP,
         "degree_distribution": graph.SQL_DEGREE_DISTRIBUTION,
         "triangle_count": graph.SQL_TRIANGLE_COUNT,
         "clustering_coefficient": graph.SQL_CLUSTERING_COEFFICIENT,

@@ -2135,3 +2135,284 @@ CROSS JOIN n
 WHERE pairs.n_ab >= {LIFT_MIN_PAIR}
   AND CAST(pairs.n_ab * n.n AS DOUBLE) / (ca.c * cb.c) >= {LIFT_MIN}
 """
+
+
+# --------------------------------------------------------------------------
+# weighted single-source shortest paths (bounded Bellman-Ford) — the
+# weighted sibling of bfs_levels, same gated broadcast/shuffle dichotomy,
+# same checkpoint contract, exact integer min-plus arithmetic
+# --------------------------------------------------------------------------
+
+SSSP_ROUNDS = 4
+_SSSP_INF = np.int64(1) << 62  # sentinel ≫ any real distance, +w-safe
+
+
+def _weighted_bipartite_edges(sf_dir: str) -> rd.Dataset:
+    """(l_orderkey → l_partkey + PART_OFFSET, w = min quantity) weighted
+    edges: per-batch (src, dst) group-Min partials shrink the stream, one
+    bucketed shuffle takes the exact global min per edge (multi-edges —
+    the same part on several lines of one order — collapse to their
+    cheapest weight, the rule the oracle states as MIN(w))."""
+    from ..state.grouped import bucketed_map_groups
+
+    def local_edges(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "src": b["l_orderkey"],
+                "dst": pc.add(b["l_partkey"], pa.scalar(PART_OFFSET, pa.int64())),
+                "w": pc.cast(b["l_quantity"], pa.int64()),
+            }
+        )
+        t = t.group_by(["src", "dst"]).aggregate([("w", "min")])
+        return t.rename_columns(["src", "dst", "w"])
+
+    edges = pio.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    ).map_batches(local_edges, batch_format="pyarrow")
+    return bucketed_map_groups(
+        edges,
+        ["src", "dst"],
+        lambda df: df.groupby(["src", "dst"], as_index=False)["w"].min(),
+    )
+
+
+def sssp_distances(
+    edges: rd.Dataset,
+    source: int,
+    rounds: int = SSSP_ROUNDS,
+    checkpoint_dir: str | None = None,
+) -> rd.Dataset:
+    """Min-plus distance from ``source`` over the UNDIRECTED view of a
+    weighted (src:int64, dst:int64, w:int64 ≥ 0) edge set, bounded to
+    ``rounds`` Bellman-Ford relaxation rounds (i.e. cheapest path using
+    ≤ rounds hops — exactly what the unrolled-CTE oracle computes; run
+    rounds = |V|−1 for the unbounded classic). Returns (node, dist) for
+    reached nodes only. Integer weights keep every comparison exact at
+    any parallelism.
+
+    Same gated dichotomy as :func:`bfs_levels` / :func:`pagerank`, pinned
+    equal by test: under ``META_FOLD_EDGE_LIMIT`` distances ride a
+    ``ray.put`` int64 array and a round is one raw-task fold over the
+    materialized edge blocks; above it a fully shuffled join +
+    union-groupby-Min loop runs with the distance Dataset re-materialized
+    as the iterative checkpoint."""
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "dist": pa.array([], pa.int64())})
+        )
+    if n_edges <= META_FOLD_EDGE_LIMIT:
+        nodes, _ = _node_meta_fold(edges)
+        return _sssp_broadcast(edges, nodes, source, rounds, checkpoint_dir)
+    return _sssp_shuffle(edges, source, rounds, checkpoint_dir)
+
+
+def _sssp_relax_blocks(refs, lut_nodes, lut_d):
+    """One block group's relaxation partial: min(dist + w) per reached
+    neighbor, both directions (raw task, state/blockfold)."""
+    import ray
+
+    out_n, out_d = [], []
+    for blk in ray.get(refs):
+        if blk.num_rows == 0:
+            continue
+        src = blk["src"].to_numpy(zero_copy_only=False)
+        dst = blk["dst"].to_numpy(zero_copy_only=False)
+        w = blk["w"].to_numpy(zero_copy_only=False)
+        for a, bb in ((src, dst), (dst, src)):
+            d = lut_d[np.searchsorted(lut_nodes, a)]
+            m = d < _SSSP_INF
+            out_n.append(bb[m])
+            out_d.append(d[m] + w[m])
+    alln = np.concatenate(out_n) if out_n else np.empty(0, np.int64)
+    if not len(alln):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    alld = np.concatenate(out_d)
+    u, inv = np.unique(alln, return_inverse=True)
+    dmin = np.full(len(u), _SSSP_INF, np.int64)
+    np.minimum.at(dmin, inv, alld)
+    return u, dmin
+
+
+def _sssp_broadcast(
+    edges: rd.Dataset,
+    nodes: np.ndarray,
+    source: int,
+    rounds: int,
+    checkpoint_dir: str | None = None,
+) -> rd.Dataset:
+    import ray
+
+    from ..state import checkpoints as ckpts
+    from ..state.blockfold import block_ref_groups, fold_blocks
+
+    dist = np.full(len(nodes), _SSSP_INF, np.int64)
+    src_pos = np.searchsorted(nodes, np.int64(source))
+    if src_pos < len(nodes) and nodes[src_pos] == source:
+        dist[src_pos] = 0
+
+    start, ckpt = ckpts.resume_round(checkpoint_dir, rounds, "npy")
+    if ckpt:
+        dist = np.load(ckpt)
+        done = ckpts.converged_round(checkpoint_dir)
+        if done is not None and done <= start:
+            start = rounds
+
+    nodes_ref = ray.put(nodes)
+    groups = block_ref_groups(edges)
+
+    for round_idx in range(start, rounds):
+        dist_ref = ray.put(dist)
+        new = dist.copy()
+        for part_n, part_d in fold_blocks(
+            _sssp_relax_blocks, groups, nodes_ref, dist_ref
+        ):
+            if len(part_n):
+                np.minimum.at(new, np.searchsorted(nodes, part_n), part_d)
+        if checkpoint_dir:
+            ckpts.save_npy(checkpoint_dir, round_idx + 1, new)
+        if np.array_equal(new, dist):
+            ckpts.mark_converged(checkpoint_dir, round_idx + 1)
+            break
+        dist = new
+
+    m = dist < _SSSP_INF
+    from ..state.grouped import dataset_from_table
+
+    return dataset_from_table(
+        pa.table({"node": pa.array(nodes[m]), "dist": pa.array(dist[m])})
+    )
+
+
+def _sssp_shuffle(
+    edges: rd.Dataset,
+    source: int,
+    rounds: int,
+    checkpoint_dir: str | None = None,
+) -> rd.Dataset:
+    """Fully shuffled Bellman-Ford: distances live as a distributed
+    (node, dist) Dataset, one hash join + union-groupby-Min per round."""
+    from ..state import checkpoints as ckpts
+
+    parts = join_partitions(rows=edges.count())
+
+    def sym(b: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [pa.table({"src": b["src"], "dst": b["dst"], "w": b["w"]}),
+             pa.table({"src": b["dst"], "dst": b["src"], "w": b["w"]})]
+        )
+
+    sym_edges = edges.map_batches(
+        sym, batch_format="pyarrow", batch_size=262144
+    ).materialize()
+
+    _EMPTY = pa.table(
+        {"node": pa.array([], pa.int64()), "dist": pa.array([], pa.int64())}
+    )
+
+    def init_dist(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "node" not in b.column_names:
+            return _EMPTY
+        d = np.full(b.num_rows, _SSSP_INF, np.int64)
+        d[b["node"].to_numpy(zero_copy_only=False) == source] = 0
+        return pa.table({"node": b["node"], "dist": pa.array(d)})
+
+    start, ckpt = ckpts.resume_round(checkpoint_dir, rounds, "parquet")
+    if ckpt:
+        dists = pio.read_parquet(ckpt).materialize()
+    else:
+        dists = (
+            node_meta(edges)
+            .map_batches(init_dist, batch_format="pyarrow", batch_size=262144)
+            .materialize()
+        )
+
+    def emit_relax(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "dst" not in b.column_names:
+            return _EMPTY
+        d = b["dist"].to_numpy(zero_copy_only=False)
+        w = b["w"].to_numpy(zero_copy_only=False)
+        m = d < _SSSP_INF
+        t = pa.table(
+            {"node": pc.array_filter(b["dst"], pa.array(m)),
+             "dist": pa.array(d[m] + w[m])}
+        )
+        t = t.group_by("node").aggregate([("dist", "min")])
+        return pa.table({"node": t["node"], "dist": t["dist_min"]})
+
+    from ray.data.aggregate import Min
+
+    for round_idx in range(start, rounds):
+        messages = sym_edges.join(
+            dists, join_type="inner", num_partitions=parts,
+            on=("src",), right_on=("node",),
+        ).map_batches(emit_relax, batch_format="pyarrow", batch_size=262144)
+        dists = (
+            messages.union(dists)
+            .groupby("node", num_partitions=parts)
+            .aggregate(Min("dist", alias_name="dist"))
+            .map_batches(
+                lambda b: _EMPTY
+                if b.num_rows == 0 or "node" not in b.column_names
+                else b.select(["node", "dist"]),
+                batch_format="pyarrow", batch_size=262144,
+            )
+            .materialize()
+        )
+        if checkpoint_dir:
+            ckpts.save_parquet(checkpoint_dir, round_idx + 1, dists)
+
+    return dists.map_batches(
+        lambda b: b.filter(pc.less(b["dist"], pa.scalar(int(_SSSP_INF)))),
+        batch_format="pyarrow",
+    )
+
+
+def q_sssp(sf_dir: str):
+    """Cheapest-quantity paths from the smallest order key over the
+    weighted bipartite adjacency, ≤ SSSP_ROUNDS hops — a weighted
+    supply-chain blast radius. Exactly restated by ``SQL_SSSP``."""
+    edges = _weighted_bipartite_edges(sf_dir).materialize()
+    src = edges.min("src") if edges.count() else None
+    return sssp_distances(edges, int(src) if src is not None else 0)
+
+
+def _sssp_sql(rounds: int = SSSP_ROUNDS) -> str:
+    """Exact DuckDB restatement: min-plus relaxation unrolled to
+    ``rounds`` CTEs; NULL = unreached."""
+    sql = f"""WITH edges AS (
+  SELECT l_orderkey AS src, l_partkey + {PART_OFFSET} AS dst,
+         MIN(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+sym AS (SELECT src, dst, w FROM edges UNION ALL SELECT dst, src, w FROM edges),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+s0 AS (SELECT MIN(l_orderkey) AS s FROM lineitem),
+d0 AS (
+  SELECT node, CASE WHEN node = (SELECT s FROM s0) THEN 0 END AS dist FROM nodes
+)"""
+    for k in range(1, rounds + 1):
+        sql += f""",
+d{k} AS (
+  SELECT d.node,
+         CASE WHEN d.dist IS NULL THEN m.in_d
+              WHEN m.in_d IS NULL THEN d.dist
+              ELSE LEAST(d.dist, m.in_d) END AS dist
+  FROM d{k-1} d LEFT JOIN (
+    SELECT e.dst AS node, MIN(r.dist + e.w) AS in_d
+    FROM sym e JOIN d{k-1} r ON e.src = r.node
+    WHERE r.dist IS NOT NULL
+    GROUP BY e.dst
+  ) m ON d.node = m.node
+)"""
+    sql += (
+        f"\nSELECT node, CAST(dist AS BIGINT) AS dist"
+        f" FROM d{rounds} WHERE dist IS NOT NULL"
+    )
+    return sql
+
+
+SQL_SSSP = _sssp_sql()

@@ -545,3 +545,62 @@ class TestAssortativity:
         monkeypatch.setattr(graph, "EDGE_BROADCAST_LIMIT", 0)
         got = graph.assortativity(_und_edges_ds(pairs)).to_pandas()
         assert got.equals(want)
+
+
+def _wedges_ds(edges: list[tuple[int, int, int]]) -> rd.Dataset:
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([u for u, _, _ in edges], pa.int64()),
+                "dst": pa.array([v for _, v, _ in edges], pa.int64()),
+                "w": pa.array([w for _, _, w in edges], pa.int64()),
+            }
+        )
+    )
+
+
+def _seq_sssp(edges: list[tuple[int, int, int]], source: int, rounds: int = 4):
+    """Dense sequential restatement: bounded undirected min-plus relaxation."""
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    dist = {v: None for v in nodes}
+    if source in dist:
+        dist[source] = 0
+    sym = list(edges) + [(v, u, w) for u, v, w in edges]
+    for _ in range(rounds):
+        new = dict(dist)
+        for u, v, w in sym:
+            if dist[u] is not None and (new[v] is None or dist[u] + w < new[v]):
+                new[v] = dist[u] + w
+        dist = new
+    return {v: d for v, d in dist.items() if d is not None}
+
+
+class TestSSSP:
+    # weighted diamond where the heavier direct edge loses to the 2-hop
+    # path, plus a chain cut mid-propagation at rounds=4, plus an island
+    EDGES = [(1, 2, 10), (1, 3, 1), (3, 2, 2), (2, 4, 1), (4, 5, 5),
+             (5, 6, 1), (6, 7, 1), (7, 8, 1), (60, 61, 3)]
+
+    def _run(self, **kw):
+        df = graph.sssp_distances(_wedges_ds(self.EDGES), 1, **kw).to_pandas()
+        return dict(zip(df["node"], df["dist"]))
+
+    def test_matches_sequential_both_paths(self, ray_session, monkeypatch):
+        want = _seq_sssp(self.EDGES, source=1)
+        assert want[2] == 3  # 2-hop 1→3→2 beats the weight-10 direct edge
+        assert self._run() == want
+        monkeypatch.setattr(graph, "META_FOLD_EDGE_LIMIT", 0)
+        assert self._run() == want
+
+    def test_empty_and_missing_source(self, ray_session):
+        assert graph.sssp_distances(_wedges_ds([]), 1).count() == 0
+        assert graph.sssp_distances(_wedges_ds([(2, 3, 1)]), 99).count() == 0
+
+    @pytest.mark.parametrize("force_shuffle", [False, True])
+    def test_resume(self, ray_session, tmp_path, monkeypatch, force_shuffle):
+        if force_shuffle:
+            monkeypatch.setattr(graph, "META_FOLD_EDGE_LIMIT", 0)
+        want = self._run(rounds=4)
+        ck = str(tmp_path / ("sh" if force_shuffle else "bc"))
+        self._run(rounds=2, checkpoint_dir=ck)  # simulated interruption
+        assert self._run(rounds=4, checkpoint_dir=ck) == want

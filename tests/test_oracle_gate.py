@@ -87,6 +87,7 @@ SUBSET = [
     "event_gaps",
     "hour_window_sum",
     "value_p90",
+    "sssp",
 ]
 
 
