@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_distinct_users": relational.q_exact_distinct_users,
         "approx_distinct_users": relational.q_approx_distinct_users,
         "asof_latest_order": relational.q_asof_latest_order,
+        "orders_events_nearby": relational.q_orders_events_nearby,
         "snapshot_delta": relational.q_snapshot_delta,
         "value_quantiles": relational.q_value_quantiles,
         "user_value_median": relational.q_user_value_median,
@@ -408,6 +409,7 @@ def oracle_sql() -> dict[str, str]:
         "event_sessions": relational.SQL_EVENT_SESSIONS,
         "exact_distinct_users": relational.SQL_EXACT_DISTINCT_USERS,
         "asof_latest_order": relational.SQL_ASOF_LATEST_ORDER,
+        "orders_events_nearby": relational.SQL_ORDERS_EVENTS_NEARBY,
         "snapshot_delta": relational.SQL_SNAPSHOT_DELTA,
         "value_quantiles": relational.SQL_VALUE_QUANTILES,
         "user_value_median": relational.SQL_USER_VALUE_MEDIAN,

@@ -1500,3 +1500,89 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
+
+
+# --------------------------------------------------------------------------
+# keyed bounded time-range join across TWO tables: orders × events of the
+# same customer within ±1 day — the two-table companion of the
+# hour_window_sum self-join. Scale shape: one bucketed union shuffle on the
+# shared key; inside a bucket events replicate to their 3 adjacent day
+# tags and ONE vectorized merge meets every order whose date can be within
+# range, so pair volume is per-(key, day) density², never orders × events.
+# --------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def q_orders_events_nearby(sf_dir: str):
+    """(o_orderkey, n_near): events by the ordering customer with
+    ``|ts − o_orderdate| ≤ 1 day``, LEFT-join semantics (orders with no
+    nearby events emit 0). Each (order, event) candidate pair meets
+    exactly once — the event replica tagged with the order's own day —
+    then the exact |Δt| filter applies; all integer-μs arithmetic."""
+    from ..state.grouped import bucketed_map_groups
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        lambda b: pa.table(
+            {"kind": pa.array(["e"] * b.num_rows, pa.string()),
+             "key": b["user_id"],
+             "ts": pc.cast(b["ts"], pa.int64()),
+             "id": pa.nulls(b.num_rows, pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    od = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"]).map_batches(
+        lambda b: pa.table(
+            {"kind": pa.array(["o"] * b.num_rows, pa.string()),
+             "key": b["o_custkey"],
+             "ts": pc.cast(b["o_orderdate"], pa.int64()),
+             "id": b["o_orderkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["kind"] == "o"]
+        empty = pd.DataFrame(
+            {"o_orderkey": pd.Series([], dtype="int64"),
+             "n_near": pd.Series([], dtype="int64")}
+        )
+        if o.empty:
+            return empty
+        e = df[df["kind"] == "e"]
+        orders = pd.DataFrame(
+            {"o_orderkey": o["id"].astype("int64"),
+             "key": o["key"].astype("int64"),
+             "o_ts": o["ts"].astype("int64"),
+             "day": o["ts"].astype("int64") // _DAY_US}
+        )
+        if e.empty:
+            out = orders[["o_orderkey"]].copy()
+            out["n_near"] = np.int64(0)
+            return out
+        ed = e["ts"].astype("int64") // _DAY_US
+        contrib = pd.concat(
+            [pd.DataFrame({"key": e["key"].astype("int64"),
+                           "e_ts": e["ts"].astype("int64"),
+                           "day": ed + k}) for k in (-1, 0, 1)],
+            ignore_index=True,
+        )
+        m = orders.merge(contrib, on=["key", "day"], how="left")
+        near = (m["e_ts"] - m["o_ts"]).abs() <= _DAY_US
+        m["hit"] = np.where(m["e_ts"].notna() & near, 1, 0).astype(np.int64)
+        return m.groupby("o_orderkey", as_index=False)["hit"].sum().rename(
+            columns={"hit": "n_near"}
+        )
+
+    out = bucketed_map_groups(ev.union(od), ["key"], join_bucket).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_ORDERS_EVENTS_NEARBY = """
+SELECT o.o_orderkey, count(e.user_id) AS n_near
+FROM orders o LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts BETWEEN o.o_orderdate - INTERVAL 1 DAY
+              AND o.o_orderdate + INTERVAL 1 DAY
+GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+"""

@@ -88,6 +88,7 @@ SUBSET = [
     "hour_window_sum",
     "value_p90",
     "sssp",
+    "orders_events_nearby",
 ]
 
 
