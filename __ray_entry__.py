@@ -356,7 +356,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top10": ann.q_knn_top10,
         "knn_multi": ann.q_knn_multi,
         "knn_ivf": ann.q_knn_ivf,
+        "knn_pq": ann.q_knn_pq,
         "ivf_recall": ann.q_ivf_recall,
+        "pq_recall": ann.q_pq_recall,
         "embedding_neardup": ann.q_embedding_neardup,
         "cosine_neardup_exact": ann.q_cosine_neardup_exact,
         # KG construction + enrichment cascade + generator + cleaner
@@ -458,6 +460,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": textops.SQL_NGRAM_JACCARD,
         "cosine_neardup_exact": ann.SQL_COSINE_NEARDUP,
         "ivf_recall": ann.SQL_IVF_RECALL,
+        "pq_recall": ann.SQL_PQ_RECALL,
         # fixture-driven restatements: the fixture files are materialized
         # here so the SQL's read_csv/read_parquet inputs exist regardless
         # of query/oracle execution order

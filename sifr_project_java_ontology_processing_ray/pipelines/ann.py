@@ -406,3 +406,142 @@ def embedding_neardup_pairs(ds: "rd.Dataset", dim: int, threshold: float = 0.9,
     if "bucket" in out.columns:
         out = out.drop(columns=["bucket"])
     return out.sort_values(["a", "b"]).reset_index(drop=True) if len(out) else out
+
+
+# --------------------------------------------------------------------------
+# product quantization (PQ) kNN: ADC shortlist scan + exact re-rank — the
+# memory-compressed scale path of the ANN family (IVF prunes WHICH rows are
+# scored; PQ shrinks WHAT is scored: d float32s → m_sub uint8 codes, a
+# 32× smaller resident index at d=64/m_sub=16). The exact re-rank of the
+# driver-merged shortlist (a filter-pushdown read of ≤ shortlist rows)
+# restores exact ordering among survivors — the standard production shape.
+# --------------------------------------------------------------------------
+
+PQ_M_SUB = 16
+PQ_CODES = 64
+
+
+def pq_build_codebooks(
+    sf_dir: str, m_sub: int = PQ_M_SUB, n_codes: int = PQ_CODES, seed: int = 42
+) -> np.ndarray:
+    """(m_sub, n_codes, d_sub) per-subspace codebooks trained with seeded
+    Lloyd iterations on the same distributed hash-sample as the IVF
+    centroids (deterministic across any block layout; only the
+    sample — ~n_codes·20 rows — reaches the driver). Corpus vectors are
+    L2-normalized BEFORE subspace split so ADC inner products approximate
+    cosine."""
+    from ..functions.hashing import hash64
+
+    n_rows = pq.read_metadata(_emb_path(sf_dir)).num_rows
+    k_mod = max(1, n_rows // (n_codes * 20))
+
+    def hash_sample(batch: pa.Table) -> pa.Table:
+        keep = [hash64(str(v), seed=seed) % k_mod == 0 for v in batch["vec_id"].to_pylist()]
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    sample_df = (
+        pio.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+        .map_batches(hash_sample, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    sample = np.vstack([np.asarray(v, dtype=np.float64) for v in sample_df["embedding"]])
+    nrm = np.linalg.norm(sample, axis=1, keepdims=True)
+    sample = sample / np.where(nrm == 0, 1.0, nrm)
+    d = sample.shape[1]
+    if d % m_sub:
+        raise ValueError(f"dim {d} not divisible by m_sub {m_sub}")
+    d_sub = d // m_sub
+    books = np.empty((m_sub, n_codes, d_sub), np.float64)
+    for s in range(m_sub):
+        sub = sample[:, s * d_sub : (s + 1) * d_sub]
+        # seeded deterministic init: first n_codes sample rows (wrap if few)
+        cent = sub[np.arange(n_codes) % len(sub)].copy()
+        for _ in range(5):
+            dist = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = dist.argmin(1)
+            for c in range(n_codes):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(0)
+        books[s] = cent
+    return books
+
+
+def q_knn_pq(sf_dir: str, k: int = TOPK, shortlist: int = 50):
+    """PQ approximate top-k for vec_id=0 with exact re-rank + recall column
+    (rows-only; ``q_pq_recall`` is the driver-gated metric companion).
+
+    Scale shape: the codebooks + the query's per-subspace ADC lookup
+    tables broadcast once; each streamed batch encodes (argmin over
+    n_codes per subspace — one vectorized distance tensor), scores via
+    table gather + sum, and emits only its local shortlist. The driver
+    merges shortlist-sized partials, re-ranks ≤ ``shortlist`` rows
+    exactly via a filter-pushdown read."""
+    q = _query_vector(sf_dir, 0)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    books = pq_build_codebooks(sf_dir)
+    m_sub, n_codes, d_sub = books.shape
+    # ADC lookup tables: table[s, c] = q_sub(s) · codebook[s, c]
+    adc = np.einsum("sd,scd->sc", qn.reshape(m_sub, d_sub), books)
+    state_ref = ray.put((books, adc))
+
+    def batch_shortlist(batch: pa.Table) -> pa.Table:
+        books, adc = ray.get(state_ref)
+        m_sub, n_codes, d_sub = books.shape
+        mat = _list_col_to_matrix(batch["embedding"])
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(nrm == 0, 1.0, nrm)
+        sub = mat.reshape(len(mat), m_sub, d_sub)
+        # encode: nearest code per subspace (‖x−c‖² = ‖x‖²−2x·c+‖c‖²; the
+        # x² term is constant per row — argmin over c needs only the rest)
+        xc = np.einsum("nsd,scd->nsc", sub, books)
+        c2 = (books ** 2).sum(-1)  # (m_sub, n_codes)
+        codes = (c2[None, :, :] - 2.0 * xc).argmin(-1)  # (n, m_sub)
+        score = adc[np.arange(m_sub)[None, :], codes].sum(1)
+        vids = batch["vec_id"].to_numpy()
+        order = np.lexsort((vids, -score))[:shortlist]
+        return pa.table(
+            {"vec_id": pa.array(vids[order], pa.int64()),
+             "score": pa.array(score[order], pa.float64())}
+        )
+
+    parts = (
+        pio.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+        .map_batches(batch_shortlist, batch_format="pyarrow")
+        .to_pandas()
+    )
+    short_ids = (
+        parts.sort_values(["score", "vec_id"], ascending=[False, True])
+        .head(shortlist)["vec_id"]
+        .astype("int64")
+        .tolist()
+    )
+    # exact re-rank of the shortlist only (filter-pushdown read)
+    t = _query_vectors(sf_dir, short_ids)
+    M = _list_col_to_matrix(t["embedding"])
+    nrm = np.linalg.norm(M, axis=1)
+    cos = (M @ q) / (np.where(nrm == 0, 1.0, nrm) * (np.linalg.norm(q) or 1.0))
+    vids = np.asarray(t["vec_id"].to_numpy(), np.int64)
+    order = np.lexsort((vids, -cos))[:k]
+    approx = pd.DataFrame(
+        {"vec_id": vids[order], "cos": np.round(cos[order], 3)}
+    ).reset_index(drop=True)
+    exact = q_knn_top10(sf_dir)
+    recall = len(set(approx["vec_id"]) & set(exact["vec_id"])) / max(1, len(exact))
+    approx["recall_at_k"] = round(recall, 3)
+    return approx
+
+
+def q_pq_recall(sf_dir: str, floor: float = 0.8):
+    """Driver-visible PQ quality gate (same engine-computed-companion
+    pattern as ``q_ivf_recall``): recall@10 of the ADC-shortlist +
+    exact-re-rank pipeline vs the brute-force top-10."""
+    approx = q_knn_pq(sf_dir)
+    recall = float(approx["recall_at_k"].iloc[0]) if len(approx) else 0.0
+    return pd.DataFrame(
+        {"metric": [f"pq_recall_ge_{floor}"], "value": [1.0 if recall >= floor else 0.0]}
+    )
+
+
+SQL_PQ_RECALL = "SELECT 'pq_recall_ge_0.8' AS metric, 1.0 AS value"

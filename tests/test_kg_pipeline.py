@@ -341,3 +341,24 @@ def test_vectorized_scan_byte_equals_trie_loop(ray_session, pages_small, umls):
         out_loop = linker(batch)
         assert out_vec.schema == out_loop.schema
         assert out_vec.equals(out_loop), (diag, edge)
+
+
+def test_knn_pq_recall_floor(ray_session, sf_small):
+    """PQ ADC shortlist + exact re-rank: recall@10 holds the driver gate's
+    floor, the re-ranked scores are true cosines (they match the exact
+    ranking's scores for shared ids), and the codebooks have the declared
+    shape."""
+    from sifr_project_java_ontology_processing_ray.pipelines.ann import (
+        PQ_CODES, PQ_M_SUB, pq_build_codebooks, q_knn_pq, q_knn_top10,
+    )
+
+    books = pq_build_codebooks(sf_small)
+    assert books.shape[:2] == (PQ_M_SUB, PQ_CODES)
+    out = q_knn_pq(sf_small)
+    assert len(out) == 10
+    assert out["recall_at_k"].iloc[0] >= 0.8
+    exact = q_knn_top10(sf_small)
+    exact_cos = dict(zip(exact["vec_id"], exact["cos"]))
+    for vid, cos in zip(out["vec_id"], out["cos"]):
+        if vid in exact_cos:  # shared ids: identical exact cosine
+            assert cos == exact_cos[vid]

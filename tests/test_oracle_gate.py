@@ -89,6 +89,7 @@ SUBSET = [
     "value_p90",
     "sssp",
     "orders_events_nearby",
+    "pq_recall",
 ]
 
 
