@@ -300,6 +300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": relational.q_approx_distinct_users,
         "asof_latest_order": relational.q_asof_latest_order,
         "orders_events_nearby": relational.q_orders_events_nearby,
+        "region_nation_cross": relational.q_region_nation_cross,
+        "approx_quantile_gate": relational.q_approx_quantile_gate,
         "snapshot_delta": relational.q_snapshot_delta,
         "value_quantiles": relational.q_value_quantiles,
         "user_value_median": relational.q_user_value_median,
@@ -412,6 +414,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_distinct_users": relational.SQL_EXACT_DISTINCT_USERS,
         "asof_latest_order": relational.SQL_ASOF_LATEST_ORDER,
         "orders_events_nearby": relational.SQL_ORDERS_EVENTS_NEARBY,
+        "region_nation_cross": relational.SQL_REGION_NATION_CROSS,
+        "approx_quantile_gate": relational.SQL_APPROX_QUANTILE_GATE,
         "snapshot_delta": relational.SQL_SNAPSHOT_DELTA,
         "value_quantiles": relational.SQL_VALUE_QUANTILES,
         "user_value_median": relational.SQL_USER_VALUE_MEDIAN,

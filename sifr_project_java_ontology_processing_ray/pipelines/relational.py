@@ -1586,3 +1586,137 @@ FROM orders o LEFT JOIN events e
               AND o.o_orderdate + INTERVAL 1 DAY
 GROUP BY o.o_orderkey ORDER BY o.o_orderkey
 """
+
+
+# --------------------------------------------------------------------------
+# CROSS JOIN (dimension × dimension): broadcast the smaller side once and
+# expand inside map_batches — never a shuffle; the only sane distributed
+# cross-join shape (a cross join with a BIG side on both legs is a design
+# error at any scale, and this engine does not offer one)
+# --------------------------------------------------------------------------
+
+def q_region_nation_cross(sf_dir: str):
+    """(r_name, n_name, same_region): full 5×25 cartesian of region ×
+    nation with a derived membership flag. The region table rides a
+    ``ray.put`` broadcast; each nation batch emits its |batch|×|regions|
+    expansion via numpy repeat/tile — rows never cross the wire twice."""
+    regions = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    r_ref = ray.put(
+        (regions["r_regionkey"].to_numpy(np.int64),
+         regions["r_name"].to_numpy(object))
+    )
+
+    def expand(b: pa.Table) -> pa.Table:
+        rk, rn = ray.get(r_ref)
+        nk = b["n_regionkey"].to_numpy(zero_copy_only=False)
+        nn = np.asarray(b["n_name"].to_pylist(), object)
+        n, m = len(nn), len(rn)
+        return pa.table(
+            {"r_name": pa.array(np.tile(rn, n)),
+             "n_name": pa.array(np.repeat(nn, m)),
+             "same_region": pa.array(np.repeat(nk, m) == np.tile(rk, n))}
+        )
+
+    out = (
+        _read(sf_dir, "nation", ["n_name", "n_regionkey"])
+        .map_batches(expand, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
+SQL_REGION_NATION_CROSS = """
+SELECT r.r_name, n.n_name,
+       (n.n_regionkey = r.r_regionkey) AS same_region
+FROM region r CROSS JOIN nation n
+ORDER BY r_name, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# mergeable bottom-m quantile sketch + driver-visible rank-error gate:
+# the quantile companion of the HLL↔exact-distinct pattern. A bottom-m
+# sample by keyed row hash is deterministic, order-independent, and
+# mergeable (min over partials), so any parallelism yields the SAME
+# sample; the gate then measures the TRUE rank error of each estimate
+# with one distributed counting scan.
+# --------------------------------------------------------------------------
+
+_SKETCH_M = 4096
+_SKETCH_QS = (0.5, 0.9, 0.99)
+_SKETCH_EPS = 0.05
+
+
+def q_approx_quantile_gate(sf_dir: str):
+    """(metric, value): one pass/fail row per quantile — 1.0 iff the
+    bottom-m-sample estimate's exact rank is within ``eps`` of the target
+    (m=4096 → sampling error ≈ 1.6 % at 99 % confidence; eps=0.05 is
+    conservative). Partials are ≤ m rows per batch; the driver fold is
+    m×batches-sized (the same gated-fold contract as _node_meta_fold —
+    tree-combine the partials before the driver at larger batch counts).
+    The rank check is per-batch counting partials, one scan, three
+    thresholds at once."""
+    import polars as pl
+
+    def sample_partial(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["event_id"], pa.string()).combine_chunks()
+        h = pl.from_arrow(ids).hash(seed=11).to_numpy().astype(np.uint64)
+        v = b["value"].to_numpy(zero_copy_only=False)
+        if len(h) > _SKETCH_M:
+            keep = np.argpartition(h, _SKETCH_M)[:_SKETCH_M]
+            h, v = h[keep], v[keep]
+        return pa.table({"h": pa.array(h, pa.uint64()), "v": pa.array(v)})
+
+    parts = (
+        _read(sf_dir, "events", ["event_id", "value"])
+        .map_batches(sample_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    h = parts["h"].to_numpy(np.uint64)
+    v = parts["v"].to_numpy(np.float64)
+    if len(h) > _SKETCH_M:
+        keep = np.argpartition(h, _SKETCH_M)[:_SKETCH_M]
+        v = v[keep]
+    sample = np.sort(v)
+    m = len(sample)
+    # rank = ceil(q·m) via thousandths-integer arithmetic; 0-based index
+    est = {
+        q: sample[max(0, min(m, (int(q * 1000) * m + 999) // 1000) - 1)]
+        for q in _SKETCH_QS
+    }
+
+    # one distributed scan: exact rank of all three estimates + total n
+    thr = np.array([est[q] for q in _SKETCH_QS])
+    thr_ref = ray.put(thr)
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        vals = b["value"].to_numpy(zero_copy_only=False)
+        le = (vals[:, None] <= t[None, :]).sum(0)
+        return pa.table(
+            {"q": pa.array([str(q) for q in _SKETCH_QS]),
+             "c": pa.array(le, pa.int64()),
+             "n": pa.array([len(vals)] * len(t), pa.int64())}
+        )
+
+    counts = (
+        _read(sf_dir, "events", ["value"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("q", as_index=False)
+        .sum()
+    )
+    rows = []
+    for q in _SKETCH_QS:
+        r = counts[counts["q"] == str(q)].iloc[0]
+        rank_err = abs(float(r["c"]) / float(r["n"]) - q)
+        rows.append((f"approx_q{q}_rank_err_le_{_SKETCH_EPS}",
+                     1.0 if rank_err <= _SKETCH_EPS else 0.0))
+    return pd.DataFrame(rows, columns=["metric", "value"])
+
+
+SQL_APPROX_QUANTILE_GATE = """
+SELECT 'approx_q0.5_rank_err_le_0.05' AS metric, 1.0 AS value
+UNION ALL SELECT 'approx_q0.9_rank_err_le_0.05', 1.0
+UNION ALL SELECT 'approx_q0.99_rank_err_le_0.05', 1.0
+"""

@@ -90,6 +90,8 @@ SUBSET = [
     "sssp",
     "orders_events_nearby",
     "pq_recall",
+    "region_nation_cross",
+    "approx_quantile_gate",
 ]
 
 
