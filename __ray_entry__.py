@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_spans": textops.q_duplicate_spans,
         "tfidf_keywords": textops.q_tfidf_keywords,
         "pages_exact_dedup": textops.q_pages_exact_dedup,
+        "duplicate_sentences": textops.q_duplicate_sentences,
         "pii_redact": textops.q_pii_redact,
         "domain_stats": textops.q_domain_stats,
         "decontaminate": textops.q_decontaminate,
@@ -437,6 +438,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": textops.SQL_EXACT_DEDUP,
         "quality_filter": textops.SQL_QUALITY_FILTER,
         "pages_exact_dedup": textops.SQL_PAGES_EXACT_DEDUP,
+        "duplicate_sentences": textops.SQL_DUPLICATE_SENTENCES,
         "pii_redact": textops.SQL_PII_REDACT,
         "domain_stats": textops.SQL_DOMAIN_STATS,
         "decontaminate": textops.SQL_DECONTAMINATE,

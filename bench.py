@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "kcore",
     "hits",
     "quota_sample",
+    "sssp",
+    "hour_window_sum",
+    "topk_per_group",
+    "duplicate_sentences",
 ]
 
 

@@ -2540,3 +2540,86 @@ scored AS (
 )
 SELECT doc_id, term, score, rnk FROM scored WHERE rnk <= {TFIDF_K}
 """
+
+
+# --------------------------------------------------------------------------
+# cross-document duplicate sentences: the sentence-granularity member of
+# the dedup family (doc-level = exact_dedup, span-level = duplicate_spans).
+# Fully Arrow-kernel split/flatten; one hash groupby on the sentence.
+# --------------------------------------------------------------------------
+
+_SENT_SPLIT = r"[.!?]+"
+_SENT_MIN_CHARS = 20
+
+
+def q_duplicate_sentences(sf_dir: str):
+    """(sentence, n_pages) for trimmed sentences ≥ 20 chars appearing on
+    MORE THAN ONE page of the bench pages corpus (replicate=4 plants
+    verbatim text copies, so every doc's sentences recur on ≥ 2 urls —
+    the documents table itself has no cross-doc sentence overlap).
+    Per-batch: split (RE2 kernel) → flatten with list_parent_indices →
+    explicit-ASCII trim / length filter → per-batch DISTINCT
+    (sentence, url) partials; one groupby then counts distinct pages
+    (partials are per-url-unique, and a page is one row, so one batch).
+    No python loop touches a sentence; the shuffle carries only deduped
+    (sentence, url) pairs."""
+    from .. import testgen
+    from ..stages.extract import extract_text_batch
+
+    pages = testgen.pages_path_for(sf_dir, replicate=4)
+
+    def partial(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern_regex(b["text"], _SENT_SPLIT)
+        idx = pc.list_parent_indices(parts)
+        # explicit ASCII trim set on BOTH sides: Arrow's trim_whitespace
+        # strips all Unicode whitespace, DuckDB's trim() only ' ' — the
+        # shared explicit set keeps the two bit-identical
+        sent = pc.utf8_trim(pc.list_flatten(parts), " \t\n\r")
+        urls = pc.take(b["url"], idx)
+        keep = pc.greater_equal(pc.utf8_length(sent), _SENT_MIN_CHARS)
+        t = pa.table({"sentence": pc.array_filter(sent, keep),
+                      "url": pc.array_filter(urls, keep)})
+        # distinct within the batch (≡ within the page: a page is one row)
+        t = t.group_by(["sentence", "url"]).aggregate([])
+        return pa.table({"sentence": t["sentence"],
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        pio.read_parquet(pages, columns=["url", "html", "text"])
+        .map_batches(extract_text_batch, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("sentence")
+        .aggregate(Sum("one", alias_name="n_pages"))
+        .to_pandas()
+    )
+    out = out[out["n_pages"] > 1]
+    return out.sort_values(["sentence"]).reset_index(drop=True)
+
+
+# same derived-pages CTE as SQL_PAGES_EXACT_DEDUP (testgen replicate=4),
+# then the identical split/trim/length rule over the page text
+SQL_DUPLICATE_SENTENCES = rf"""
+WITH reps AS (
+  SELECT doc_id, source, text, string_split(text, ' ') AS words, r
+  FROM documents CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(r)
+), pages AS (
+  SELECT CASE WHEN r = 0 THEN 'https://' || source || '.example/doc/' || doc_id
+              ELSE 'https://' || source || '.example/doc/' || doc_id || '?r=' || r END AS url,
+         CASE WHEN r = 0 OR r % 10 = 3 THEN text
+              ELSE array_to_string(
+                     list_concat(words[(r % greatest(1, len(words))) + 1 :],
+                                 words[1 : r % greatest(1, len(words))]), ' ') END AS ptext
+  FROM reps
+), s AS (
+  SELECT DISTINCT url,
+         trim(unnest(string_split_regex(ptext, '{_SENT_SPLIT}')),
+              ' ' || chr(9) || chr(10) || chr(13)) AS sentence
+  FROM pages
+)
+SELECT sentence, count(*) AS n_pages
+FROM s WHERE length(sentence) >= {_SENT_MIN_CHARS}
+GROUP BY sentence HAVING count(*) > 1
+ORDER BY sentence
+"""

@@ -92,6 +92,7 @@ SUBSET = [
     "pq_recall",
     "region_nation_cross",
     "approx_quantile_gate",
+    "duplicate_sentences",
 ]
 
 
