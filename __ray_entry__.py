@@ -345,6 +345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_keywords": textops.q_tfidf_keywords,
         "pages_exact_dedup": textops.q_pages_exact_dedup,
         "duplicate_sentences": textops.q_duplicate_sentences,
+        "fuzzy_name_pairs": textops.q_fuzzy_name_pairs,
         "pii_redact": textops.q_pii_redact,
         "domain_stats": textops.q_domain_stats,
         "decontaminate": textops.q_decontaminate,
@@ -439,6 +440,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": textops.SQL_QUALITY_FILTER,
         "pages_exact_dedup": textops.SQL_PAGES_EXACT_DEDUP,
         "duplicate_sentences": textops.SQL_DUPLICATE_SENTENCES,
+        "fuzzy_name_pairs": textops.SQL_FUZZY_NAME_PAIRS,
         "pii_redact": textops.SQL_PII_REDACT,
         "domain_stats": textops.SQL_DOMAIN_STATS,
         "decontaminate": textops.SQL_DECONTAMINATE,

@@ -2623,3 +2623,104 @@ FROM s WHERE length(sentence) >= {_SENT_MIN_CHARS}
 GROUP BY sentence HAVING count(*) > 1
 ORDER BY sentence
 """
+
+
+# --------------------------------------------------------------------------
+# string-similarity (fuzzy) join: all customer-name pairs with Levenshtein
+# distance ≤ 1, via deletion-neighborhood blocking (FastSS): two strings
+# within edit distance 1 ALWAYS share an element of {s} ∪ {s minus one
+# char} (substitution → same deletion variant at that position;
+# insert/delete → the shorter string IS a deletion variant of the longer;
+# equality → s itself). Variant blocking keys one bucketed shuffle; exact
+# verification runs per candidate inside the bucket (candidate-bounded,
+# the same in-task-verify discipline as the MinHash pair verify).
+# --------------------------------------------------------------------------
+
+
+def _within_edit1(a: str, b: str) -> bool:
+    """Exact Levenshtein ≤ 1 check in O(len): equal, one substitution at
+    the first mismatch, or one insertion bridging the length gap."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        seen = False
+        for x, y in zip(a, b):
+            if x != y:
+                if seen:
+                    return False
+                seen = True
+        return True
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def q_fuzzy_name_pairs(sf_dir: str):
+    """(a_key, b_key, a_name, b_name): customer pairs whose names are
+    within Levenshtein distance 1. Per-batch variant emission is the only
+    full-stream pass (O(rows × name_len) variant rows — the documented
+    blocking cost); the bucketed shuffle groups candidates by variant,
+    verification touches only same-variant pairs, and the verified pair
+    set (output-sized, tiny relative to the corpus) dedups on the driver
+    because one pair can share several variants across buckets."""
+    from ..state.grouped import bucketed_map_groups
+
+    def variants(b: pa.Table) -> pa.Table:
+        names = b["c_name"].to_pylist()
+        keys = b["c_custkey"].to_pylist()
+        vs, vk, vn = [], [], []
+        for k, n in zip(keys, names):
+            vs.append(n); vk.append(k); vn.append(n)
+            for i in range(len(n)):
+                vs.append(n[:i] + n[i + 1:]); vk.append(k); vn.append(n)
+        return pa.table(
+            {"variant": pa.array(vs, pa.string()),
+             "key": pa.array(vk, pa.int64()),
+             "name": pa.array(vn, pa.string())}
+        )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, g in df.groupby("variant", sort=False):
+            if len(g) < 2:
+                continue
+            recs = sorted(
+                set(zip(g["key"].tolist(), g["name"].tolist()))
+            )
+            for i in range(len(recs)):
+                ki, ni = recs[i]
+                for j in range(i + 1, len(recs)):
+                    kj, nj = recs[j]
+                    if _within_edit1(ni, nj):
+                        rows.append((ki, kj, ni, nj))
+        return pd.DataFrame(
+            rows, columns=["a_key", "b_key", "a_name", "b_name"]
+        ).astype({"a_key": "int64", "b_key": "int64"})
+
+    pairs = bucketed_map_groups(
+        pio.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+        .map_batches(variants, batch_format="pyarrow"),
+        ["variant"],
+        bucket_pairs,
+    ).to_pandas()
+    return (
+        pairs.drop_duplicates(["a_key", "b_key"])
+        .sort_values(["a_key", "b_key"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_FUZZY_NAME_PAIRS = """
+SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+       a.c_name AS a_name, b.c_name AS b_name
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY a_key, b_key
+"""

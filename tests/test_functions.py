@@ -353,3 +353,30 @@ def test_dataset_from_table_lossless(ray_session):
         assert got == list(range(n)), n
         if n >= 40000:
             assert ds.num_blocks() > 1
+
+
+class TestWithinEdit1:
+    """_within_edit1 must agree with full Levenshtein on the ≤1 boundary
+    (the FastSS verify of q_fuzzy_name_pairs)."""
+
+    @staticmethod
+    def _lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, x in enumerate(a, 1):
+            cur = [i]
+            for j, y in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (x != y)))
+            prev = cur
+        return prev[-1]
+
+    def test_exhaustive_small_alphabet(self):
+        from itertools import product
+
+        from sifr_project_java_ontology_processing_ray.pipelines.textops import _within_edit1
+
+        words = [""]
+        for n in (1, 2, 3):
+            words += ["".join(w) for w in product("ab!", repeat=n)]
+        for a in words:
+            for b in words:
+                assert _within_edit1(a, b) == (self._lev(a, b) <= 1), (a, b)

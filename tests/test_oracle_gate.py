@@ -93,6 +93,7 @@ SUBSET = [
     "region_nation_cross",
     "approx_quantile_gate",
     "duplicate_sentences",
+    "fuzzy_name_pairs",
 ]
 
 
