@@ -310,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": relational.q_topk_orders_per_customer,
         "qty_price_corr": relational.q_qty_price_corr,
         "event_gaps": analytics.q_event_gaps,
+        "event_transitions": analytics.q_event_transitions,
         "hour_window_sum": analytics.q_user_hour_window_sum,
         "value_p90": analytics.q_value_p90,
         "user_running_total": analytics.q_user_running_total,
@@ -426,6 +427,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": relational.SQL_TOPK_ORDERS_PER_CUSTOMER,
         "qty_price_corr": relational.SQL_QTY_PRICE_CORR,
         "event_gaps": analytics.SQL_EVENT_GAPS,
+        "event_transitions": analytics.SQL_EVENT_TRANSITIONS,
         "hour_window_sum": analytics.SQL_USER_HOUR_WINDOW_SUM,
         "value_p90": analytics.SQL_VALUE_P90,
         "user_running_total": analytics.SQL_USER_RUNNING_TOTAL,

@@ -628,3 +628,48 @@ SELECT event_type, n, round(cv / 100.0, 2) AS p90_value
 FROM r WHERE rn = (9 * n + 9) // 10
 ORDER BY event_type
 """
+
+
+# --------------------------------------------------------------------------
+# per-key ordered transitions: (prev event_type → event_type) counts — the
+# Markov-chain / n-gram extraction over event streams; same one-bucketed-
+# shuffle shape as the LAG family, bigram emission fully vectorized
+# --------------------------------------------------------------------------
+
+
+def q_event_transitions(sf_dir: str):
+    """(from_type, to_type, n): count of consecutive event-type pairs per
+    user in (ts, event_id) order, summed over users. One bucketed shuffle
+    on user_id; inside a bucket the bigram emission is one shifted-array
+    comparison masked at key boundaries, pre-aggregated to
+    ≤ |types|² rows per bucket before the driver fold."""
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy(object)
+        same = u[1:] == u[:-1]
+        g = pd.DataFrame({"from_type": et[:-1][same], "to_type": et[1:][same]})
+        g["n"] = np.int64(1)
+        return g.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+
+    parts = bucketed_map_groups(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]),
+        ["user_id"],
+        combine,
+    ).to_pandas()
+    out = parts.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+    return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH t AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+FROM t WHERE prev_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -94,6 +94,7 @@ SUBSET = [
     "approx_quantile_gate",
     "duplicate_sentences",
     "fuzzy_name_pairs",
+    "event_transitions",
 ]
 
 
