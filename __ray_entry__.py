@@ -311,6 +311,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_price_corr": relational.q_qty_price_corr,
         "event_gaps": analytics.q_event_gaps,
         "event_transitions": analytics.q_event_transitions,
+        "users_day_intersect": analytics.q_users_day_intersect,
+        "users_day_except": analytics.q_users_day_except,
+        "value_mad": analytics.q_value_mad,
         "hour_window_sum": analytics.q_user_hour_window_sum,
         "value_p90": analytics.q_value_p90,
         "user_running_total": analytics.q_user_running_total,
@@ -428,6 +431,9 @@ def oracle_sql() -> dict[str, str]:
         "qty_price_corr": relational.SQL_QTY_PRICE_CORR,
         "event_gaps": analytics.SQL_EVENT_GAPS,
         "event_transitions": analytics.SQL_EVENT_TRANSITIONS,
+        "users_day_intersect": analytics.SQL_USERS_DAY_INTERSECT,
+        "users_day_except": analytics.SQL_USERS_DAY_EXCEPT,
+        "value_mad": analytics.SQL_VALUE_MAD,
         "hour_window_sum": analytics.SQL_USER_HOUR_WINDOW_SUM,
         "value_p90": analytics.SQL_VALUE_P90,
         "user_running_total": analytics.SQL_USER_RUNNING_TOTAL,

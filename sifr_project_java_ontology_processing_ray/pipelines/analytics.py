@@ -673,3 +673,179 @@ SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
 FROM t WHERE prev_type IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# set operations (INTERSECT / EXCEPT) via the presence-flag pattern: one
+# scan, per-batch distinct (user, flagA, flagB) partials, one groupby-Max —
+# the same single-shuffle shape as snapshot_delta's diff. The day bounds
+# come from parquet row-group STATISTICS (a metadata-only pass, no scan).
+# --------------------------------------------------------------------------
+
+
+def _events_day_bounds(sf_dir: str) -> tuple[int, int]:
+    """(first_day, last_day) as date32 ints from parquet ts statistics —
+    footer metadata only, the same prune-at-the-read discipline as the
+    kNN query-vector fetch."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    md = pq_.read_metadata(os.path.join(sf_dir, "events.parquet"))
+    lo = hi = None
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for i in range(rg.num_columns):
+            c = rg.column(i)
+            if c.path_in_schema == "ts" and c.statistics is not None:
+                mn, mx = c.statistics.min, c.statistics.max
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+    assert lo is not None, "events.parquet has no ts statistics"
+    import datetime
+
+    epoch = datetime.date(1970, 1, 1)  # date32 epoch, timezone-free
+    return (lo.date() - epoch).days, (hi.date() - epoch).days
+
+
+def _day_user_flags(sf_dir: str) -> pd.DataFrame:
+    """(user_id, in_first, in_last) for users active on either boundary
+    day; one scan with per-batch distinct partials → groupby Max."""
+    d_first, d_last = _events_day_bounds(sf_dir)
+
+    def tag(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(b["ts"], pa.date32()), pa.int32())
+        first = pc.equal(day, pa.scalar(d_first, pa.int32()))
+        last = pc.equal(day, pa.scalar(d_last, pa.int32()))
+        keep = pc.or_(first, last)
+        t = pa.table(
+            {"user_id": pc.array_filter(b["user_id"], keep),
+             "in_first": pc.cast(pc.array_filter(first, keep), pa.int64()),
+             "in_last": pc.cast(pc.array_filter(last, keep), pa.int64())}
+        )
+        return (
+            t.group_by("user_id")
+            .aggregate([("in_first", "max"), ("in_last", "max")])
+            .rename_columns(["user_id", "in_first", "in_last"])
+        )
+
+    from ray.data.aggregate import Max
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("in_first", alias_name="in_first"),
+                   Max("in_last", alias_name="in_last"))
+        .to_pandas()
+    )
+
+
+def q_users_day_intersect(sf_dir: str):
+    """INTERSECT: user_ids active on BOTH the first and the last day of
+    the corpus."""
+    f = _day_user_flags(sf_dir)
+    out = f[(f["in_first"] > 0) & (f["in_last"] > 0)][["user_id"]]
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_USERS_DAY_INTERSECT = """
+SELECT user_id FROM events
+WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
+INTERSECT
+SELECT user_id FROM events
+WHERE CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events)
+ORDER BY user_id
+"""
+
+
+def q_users_day_except(sf_dir: str):
+    """EXCEPT: user_ids active on the first day but NOT the last."""
+    f = _day_user_flags(sf_dir)
+    out = f[(f["in_first"] > 0) & (f["in_last"] == 0)][["user_id"]]
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_USERS_DAY_EXCEPT = """
+SELECT user_id FROM events
+WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
+EXCEPT
+SELECT user_id FROM events
+WHERE CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events)
+ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# exact per-group median absolute deviation from ONE value-count histogram
+# pass: both the median and the deviation median are driver arithmetic
+# over the group-×-distinct-cents-sized histogram — no second scan
+# --------------------------------------------------------------------------
+
+
+def q_value_mad(sf_dir: str):
+    """(event_type, n, mad_value): exact MAD of ``value`` per event_type
+    under the explicit lower-median rule (element at rank (n+1)//2 in
+    sort order — stated identically in the SQL). One distributed
+    histogram pass; the |cv − med| re-ranking happens on the histogram
+    itself, driver-side."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        cv = pc.cast(
+            pc.floor(pc.add(pc.multiply(b["value"], pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.int64(),
+        )
+        t = pa.table({"event_type": b["event_type"], "cv": cv})
+        return (
+            t.group_by(["event_type", "cv"])
+            .aggregate([("cv", "count")])
+            .rename_columns(["event_type", "cv", "p_n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "cv"])
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["event_type", "cv"])
+    )
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        cv = g["cv"].to_numpy(np.int64)
+        cnt = g["n"].to_numpy(np.int64)
+        n = int(cnt.sum())
+        target = (n + 1) // 2
+        med = int(cv[np.searchsorted(np.cumsum(cnt), target)])
+        dev = np.abs(cv - med)
+        order = np.argsort(dev, kind="stable")
+        mad = int(dev[order][np.searchsorted(np.cumsum(cnt[order]), target)])
+        rows.append((et, n, round(mad / 100.0, 2)))
+    return pd.DataFrame(rows, columns=["event_type", "n", "mad_value"])
+
+
+SQL_VALUE_MAD = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cv
+  FROM events
+), r AS (
+  SELECT event_type, cv,
+         row_number() OVER (PARTITION BY event_type ORDER BY cv) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+), med AS (
+  SELECT event_type, cv AS mcv, n FROM r WHERE rn = (n + 1) // 2
+), d AS (
+  SELECT c.event_type, abs(c.cv - m.mcv) AS dev, m.n
+  FROM c JOIN med m USING (event_type)
+), r2 AS (
+  SELECT event_type, dev, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn
+  FROM d
+)
+SELECT event_type, n, round(dev / 100.0, 2) AS mad_value
+FROM r2 WHERE rn = (n + 1) // 2
+ORDER BY event_type
+"""

@@ -95,6 +95,9 @@ SUBSET = [
     "duplicate_sentences",
     "fuzzy_name_pairs",
     "event_transitions",
+    "users_day_intersect",
+    "users_day_except",
+    "value_mad",
 ]
 
 
