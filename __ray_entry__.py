@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_day_intersect": analytics.q_users_day_intersect,
         "users_day_except": analytics.q_users_day_except,
         "value_mad": analytics.q_value_mad,
+        "user_type_pivot": analytics.q_user_type_pivot,
         "hour_window_sum": analytics.q_user_hour_window_sum,
         "value_p90": analytics.q_value_p90,
         "user_running_total": analytics.q_user_running_total,
@@ -434,6 +435,7 @@ def oracle_sql() -> dict[str, str]:
         "users_day_intersect": analytics.SQL_USERS_DAY_INTERSECT,
         "users_day_except": analytics.SQL_USERS_DAY_EXCEPT,
         "value_mad": analytics.SQL_VALUE_MAD,
+        "user_type_pivot": analytics.SQL_USER_TYPE_PIVOT,
         "hour_window_sum": analytics.SQL_USER_HOUR_WINDOW_SUM,
         "value_p90": analytics.SQL_VALUE_P90,
         "user_running_total": analytics.SQL_USER_RUNNING_TOTAL,

@@ -849,3 +849,56 @@ SELECT event_type, n, round(dev / 100.0, 2) AS mad_value
 FROM r2 WHERE rn = (n + 1) // 2
 ORDER BY event_type
 """
+
+
+# --------------------------------------------------------------------------
+# PIVOT / conditional aggregation: per-user event-type counts as columns.
+# The pivot happens INSIDE the per-batch partial (5 filtered counts per
+# row group — fixed, schema-known columns), so the shuffle carries one
+# row per (user, batch) and the groupby is a plain multi-column Sum;
+# no driver-side unstack of a users×types frame.
+# --------------------------------------------------------------------------
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_user_type_pivot(sf_dir: str):
+    """(user_id, n_click, n_purchase, n_search, n_view, n_visit): event
+    counts per user pivoted to fixed columns (the known event-type
+    vocabulary — a pivot over an unbounded column set is a design error
+    at scale; this engine requires the schema up front)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols = {"user_id": b["user_id"]}
+        for t in _PIVOT_TYPES:
+            cols[f"n_{t}"] = pc.cast(
+                pc.equal(b["event_type"], pa.scalar(t)), pa.int64()
+            )
+        return (
+            pa.table(cols)
+            .group_by("user_id")
+            .aggregate([(f"n_{t}", "sum") for t in _PIVOT_TYPES])
+            .rename_columns(["user_id"] + [f"n_{t}" for t in _PIVOT_TYPES])
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in _PIVOT_TYPES])
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_USER_TYPE_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events GROUP BY user_id ORDER BY user_id
+"""

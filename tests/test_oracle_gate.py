@@ -98,6 +98,7 @@ SUBSET = [
     "users_day_intersect",
     "users_day_except",
     "value_mad",
+    "user_type_pivot",
 ]
 
 
