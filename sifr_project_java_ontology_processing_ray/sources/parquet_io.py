@@ -111,3 +111,49 @@ def read_parquet(paths, **kwargs) -> "rd.Dataset":
         except Exception:
             pass  # unreadable/odd input: let read_parquet surface it
     return rd.read_parquet(paths, **kwargs)
+
+
+def compact_parquet(paths, out_dir: str, target_files: int = 8) -> dict:
+    """Small-file compaction — the table-maintenance pass a 100-TB
+    pipeline runs after many incremental writes (thousands of KB-sized
+    shards make every later read pay per-file open cost and schedule
+    per-file tasks). ``repartition(target_files)`` coalesces WITHOUT a
+    shuffle key; each output block is written as one shard INSIDE its
+    write task with a content-hash name (a retried task rewrites the
+    same bytes to the same name — exactly-once), and the manifest is
+    written last, so a compaction is complete iff its manifest exists
+    (the ``state/manifest`` rule). Returns the manifest dict."""
+    import hashlib
+    import json
+
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds = read_parquet(paths).repartition(target_files)
+
+    def write_shard(batch: "pa.Table") -> "pa.Table":
+        if batch.num_rows == 0:
+            return pa.table({"shard": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        sink = pa.BufferOutputStream()
+        pq.write_table(batch.replace_schema_metadata(None), sink)
+        buf = sink.getvalue().to_pybytes()
+        name = f"part-{hashlib.blake2b(buf, digest_size=12).hexdigest()}.parquet"
+        tmp = os.path.join(out_dir, f".{name}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(buf)
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table({"shard": [name], "rows": [batch.num_rows]})
+
+    shards = ds.map_batches(
+        write_shard, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    manifest = {
+        "shards": sorted(shards["shard"].tolist()),
+        "rows": int(shards["rows"].sum()),
+    }
+    tmp = os.path.join(out_dir, "._manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(out_dir, "_manifest.json"))
+    return manifest

@@ -1,0 +1,97 @@
+"""Maintenance/resilience sources: small-file compaction and the
+dead-letter JSONL reader."""
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from sifr_project_java_ontology_processing_ray.sources.jsonl_dl import _parse_lines, read_jsonl_resilient
+from sifr_project_java_ontology_processing_ray.sources.parquet_io import compact_parquet
+
+
+class TestCompaction:
+    def _write_shards(self, d, n_shards=24, rows_per=50):
+        os.makedirs(d, exist_ok=True)
+        k = 0
+        for s in range(n_shards):
+            t = pa.table(
+                {"i": list(range(k, k + rows_per)),
+                 "s": [f"row{j}" for j in range(k, k + rows_per)]}
+            )
+            pq.write_table(t, os.path.join(d, f"in-{s:04d}.parquet"))
+            k += rows_per
+        return n_shards * rows_per
+
+    def test_compact_preserves_rows(self, ray_session, tmp_path):
+        src = str(tmp_path / "many")
+        out = str(tmp_path / "compact")
+        total = self._write_shards(src)
+        manifest = compact_parquet(src, out, target_files=4)
+        assert manifest["rows"] == total
+        files = sorted(glob.glob(os.path.join(out, "*.parquet")))
+        assert 0 < len(files) <= 4 + 1  # repartition may leave ≤ target blocks
+        got = pq.read_table(files).to_pandas().sort_values("i")
+        assert got["i"].tolist() == list(range(total))
+        with open(os.path.join(out, "_manifest.json")) as f:
+            assert json.load(f) == manifest
+        assert sorted(os.path.basename(p) for p in files) == manifest["shards"]
+
+    def test_compact_idempotent_names(self, ray_session, tmp_path):
+        src = str(tmp_path / "many2")
+        self._write_shards(src, n_shards=4, rows_per=10)
+        m1 = compact_parquet(src, str(tmp_path / "o1"), target_files=1)
+        m2 = compact_parquet(src, str(tmp_path / "o2"), target_files=1)
+        assert m1["shards"] == m2["shards"]  # content-hash: retry-stable
+
+
+GOOD = [json.dumps({"doc_id": i, "text": f"doc {i}", "lang": "en"}) for i in range(200)]
+
+
+class TestDeadletterJsonl:
+    def test_bisect_isolates_bad_lines(self):
+        lines = GOOD[:7] + ['{"broken']
+        t, bad = _parse_lines(lines)
+        assert bad == ['{"broken']
+        assert t.num_rows == 7
+        # several bad lines scattered
+        lines = GOOD[:3] + ["nope"] + GOOD[3:6] + ['{"x":'] + GOOD[6:9]
+        t, bad = _parse_lines(lines)
+        assert sorted(bad) == ["nope", '{"x":']
+        assert t.num_rows == 9
+
+    def test_all_bad(self):
+        t, bad = _parse_lines(["a", "b"])
+        assert t is None and bad == ["a", "b"]
+
+    def test_read_counts_deadletters(self, ray_session, tmp_path):
+        from sifr_project_java_ontology_processing_ray.state.counters import counter_channel
+        import ray
+
+        p = str(tmp_path / "corpus.jsonl")
+        with open(p, "w") as f:
+            for i, ln in enumerate(GOOD):
+                f.write(ln + "\n")
+                if i % 50 == 10:
+                    f.write('{"truncated-line\n')
+        name = "test_dl_jsonl"
+        ds = read_jsonl_resilient(p, stats_name=name)
+        df = ds.to_pandas()
+        assert len(df) == len(GOOD)
+        assert sorted(df["doc_id"].tolist()) == list(range(len(GOOD)))
+        counts = ray.get(counter_channel(name).get.remote())
+        assert counts.get("n_bad_lines") == 4
+        # lazy re-execution must not double-count (idempotent channel)
+        ds.to_pandas()
+        counts = ray.get(counter_channel(name).get.remote())
+        assert counts.get("n_bad_lines") == 4
+
+    def test_clean_corpus_zero_actor_traffic(self, ray_session, tmp_path):
+        p = str(tmp_path / "clean.jsonl")
+        with open(p, "w") as f:
+            f.write("\n".join(GOOD) + "\n")
+        df = read_jsonl_resilient(p).to_pandas()
+        assert len(df) == len(GOOD)
