@@ -95,3 +95,50 @@ class TestDeadletterJsonl:
             f.write("\n".join(GOOD) + "\n")
         df = read_jsonl_resilient(p).to_pandas()
         assert len(df) == len(GOOD)
+
+
+class TestCrossParallelismDeterminism:
+    """The session-7 bucketed operators must be bit-identical at any
+    bucket count (the engine-wide determinism contract: results never
+    depend on physical partitioning)."""
+
+    @pytest.mark.parametrize("buckets", [1, 7])
+    def test_hour_window_sum(self, ray_session, sf_small, monkeypatch, buckets):
+        from sifr_project_java_ontology_processing_ray.pipelines import analytics
+        from sifr_project_java_ontology_processing_ray.state import grouped
+
+        want = analytics.q_user_hour_window_sum(sf_small)
+        monkeypatch.setattr(grouped, "DEFAULT_BUCKETS", buckets)
+        got = analytics.q_user_hour_window_sum(sf_small)
+        assert got.equals(want)
+
+    @pytest.mark.parametrize("buckets", [1, 7])
+    def test_fuzzy_name_pairs(self, ray_session, sf_small, monkeypatch, buckets):
+        from sifr_project_java_ontology_processing_ray.pipelines import textops
+        from sifr_project_java_ontology_processing_ray.state import grouped
+
+        want = textops.q_fuzzy_name_pairs(sf_small)
+        monkeypatch.setattr(grouped, "DEFAULT_BUCKETS", buckets)
+        got = textops.q_fuzzy_name_pairs(sf_small)
+        assert got.equals(want)
+
+    @pytest.mark.parametrize("blocks", [1, 13])
+    def test_value_mad_block_layout(self, ray_session, sf_small, blocks):
+        # histogram partials: any read block layout → same exact MAD
+        from sifr_project_java_ontology_processing_ray.pipelines import analytics
+        from sifr_project_java_ontology_processing_ray.sources import parquet_io
+
+        want = analytics.q_value_mad(sf_small)
+        orig = parquet_io.read_parquet
+
+        def forced(paths, **kw):
+            kw["override_num_blocks"] = blocks
+            return orig(paths, **kw)
+
+        try:
+            parquet_io.read_parquet = forced
+            # relational._read resolves pio.read_parquet at call time
+            got = analytics.q_value_mad(sf_small)
+        finally:
+            parquet_io.read_parquet = orig
+        assert got.equals(want)
