@@ -51,11 +51,14 @@ def bucketed_map_groups(
     ds,
     key_cols: list[str],
     fn: Callable[[pd.DataFrame], pd.DataFrame],
-    num_buckets: int = DEFAULT_BUCKETS,
+    num_buckets: int | None = None,
 ):
     """Apply ``fn`` (vectorized over a bucket's DataFrame; must itself
     respect per-key grouping, e.g. via ``df.groupby(key_cols)``) with only
-    ``num_buckets`` python invocations."""
+    ``num_buckets`` python invocations (default ``DEFAULT_BUCKETS``,
+    resolved at CALL time so tests can patch it)."""
+    if num_buckets is None:
+        num_buckets = DEFAULT_BUCKETS
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         # strip any upstream b'pandas' metadata BEFORE the sort shuffle:
