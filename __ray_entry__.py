@@ -309,12 +309,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_revenue": relational.q_cube_revenue,
         "topk_per_group": relational.q_topk_orders_per_customer,
         "qty_price_corr": relational.q_qty_price_corr,
+        "shipping_priority": relational.q_shipping_priority,
+        "global_rank": relational.q_global_rank,
         "event_gaps": analytics.q_event_gaps,
         "event_transitions": analytics.q_event_transitions,
         "users_day_intersect": analytics.q_users_day_intersect,
         "users_day_except": analytics.q_users_day_except,
         "value_mad": analytics.q_value_mad,
         "user_type_pivot": analytics.q_user_type_pivot,
+        "event_debounce": analytics.q_event_debounce,
+        "longest_streak": analytics.q_longest_streak,
+        "user_event_entropy": analytics.q_user_event_entropy,
+        "user_value_trend": analytics.q_user_value_trend,
         "hour_window_sum": analytics.q_user_hour_window_sum,
         "value_p90": analytics.q_value_p90,
         "user_running_total": analytics.q_user_running_total,
@@ -335,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": textops.q_repetition_stats,
         "train_val_split": textops.q_train_val_split,
         "stratified_sample": textops.q_stratified_sample,
+        "weighted_sample": textops.q_weighted_sample,
         "quota_sample": textops.q_quota_sample,
         "bpe_merges": textops.q_bpe_merges,
         "heavy_tokens": textops.q_heavy_tokens,
@@ -430,12 +437,18 @@ def oracle_sql() -> dict[str, str]:
         "cube_revenue": relational.SQL_CUBE_REVENUE,
         "topk_per_group": relational.SQL_TOPK_ORDERS_PER_CUSTOMER,
         "qty_price_corr": relational.SQL_QTY_PRICE_CORR,
+        "shipping_priority": relational.SQL_SHIPPING_PRIORITY,
+        "global_rank": relational.SQL_GLOBAL_RANK,
         "event_gaps": analytics.SQL_EVENT_GAPS,
         "event_transitions": analytics.SQL_EVENT_TRANSITIONS,
         "users_day_intersect": analytics.SQL_USERS_DAY_INTERSECT,
         "users_day_except": analytics.SQL_USERS_DAY_EXCEPT,
         "value_mad": analytics.SQL_VALUE_MAD,
         "user_type_pivot": analytics.SQL_USER_TYPE_PIVOT,
+        "event_debounce": analytics.SQL_EVENT_DEBOUNCE,
+        "longest_streak": analytics.SQL_LONGEST_STREAK,
+        "user_event_entropy": analytics.SQL_USER_EVENT_ENTROPY,
+        "user_value_trend": analytics.SQL_USER_VALUE_TREND,
         "hour_window_sum": analytics.SQL_USER_HOUR_WINDOW_SUM,
         "value_p90": analytics.SQL_VALUE_P90,
         "user_running_total": analytics.SQL_USER_RUNNING_TOTAL,
@@ -462,6 +475,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": textops.SQL_REPETITION_STATS,
         "train_val_split": textops.SQL_TRAIN_VAL_SPLIT,
         "stratified_sample": textops.SQL_STRATIFIED_SAMPLE,
+        "weighted_sample": textops.SQL_WEIGHTED_SAMPLE,
         "quota_sample": textops.SQL_QUOTA_SAMPLE,
         "vocab_top50": textops.SQL_VOCAB_TOP50,
         "doc_chunks": textops.SQL_DOC_CHUNKS,

@@ -902,3 +902,267 @@ SELECT user_id,
        count(*) FILTER (WHERE event_type = 'view')     AS n_view
 FROM events GROUP BY user_id ORDER BY user_id
 """
+
+
+# --------------------------------------------------------------------------
+# debounce: keep the first event of each burst (gaps-and-islands, the
+# LAG-family one-bucketed-shuffle shape — same discipline as q_event_gaps)
+# --------------------------------------------------------------------------
+
+_DEBOUNCE_GAP_US = 3600 * 1_000_000  # 1 h, integer microseconds
+
+
+def q_event_debounce(sf_dir: str):
+    """(event_id, user_id, event_type): events that START an activity
+    burst — a new island opens when the gap from the PREVIOUS event of the
+    same (user, type) exceeds 1 h (or there is no previous event). One
+    bucketed shuffle on (user_id, event_type); inside a bucket the gap is
+    a vectorized groupby-shift diff on integer microseconds, so the
+    comparison is exact at any parallelism (no float time math)."""
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "event_type", "ts", "event_id"], kind="mergesort"
+        )
+        us = df["ts"].astype("int64")
+        prev = us.groupby(
+            [df["user_id"], df["event_type"]], sort=False
+        ).shift(1)
+        keep = prev.isna() | ((us - prev) > _DEBOUNCE_GAP_US)
+        return df.loc[keep, ["event_id", "user_id", "event_type"]]
+
+    out = bucketed_map_groups(
+        _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"]),
+        ["user_id", "event_type"],
+        combine,
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_EVENT_DEBOUNCE = """
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type,
+         ts - lag(ts) OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS gap
+  FROM events)
+WHERE gap IS NULL OR gap > INTERVAL 3600 SECOND
+ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# longest consecutive-day streak per user (gaps-and-islands on day ordinals)
+# --------------------------------------------------------------------------
+
+
+def q_longest_streak(sf_dir: str):
+    """(user_id, streak): the longest run of consecutive UTC calendar days
+    on which the user has at least one event. Per-batch distinct
+    (user, day) partials bound the shuffle by active-user-days; inside the
+    user's bucket the island id is ``day_ordinal - rank`` (one vectorized
+    pass), so no per-key python work anywhere."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor(pc.divide(pc.cast(b["ts"], pa.int64()), 86_400_000_000)),
+            pa.int64(),
+        )
+        return (
+            pa.table({"user_id": b["user_id"], "day": day})
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], kind="mergesort"
+        )
+        island = df["day"] - df.groupby("user_id", sort=False).cumcount()
+        runs = (
+            df.assign(island=island)
+            .groupby(["user_id", "island"], sort=False)
+            .size()
+            .reset_index(name="len")
+        )
+        return (
+            runs.groupby("user_id", as_index=False)["len"]
+            .max()
+            .rename(columns={"len": "streak"})
+        )
+
+    out = bucketed_map_groups(
+        _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["user_id"],
+        combine,
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_LONGEST_STREAK = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+), runs AS (
+  SELECT user_id,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+  FROM days)
+SELECT user_id, CAST(max(cnt) AS BIGINT) AS streak FROM (
+  SELECT user_id, island, count(*) AS cnt FROM runs GROUP BY user_id, island)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# per-user Shannon entropy of the event-type distribution
+# --------------------------------------------------------------------------
+
+
+def q_user_event_entropy(sf_dir: str):
+    """(user_id, n_events, entropy): Shannon entropy (nats) of each user's
+    event-type mix. Per-batch (user, type) count partials (Arrow group_by)
+    reduce the stream to ≤ |users|×|types| rows before the one bucketed
+    shuffle; the entropy is computed from EXACT integer counts with floats
+    only in the final -Σ p·ln p expression (mirrored by the SQL), rounded
+    to 9 dp on both sides."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        return (
+            b.select(["user_id", "event_type"])
+            .group_by(["user_id", "event_type"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["user_id", "event_type", "p_cnt"])
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = (
+            df.groupby(["user_id", "event_type"], as_index=False)["p_cnt"].sum()
+        )
+        n = cnt.groupby("user_id")["p_cnt"].transform("sum")
+        p = cnt["p_cnt"] / n
+        ent = (
+            cnt.assign(term=-(p * np.log(p)))
+            .groupby("user_id", as_index=False)
+            .agg(n_events=("p_cnt", "sum"), entropy=("term", "sum"))
+        )
+        ent["entropy"] = ent["entropy"].round(9)
+        return ent
+
+    out = bucketed_map_groups(
+        _read(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["user_id"],
+        combine,
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_USER_EVENT_ENTROPY = """
+WITH c AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS cnt
+  FROM events GROUP BY user_id, event_type
+), t AS (
+  SELECT user_id, cnt,
+         sum(cnt) OVER (PARTITION BY user_id) AS n
+  FROM c)
+SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+       round(sum(-(CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n)), 9)
+         AS entropy
+FROM t GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# per-user linear trend of value over time (exact integer-moment slope,
+# same HUGEINT discipline as q_qty_price_corr / assortativity)
+# --------------------------------------------------------------------------
+
+_TREND_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01, the fixture epoch
+
+
+def q_user_value_trend(sf_dir: str):
+    """(user_id, n, slope): least-squares slope of value (cents) over time
+    (whole seconds since 2024-01-01) per user. The five moment sums ride
+    as int64 per batch (x ≤ 2.6e6 s, y ≤ 5e6 cents ⇒ xx·4096 < 2^63) and
+    fold as python ints at the driver (no overflow at any scale); ONE
+    final float division mirrors the SQL's CAST(... AS DOUBLE) exactly."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = pc.cast(
+            pc.floor(
+                pc.divide(
+                    pc.subtract(
+                        pc.cast(b["ts"], pa.int64()),
+                        pa.scalar(_TREND_EPOCH_US, pa.int64()),
+                    ),
+                    1_000_000,
+                )
+            ),
+            pa.int64(),
+        )
+        y = pc.cast(
+            pc.floor(
+                pc.add(pc.multiply(b["value"], pa.scalar(100.0)), pa.scalar(0.5))
+            ),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "user_id": b["user_id"],
+                "x": x,
+                "y": y,
+                "xx": pc.multiply(x, x),
+                "xy": pc.multiply(x, y),
+            }
+        )
+        return (
+            t.group_by("user_id")
+            .aggregate(
+                [("x", "count"), ("x", "sum"), ("y", "sum"),
+                 ("xx", "sum"), ("xy", "sum")]
+            )
+            .rename_columns(["user_id", "p_n", "p_x", "p_y", "p_xx", "p_xy"])
+        )
+
+    parts = (
+        _read(sf_dir, "events", ["user_id", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    for c in ("p_n", "p_x", "p_y", "p_xx", "p_xy"):
+        parts[c] = parts[c].astype(object)
+    g = parts.groupby("user_id", as_index=False).sum()
+    rows = []
+    for _, r in g.iterrows():
+        n, sx, sy = int(r["p_n"]), int(r["p_x"]), int(r["p_y"])
+        sxx, sxy = int(r["p_xx"]), int(r["p_xy"])
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        slope = None if den == 0 else round(float(num) / float(den), 9)
+        rows.append((r["user_id"], n, slope))
+    return (
+        pd.DataFrame(rows, columns=["user_id", "n", "slope"])
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+SQL_USER_VALUE_TREND = """
+WITH c AS (
+  SELECT user_id,
+         CAST(floor(date_diff('second', TIMESTAMP '2024-01-01', ts)) AS HUGEINT) AS x,
+         CAST(floor(value * 100 + 0.5) AS HUGEINT) AS y
+  FROM events
+), s AS (
+  SELECT user_id, count(*)::HUGEINT AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM c GROUP BY user_id)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE), 9) END AS slope
+FROM s ORDER BY user_id
+"""

@@ -1720,3 +1720,182 @@ SELECT 'approx_q0.5_rank_err_le_0.05' AS metric, 1.0 AS value
 UNION ALL SELECT 'approx_q0.9_rank_err_le_0.05', 1.0
 UNION ALL SELECT 'approx_q0.99_rank_err_le_0.05', 1.0
 """
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q3-shaped shipping priority: dimension broadcast + ONE large×large
+# hash join + partial agg + global top-k (the canonical 3-table plan)
+# --------------------------------------------------------------------------
+
+
+def q_shipping_priority(sf_dir: str):
+    """(l_orderkey, revenue, o_orderdate): top 10 unshipped orders of the
+    BUILDING segment by revenue. The plan a 100-TB run needs: customer is
+    dimension-sized → its qualifying key set broadcasts (ray.put once) and
+    filters orders INSIDE map_batches; lineitem×orders is the one genuine
+    large×large exchange (``Dataset.join`` hash-partitioned on orderkey,
+    both sides pre-filtered and column-pruned); revenue partials reduce
+    per (orderkey, orderdate) before the groupby; only |groups| rows reach
+    the driver-side top-k."""
+    cutoff_us = pd.Timestamp("1998-06-01").value // 1000
+    cust = pa.parquet.read_table(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    building = pc.filter(
+        cust["c_custkey"], pc.equal(cust["c_mktsegment"], pa.scalar("BUILDING"))
+    ).combine_chunks()
+    keys_ref = ray.put(building)
+
+    def filter_orders(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(pc.index_in(b["o_custkey"], value_set=ray.get(keys_ref))),
+            pc.less(pc.cast(b["o_orderdate"], pa.int64()), pa.scalar(cutoff_us)),
+        )
+        return b.filter(keep).select(["o_orderkey", "o_orderdate"])
+
+    def filter_lines(b: pa.Table) -> pa.Table:
+        keep = pc.greater(pc.cast(b["l_shipdate"], pa.int64()), pa.scalar(cutoff_us))
+        b = b.filter(keep)
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        return pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(filter_orders, batch_format="pyarrow")
+    lines = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(filter_lines, batch_format="pyarrow")
+
+    from ..state.partitions import join_partitions
+
+    joined = lines.join(
+        orders, join_type="inner",
+        num_partitions=join_partitions(),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        return (
+            b.group_by(["l_orderkey", "o_orderdate"])
+            .aggregate([("rev", "sum")])
+            .rename_columns(["l_orderkey", "o_orderdate", "p_rev"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("p_rev", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out = out.sort_values(
+        ["revenue", "l_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(10)
+    return out[["l_orderkey", "revenue", "o_orderdate"]].reset_index(drop=True)
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# global total-order row numbering (distributed rank without a global sort
+# bottleneck: range-bucket histogram → exact offsets → local rank)
+# --------------------------------------------------------------------------
+
+
+def q_global_rank(sf_dir: str):
+    """(o_orderkey, rnk): every order's exact global rank by
+    (o_totalprice DESC, o_orderkey ASC). No driver-side sort of the full
+    table: rows range-bucket by price (equal-width bins over the exact
+    min/max — a quantile sketch picks the boundaries at 100 TB), per-bin
+    COUNTS fold to exact rank offsets (bins-sized, driver-cheap), and each
+    bin ranks locally inside one bucketed shuffle. Two streaming passes,
+    one exchange, bit-identical at any parallelism (integer cents keys —
+    prices are exact 2-dp values, so the cents order IS the price order)."""
+    from ..state.grouped import bucketed_map_groups
+
+    _NBINS = 256
+
+    stats = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "lo": [pc.min(b["o_totalprice"]).as_py()],
+                    "hi": [pc.max(b["o_totalprice"]).as_py()],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    lo_c = int(np.floor(stats["lo"].min() * 100 + 0.5))
+    hi_c = int(np.floor(stats["hi"].max() * 100 + 0.5))
+    width = max(1, (hi_c - lo_c + _NBINS) // _NBINS)
+
+    def with_bin(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(b["o_totalprice"], pa.scalar(100.0)),
+                            pa.scalar(0.5))),
+            pa.int64(),
+        )
+        # DESC rank ⇒ bin 0 holds the HIGHEST prices
+        binid = pc.cast(
+            pc.floor(pc.divide(pc.subtract(pa.scalar(hi_c), cents), width)),
+            pa.int64(),
+        )
+        return pa.table(
+            {"o_orderkey": b["o_orderkey"], "cents": cents, "bin": binid}
+        )
+
+    binned = _read(
+        sf_dir, "orders", ["o_orderkey", "o_totalprice"]
+    ).map_batches(with_bin, batch_format="pyarrow")
+
+    counts = (
+        binned.map_batches(
+            lambda b: b.group_by("bin").aggregate([([], "count_all")])
+            .rename_columns(["bin", "p_n"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby("bin")["p_n"]
+        .sum()
+        .sort_index()
+    )
+    offsets = counts.cumsum().shift(1, fill_value=0).to_dict()
+
+    def rank_bin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["bin", "cents", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        base = df["bin"].map(offsets).astype("int64")
+        df["rnk"] = base + df.groupby("bin", sort=False).cumcount() + 1
+        return df[["o_orderkey", "rnk"]]
+
+    out = bucketed_map_groups(binned, ["bin"], rank_bin).to_pandas()
+    return out.sort_values("rnk").reset_index(drop=True)
+
+
+SQL_GLOBAL_RANK = """
+SELECT o_orderkey,
+       row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+FROM orders ORDER BY rnk
+"""

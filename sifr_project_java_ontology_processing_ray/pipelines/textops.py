@@ -2732,3 +2732,61 @@ FROM customer a JOIN customer b
  AND levenshtein(a.c_name, b.c_name) <= 1
 ORDER BY a_key, b_key
 """
+
+
+# --------------------------------------------------------------------------
+# weighted sampling without replacement (A-ES / exponential-sort): the
+# mixture-construction primitive when examples carry unequal weights
+# --------------------------------------------------------------------------
+
+_WS_K = 20
+_WS_MULT = 2654435761  # Knuth multiplicative hash, SQL-restatable
+_WS_ADD = 12345
+_WS_MOD = 4294967296  # 2^32
+
+
+def q_weighted_sample(sf_dir: str):
+    """(doc_id, n_chars): a deterministic k=20 weighted sample without
+    replacement over documents, weight = n_chars (Efraimidis-Spirakis:
+    take the k largest ln(u)/w where u is a per-doc uniform). The uniform
+    comes from an integer multiplicative hash of doc_id — pure, seeded,
+    SQL-restatable — so the sample is identical across runs, cluster
+    layouts, AND the DuckDB oracle. Each batch emits only its local top-k
+    partial (k-sized); the driver folds k x n_batches rows. No shuffle,
+    no RNG state, no sort of the full table."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(_WS_MULT) + np.uint64(_WS_ADD)) % np.uint64(_WS_MOD)
+        u = (h.astype(np.float64) + 1.0) / float(_WS_MOD + 1)
+        w = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        key = np.log(u) / w
+        df = pd.DataFrame(
+            {"doc_id": batch["doc_id"], "n_chars": batch["n_chars"], "key": key}
+        ).sort_values(["key", "doc_id"], ascending=[False, True], kind="mergesort")
+        return pa.Table.from_pandas(df.head(_WS_K), preserve_index=False)
+
+    parts = (
+        pio.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = parts.sort_values(
+        ["key", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(_WS_K)
+    return (
+        out[["doc_id", "n_chars"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         ln(((doc_id * 2654435761 + 12345) % 4294967296 + 1)
+            / 4294967297.0) / n_chars AS key
+  FROM documents
+  ORDER BY key DESC, doc_id LIMIT 20)
+ORDER BY doc_id
+"""

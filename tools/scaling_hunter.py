@@ -83,12 +83,15 @@ def main() -> None:
         if tps >= THRESHOLD:
             open(SENTINEL, "w").write(str(os.getpid()))
             try:
-                weak = fire("--scaling-weak")
-                if weak:
-                    _log({"event": "weak_series", **weak})
-                strong = fire("--scaling")
-                if strong:
-                    _log({"event": "strong_series", **strong})
+                # GRAFT_HUNT_MODES selects which series fire on an open
+                # window (comma-separated; default both, weak first)
+                modes = os.environ.get(
+                    "GRAFT_HUNT_MODES", "--scaling-weak,--scaling"
+                ).split(",")
+                for mode in modes:
+                    res = fire(mode)
+                    if res:
+                        _log({"event": mode.lstrip("-") + "_series", **res})
             finally:
                 os.remove(SENTINEL)
             captures += 1
