@@ -321,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "longest_streak": analytics.q_longest_streak,
         "user_event_entropy": analytics.q_user_event_entropy,
         "user_value_trend": analytics.q_user_value_trend,
+        "user_value_zscore": analytics.q_user_value_zscore,
         "hour_window_sum": analytics.q_user_hour_window_sum,
         "value_p90": analytics.q_value_p90,
         "user_running_total": analytics.q_user_running_total,
@@ -449,6 +450,7 @@ def oracle_sql() -> dict[str, str]:
         "longest_streak": analytics.SQL_LONGEST_STREAK,
         "user_event_entropy": analytics.SQL_USER_EVENT_ENTROPY,
         "user_value_trend": analytics.SQL_USER_VALUE_TREND,
+        "user_value_zscore": analytics.SQL_USER_VALUE_ZSCORE,
         "hour_window_sum": analytics.SQL_USER_HOUR_WINDOW_SUM,
         "value_p90": analytics.SQL_VALUE_P90,
         "user_running_total": analytics.SQL_USER_RUNNING_TOTAL,

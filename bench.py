@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "hour_window_sum",
     "topk_per_group",
     "duplicate_sentences",
+    "shipping_priority",
+    "global_rank",
+    "weighted_sample",
 ]
 
 
@@ -203,7 +206,20 @@ def raw_cpu_control(n_procs_hi: int = 30, n_procs_lo: int = 4) -> dict:
 
 def run_scaling() -> dict:
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "4"))
-    control = raw_cpu_control()
+    # GRAFT_SCALING_LEVELS="lo,hi" picks the two parallelism levels
+    # (default 8,32). The north rule says N->4N, not 8->32: on this ONE
+    # shared-memory node the 32-cpu level saturates the DRAM controller
+    # that a real 4x cluster would multiply, so a 2->8 series (both
+    # levels far from the bandwidth ceiling) is the companion evidence
+    # for the engine's own scaling behavior.
+    lo_n, hi_n = (
+        int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(",")
+    )
+    # control concurrency tracks the chosen levels (the 8,32 default
+    # burned 4 and 30 procs: half the lo level, hi level minus 2)
+    control = raw_cpu_control(
+        n_procs_hi=max(2, hi_n - 2), n_procs_lo=max(1, lo_n // 2)
+    )
 
     def one(ncpu: int) -> tuple[dict, list[float]]:
         # scaling runs use a larger input (800k pages) so parallel compute
@@ -234,21 +250,21 @@ def run_scaling() -> dict:
     # that triggered the series is still open. The 8-cpu side's band is
     # window-insensitive (see BASELINE.md runs 16-21).
     if os.environ.get("GRAFT_SCALING_ORDER") == "hi_first":
-        (hi, hi_times), (lo, lo_times) = one(32), one(8)
+        (hi, hi_times), (lo, lo_times) = one(hi_n), one(lo_n)
     else:
-        (lo, lo_times), (hi, hi_times) = one(8), one(32)
+        (lo, lo_times), (hi, hi_times) = one(lo_n), one(hi_n)
     t_lo, t_hi = lo["value"], hi["value"]
-    eff = (t_lo / t_hi) / (32 / 8)
+    eff = (t_lo / t_hi) / (hi_n / lo_n)
     return {
-        "metric": "scaling_efficiency_8to32",
+        "metric": f"scaling_efficiency_{lo_n}to{hi_n}",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8cpu": t_lo,
-        "sec_32cpu": t_hi,
-        "reps_8cpu": lo_times,
-        "reps_32cpu": hi_times,
-        "triples_per_sec_8cpu": lo["triples_per_sec"],
-        "triples_per_sec_32cpu": hi["triples_per_sec"],
+        f"sec_{lo_n}cpu": t_lo,
+        f"sec_{hi_n}cpu": t_hi,
+        f"reps_{lo_n}cpu": lo_times,
+        f"reps_{hi_n}cpu": hi_times,
+        f"triples_per_sec_{lo_n}cpu": lo["triples_per_sec"],
+        f"triples_per_sec_{hi_n}cpu": hi["triples_per_sec"],
         "raw_cpu_control": control,
         "value_vs_control": round(eff / control["retention"], 3)
         if control["retention"]

@@ -1166,3 +1166,63 @@ SELECT user_id, CAST(n AS BIGINT) AS n,
                        / CAST(n * sxx - sx * sx AS DOUBLE), 9) END AS slope
 FROM s ORDER BY user_id
 """
+
+
+# --------------------------------------------------------------------------
+# per-user z-score normalization (grouped standardization — the feature
+# scaling primitive; exact integer moments, one final float expression)
+# --------------------------------------------------------------------------
+
+
+def q_user_value_zscore(sf_dir: str):
+    """(event_id, user_id, z): each event's value standardized against its
+    user's population mean/std. Exactness: z = (n·y − Σy)/sqrt(n·Σy² − (Σy)²)
+    over integer cents — both sides compute THIS integer expression and
+    convert to double once, so the doubles are bit-identical (int64 is
+    safe while n·Σy² < 2^63, i.e. per-user cents²·n² < 9e18 — salt or
+    promote to python ints far before that)."""
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        y = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        g = df.assign(y=y).groupby("user_id", sort=False)["y"]
+        n = g.transform("size").to_numpy().astype(np.int64)
+        sy = g.transform("sum").to_numpy().astype(np.int64)
+        syy = (
+            df.assign(yy=y * y)
+            .groupby("user_id", sort=False)["yy"]
+            .transform("sum")
+            .to_numpy()
+            .astype(np.int64)
+        )
+        den = n * syy - sy * sy
+        num = n * y - sy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(
+                den == 0, np.nan, num.astype(np.float64) / np.sqrt(den.astype(np.float64))
+            )
+        out = df[["event_id", "user_id"]].copy()
+        out["z"] = np.round(z, 9)
+        return out
+
+    out = bucketed_map_groups(
+        _read(sf_dir, "events", ["event_id", "user_id", "value"]),
+        ["user_id"],
+        combine,
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_USER_VALUE_ZSCORE = """
+WITH c AS (
+  SELECT event_id, user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT user_id, count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM c GROUP BY user_id)
+SELECT event_id, c.user_id,
+       CASE WHEN n * syy - sy * sy = 0 THEN NULL
+            ELSE round(CAST(n * c.y - sy AS DOUBLE)
+                       / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 9) END AS z
+FROM c JOIN s ON c.user_id = s.user_id ORDER BY event_id
+"""

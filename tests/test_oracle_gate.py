@@ -99,6 +99,15 @@ SUBSET = [
     "users_day_except",
     "value_mad",
     "user_type_pivot",
+    # session-8 additions
+    "shipping_priority",
+    "global_rank",
+    "event_debounce",
+    "longest_streak",
+    "user_event_entropy",
+    "user_value_trend",
+    "user_value_zscore",
+    "weighted_sample",
 ]
 
 
