@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_split": textops.q_train_val_split,
         "stratified_sample": textops.q_stratified_sample,
         "weighted_sample": textops.q_weighted_sample,
+        "bigram_lm_score": textops.q_bigram_lm_score,
         "quota_sample": textops.q_quota_sample,
         "bpe_merges": textops.q_bpe_merges,
         "heavy_tokens": textops.q_heavy_tokens,
@@ -478,6 +479,7 @@ def oracle_sql() -> dict[str, str]:
         "train_val_split": textops.SQL_TRAIN_VAL_SPLIT,
         "stratified_sample": textops.SQL_STRATIFIED_SAMPLE,
         "weighted_sample": textops.SQL_WEIGHTED_SAMPLE,
+        "bigram_lm_score": textops.SQL_BIGRAM_LM,
         "quota_sample": textops.SQL_QUOTA_SAMPLE,
         "vocab_top50": textops.SQL_VOCAB_TOP50,
         "doc_chunks": textops.SQL_DOC_CHUNKS,

@@ -2790,3 +2790,104 @@ SELECT doc_id, n_chars FROM (
   ORDER BY key DESC, doc_id LIMIT 20)
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# bigram conditional LM scoring (the order-sensitive companion of
+# q_unigram_lm_score: mean ln p(w2|w1) — fluency, not just vocabulary)
+# --------------------------------------------------------------------------
+
+LM2_VOCAB_K = 20000
+
+
+def _lm2_score_batch(batch: pa.Table, ref) -> pa.Table:
+    from ..state.broadcast import cached_get
+
+    big_c, uni_c = cached_get(ref)
+    bget, uget = big_c.get, uni_c.get
+    ids, scores = [], []
+    for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        toks = t.lower().split()
+        if len(toks) < 2:
+            continue  # no bigrams to score (oracle parity)
+        import math
+
+        s = 0.0
+        for a, b in zip(toks, toks[1:]):
+            s += math.log(bget((a, b), 1) / uget(a))
+        ids.append(did)
+        scores.append(s / (len(toks) - 1))
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()),
+         "lm2_score": pa.array(scores, pa.float64())}
+    )
+
+
+def q_bigram_lm_score(sf_dir: str, vocab_k: int = LM2_VOCAB_K):
+    """(doc_id, lm2_score): mean ln p(w2|w1) per document under the
+    corpus's own bigram MLE (numerator floored at 1 for bigrams outside
+    the top-``vocab_k`` cut). Reuses the collocation family's unified
+    (w1, w2, p_cnt) Counter combiner, so ONE streaming pass feeds both
+    the bigram numerators and the unigram denominators. Scale posture:
+    the BIGRAM table (the unbounded one — O(vocab²) worst case) is cut to
+    vocab_k by a distributed sort+limit; the unigram denominator table is
+    vocabulary-bounded and broadcasts whole (same budget the unigram LM's
+    top-V dict already accepts)."""
+    import functools
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    counts = (
+        pio.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+        .map_batches(_bigram_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("p_cnt", alias_name="n"))
+        .materialize()  # reused by the unigram slice AND the bigram top-K
+    )
+    uni = counts.filter(
+        lambda r: r["w2"] == "" and r["w1"] != ""
+    ).to_pandas()
+    uni_c = dict(zip(uni["w1"], uni["n"].astype(int)))
+    top_big = (
+        counts.filter(lambda r: r["w2"] != "")
+        .sort(["n", "w1", "w2"], descending=[True, False, False])
+        .limit(vocab_k)
+        .to_pandas()
+    )
+    big_c = {
+        (a, b): int(c)
+        for a, b, c in zip(top_big["w1"], top_big["w2"], top_big["n"])
+    }
+    ref = ray.put((big_c, uni_c))
+    return pio.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).map_batches(
+        functools.partial(_lm2_score_batch, ref=ref), batch_format="pyarrow"
+    )
+
+
+SQL_BIGRAM_LM = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     w -> w <> '') AS ws
+  FROM documents WHERE trim(text) <> ''
+), bigs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i] || chr(1) || ws[i+1])) AS bg
+  FROM toks WHERE len(ws) >= 2
+), uni AS (
+  SELECT w1, count(*) AS c1
+  FROM (SELECT unnest(ws) AS w1 FROM toks) GROUP BY w1
+), bc AS (
+  SELECT bg, count(*) AS c12 FROM bigs GROUP BY bg
+), topb AS (
+  SELECT bg, c12 FROM bc ORDER BY c12 DESC, bg LIMIT 20000
+)
+SELECT bigs.doc_id,
+       avg(ln(CAST(COALESCE(t.c12, 1) AS DOUBLE) / u.c1)) AS lm2_score
+FROM bigs JOIN uni u USING (w1) LEFT JOIN topb t USING (bg)
+GROUP BY bigs.doc_id
+"""

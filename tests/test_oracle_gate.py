@@ -108,6 +108,7 @@ SUBSET = [
     "user_value_trend",
     "user_value_zscore",
     "weighted_sample",
+    "bigram_lm_score",
 ]
 
 
