@@ -142,3 +142,23 @@ class TestCrossParallelismDeterminism:
         finally:
             parquet_io.read_parquet = orig
         assert got.equals(want)
+
+    @pytest.mark.parametrize("buckets", [1, 7])
+    def test_global_rank(self, ray_session, sf_small, monkeypatch, buckets):
+        from sifr_project_java_ontology_processing_ray.pipelines import relational
+        from sifr_project_java_ontology_processing_ray.state import grouped
+
+        want = relational.q_global_rank(sf_small)
+        monkeypatch.setattr(grouped, "DEFAULT_BUCKETS", buckets)
+        got = relational.q_global_rank(sf_small)
+        assert got.equals(want)
+
+    @pytest.mark.parametrize("buckets", [1, 7])
+    def test_event_debounce(self, ray_session, sf_small, monkeypatch, buckets):
+        from sifr_project_java_ontology_processing_ray.pipelines import analytics
+        from sifr_project_java_ontology_processing_ray.state import grouped
+
+        want = analytics.q_event_debounce(sf_small)
+        monkeypatch.setattr(grouped, "DEFAULT_BUCKETS", buckets)
+        got = analytics.q_event_debounce(sf_small)
+        assert got.equals(want)
