@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": textops.q_stratified_sample,
         "weighted_sample": textops.q_weighted_sample,
         "bigram_lm_score": textops.q_bigram_lm_score,
+        "rrf_fusion": ann.q_rrf_fusion,
         "quota_sample": textops.q_quota_sample,
         "bpe_merges": textops.q_bpe_merges,
         "heavy_tokens": textops.q_heavy_tokens,
@@ -480,6 +481,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": textops.SQL_STRATIFIED_SAMPLE,
         "weighted_sample": textops.SQL_WEIGHTED_SAMPLE,
         "bigram_lm_score": textops.SQL_BIGRAM_LM,
+        "rrf_fusion": ann.SQL_RRF_FUSION,
         "quota_sample": textops.SQL_QUOTA_SAMPLE,
         "vocab_top50": textops.SQL_VOCAB_TOP50,
         "doc_chunks": textops.SQL_DOC_CHUNKS,

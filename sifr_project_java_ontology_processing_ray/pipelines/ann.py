@@ -545,3 +545,85 @@ def q_pq_recall(sf_dir: str, floor: float = 0.8):
 
 
 SQL_PQ_RECALL = "SELECT 'pq_recall_ge_0.8' AS metric, 1.0 AS value"
+
+
+# --------------------------------------------------------------------------
+# reciprocal-rank fusion of two retrieval rankings (the standard hybrid-
+# search combiner: rank-space fusion is metric-scale-free)
+# --------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_DEPTH = 50
+_RRF_OUT = 10
+
+
+def q_rrf_fusion(sf_dir: str):
+    """(vec_id, rrf): top-10 of RRF(cosine top-50, L2 top-50) for query
+    vec_id=0 — score = Σ 1/(60 + rank) over the rankings that retrieved
+    the vector. Each ranking streams as per-batch local top-50 partials
+    (both metrics from ONE matmul pass per batch — the fused scan reads
+    the embedding column once); the driver merges 50·n_batches partial
+    rows, never the corpus. Rank-space fusion means no cross-metric score
+    normalization is needed — the property that makes RRF the default
+    hybrid-search combiner at retrieval scale."""
+    q = _query_vector(sf_dir, 0)
+    q_ref = ray.put(q)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        mat = _list_col_to_matrix(batch["embedding"])
+        norms = np.linalg.norm(mat, axis=1) * np.linalg.norm(qv)
+        norms = np.where(norms == 0, 1.0, norms)
+        cos = (mat @ qv) / norms
+        l2 = np.linalg.norm(mat - qv, axis=1)
+        ids = batch["vec_id"].to_numpy()
+        keep_a = np.lexsort((ids, -cos))[:_RRF_DEPTH]
+        keep_b = np.lexsort((ids, l2))[:_RRF_DEPTH]
+        keep = np.union1d(keep_a, keep_b)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep], pa.int64()),
+                "cos": pa.array(cos[keep], pa.float64()),
+                "l2": pa.array(l2[keep], pa.float64()),
+            }
+        )
+
+    parts = (
+        pio.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+        .map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    a = parts.sort_values(["cos", "vec_id"], ascending=[False, True]).head(_RRF_DEPTH)
+    b = parts.sort_values(["l2", "vec_id"], ascending=[True, True]).head(_RRF_DEPTH)
+    score: dict[int, float] = {}
+    for rank, vid in enumerate(a["vec_id"], start=1):
+        score[vid] = score.get(vid, 0.0) + 1.0 / (_RRF_K + rank)
+    for rank, vid in enumerate(b["vec_id"], start=1):
+        score[vid] = score.get(vid, 0.0) + 1.0 / (_RRF_K + rank)
+    out = pd.DataFrame(
+        sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:_RRF_OUT],
+        columns=["vec_id", "rrf"],
+    )
+    out["rrf"] = out["rrf"].round(9)
+    return out.reset_index(drop=True)
+
+
+SQL_RRF_FUSION = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+a AS (
+  SELECT vec_id, row_number() OVER (
+    ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) DESC,
+             vec_id) AS r
+  FROM embeddings
+), b AS (
+  SELECT vec_id, row_number() OVER (
+    ORDER BY list_distance(embedding::DOUBLE[], (SELECT qv FROM q)) ASC,
+             vec_id) AS r
+  FROM embeddings
+)
+SELECT vec_id, round(COALESCE(1.0 / (60 + a.r), 0)
+                   + COALESCE(1.0 / (60 + b.r), 0), 9) AS rrf
+FROM (SELECT * FROM a WHERE r <= 50) a
+FULL JOIN (SELECT * FROM b WHERE r <= 50) b USING (vec_id)
+ORDER BY rrf DESC, vec_id LIMIT 10
+"""

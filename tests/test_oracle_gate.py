@@ -109,6 +109,7 @@ SUBSET = [
     "user_value_zscore",
     "weighted_sample",
     "bigram_lm_score",
+    "rrf_fusion",
 ]
 
 
