@@ -311,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_price_corr": relational.q_qty_price_corr,
         "shipping_priority": relational.q_shipping_priority,
         "global_rank": relational.q_global_rank,
+        "pareto_orders": relational.q_pareto_orders,
         "event_gaps": analytics.q_event_gaps,
         "event_transitions": analytics.q_event_transitions,
         "users_day_intersect": analytics.q_users_day_intersect,
@@ -442,6 +443,7 @@ def oracle_sql() -> dict[str, str]:
         "qty_price_corr": relational.SQL_QTY_PRICE_CORR,
         "shipping_priority": relational.SQL_SHIPPING_PRIORITY,
         "global_rank": relational.SQL_GLOBAL_RANK,
+        "pareto_orders": relational.SQL_PARETO_ORDERS,
         "event_gaps": analytics.SQL_EVENT_GAPS,
         "event_transitions": analytics.SQL_EVENT_TRANSITIONS,
         "users_day_intersect": analytics.SQL_USERS_DAY_INTERSECT,

@@ -1899,3 +1899,61 @@ SELECT o_orderkey,
        row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
 FROM orders ORDER BY rnk
 """
+
+
+# --------------------------------------------------------------------------
+# 2-D skyline (pareto front) — mergeable-partial discipline: the skyline of
+# a union is the skyline of the per-block skylines, so each block ships
+# only its own front and no shuffle is needed
+# --------------------------------------------------------------------------
+
+
+def _skyline_2d(df: pd.DataFrame) -> pd.DataFrame:
+    """Front of DISTINCT (o_totalprice desc, o_orderdate desc) pairs: after
+    sorting by price desc then date desc, a pair survives iff its date is
+    strictly greater than every date seen at higher-or-equal price (running
+    max, one vectorized pass)."""
+    df = df.drop_duplicates(["o_totalprice", "o_orderdate"]).sort_values(
+        ["o_totalprice", "o_orderdate"], ascending=[False, False], kind="mergesort"
+    )
+    d = df["o_orderdate"].astype("int64").to_numpy()
+    prevmax = np.maximum.accumulate(
+        np.concatenate(([np.iinfo(np.int64).min], d[:-1]))
+    )
+    return df[d > prevmax]
+
+
+def q_pareto_orders(sf_dir: str):
+    """(o_totalprice, o_orderdate): the pareto-optimal price/recency pairs
+    (no other order has ≥ price AND ≥ date with one strict). Each batch
+    emits its LOCAL front (output-sized, typically tiny); the driver takes
+    the front of the concatenated fronts — correct because pareto fronts
+    are mergeable partials. No shuffle, no global sort of the table."""
+    parts = (
+        _read(sf_dir, "orders", ["o_totalprice", "o_orderdate"])
+        .map_batches(
+            lambda b: pa.Table.from_pandas(
+                _skyline_2d(b.to_pandas()), preserve_index=False
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    out = _skyline_2d(parts)
+    return out.sort_values(
+        ["o_totalprice", "o_orderdate"], ascending=[False, False]
+    ).reset_index(drop=True)
+
+
+SQL_PARETO_ORDERS = """
+WITH d AS (SELECT DISTINCT o_totalprice, o_orderdate FROM orders),
+w AS (
+  SELECT o_totalprice, o_orderdate,
+         max(o_orderdate) OVER (
+           ORDER BY o_totalprice DESC, o_orderdate DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+  FROM d)
+SELECT o_totalprice, o_orderdate FROM w
+WHERE prevmax IS NULL OR o_orderdate > prevmax
+ORDER BY o_totalprice DESC, o_orderdate DESC
+"""

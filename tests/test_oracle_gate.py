@@ -110,6 +110,7 @@ SUBSET = [
     "weighted_sample",
     "bigram_lm_score",
     "rrf_fusion",
+    "pareto_orders",
 ]
 
 
