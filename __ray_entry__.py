@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": relational.q_shipping_priority,
         "global_rank": relational.q_global_rank,
         "pareto_orders": relational.q_pareto_orders,
+        "table_profile": relational.q_table_profile,
         "event_gaps": analytics.q_event_gaps,
         "event_transitions": analytics.q_event_transitions,
         "users_day_intersect": analytics.q_users_day_intersect,
@@ -444,6 +445,7 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": relational.SQL_SHIPPING_PRIORITY,
         "global_rank": relational.SQL_GLOBAL_RANK,
         "pareto_orders": relational.SQL_PARETO_ORDERS,
+        "table_profile": relational.SQL_TABLE_PROFILE,
         "event_gaps": analytics.SQL_EVENT_GAPS,
         "event_transitions": analytics.SQL_EVENT_TRANSITIONS,
         "users_day_intersect": analytics.SQL_USERS_DAY_INTERSECT,

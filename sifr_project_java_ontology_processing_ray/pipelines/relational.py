@@ -1957,3 +1957,84 @@ SELECT o_totalprice, o_orderdate FROM w
 WHERE prevmax IS NULL OR o_orderdate > prevmax
 ORDER BY o_totalprice DESC, o_orderdate DESC
 """
+
+
+# --------------------------------------------------------------------------
+# table profiling (ANALYZE): per-column row/null/distinct counts in one
+# streaming pass — the statistics pass a planner or data-quality gate
+# runs before the real pipelines
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus"]
+
+
+def q_table_profile(sf_dir: str):
+    """(column, n, n_null, ndv): exact profile of four lineitem columns.
+    One read pass: each batch emits per-column (n, n_null) count partials
+    plus its DISTINCT (column, value) pairs; the pair stream reduces via
+    groupby to the exact distinct sets, then to per-column ndv. The pair
+    shuffle is bounded by the distinct-value volume, not the row count —
+    for truly high-cardinality columns swap the exact pass for the HLL
+    partial in functions/hashing.py (the approx_distinct_users pattern)."""
+    from ray.data.aggregate import Sum
+
+    def counts_partial(b: pa.Table) -> pa.Table:
+        rows = []
+        for c in _PROFILE_COLS:
+            rows.append((c, b.num_rows, b[c].null_count))
+        return pa.table(
+            {"column": [r[0] for r in rows],
+             "p_n": pa.array([r[1] for r in rows], pa.int64()),
+             "p_null": pa.array([r[2] for r in rows], pa.int64())}
+        )
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        cols, vals = [], []
+        for c in _PROFILE_COLS:
+            u = pc.unique(pc.cast(b[c], pa.string()))
+            cols.extend([c] * len(u))
+            vals.extend(u.to_pylist())
+        return pa.table(
+            {"column": pa.array(cols, pa.string()),
+             "value": pa.array(vals, pa.string())}
+        )
+
+    ds = _read(sf_dir, "lineitem", _PROFILE_COLS)
+    counts = (
+        ds.map_batches(counts_partial, batch_format="pyarrow")
+        .groupby("column")
+        .aggregate(Sum("p_n", alias_name="n"), Sum("p_null", alias_name="n_null"))
+        .to_pandas()
+    )
+    ndv = (
+        ds.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby(["column", "value"])
+        .count()  # exact global distinct pairs (count value unused)
+        .map_batches(
+            lambda b: b.group_by("column").aggregate([([], "count_all")])
+            .rename_columns(["column", "p_ndv"]),
+            batch_format="pyarrow",
+        )
+        .groupby("column")
+        .aggregate(Sum("p_ndv", alias_name="ndv"))
+        .to_pandas()
+    )
+    out = counts.merge(ndv, on="column")
+    return out.sort_values("column").reset_index(drop=True)
+
+
+SQL_TABLE_PROFILE = """
+SELECT 'l_extendedprice' AS "column", count(*) AS n,
+       count(*) - count(l_extendedprice) AS n_null,
+       count(DISTINCT l_extendedprice) AS ndv FROM lineitem
+UNION ALL
+SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+       count(DISTINCT l_linestatus) FROM lineitem
+UNION ALL
+SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+       count(DISTINCT l_quantity) FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+       count(DISTINCT l_returnflag) FROM lineitem
+ORDER BY "column"
+"""

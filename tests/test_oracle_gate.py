@@ -111,6 +111,7 @@ SUBSET = [
     "bigram_lm_score",
     "rrf_fusion",
     "pareto_orders",
+    "table_profile",
 ]
 
 
