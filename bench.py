@@ -112,7 +112,9 @@ def run_bench() -> dict:
 
     # pool size must stay <= ncpu-1: a 1-cpu pool that reserves EVERY core
     # hangs the streaming executor (verified on 2 cpus, Ray 2.49)
-    warm_n = max(2, NUM_CPUS - 4) if NUM_CPUS >= 6 else max(1, NUM_CPUS - 1)
+    from sifr_project_java_ontology_processing_ray.state.partitions import pool_size
+
+    warm_n = pool_size(NUM_CPUS)
     ray.data.range(NUM_CPUS * 2, override_num_blocks=NUM_CPUS * 2).map_batches(
         _Warm, concurrency=warm_n, num_cpus=1, batch_size=1
     ).count()

@@ -413,11 +413,11 @@ def build_kg(
         # the linker pool does CPU-bound python work → one full core per
         # actor, ~60% of the node; the vectorized light pools run at 0.5
         # CPU so they interleave with the stateless read/write tasks.
-        # Below 6 cpus, ncpu-4 would reserve EVERY core (the pool's 1-CPU
-        # actors then starve the read/emit tasks into a crawl — observed
-        # 18+ min for a 2-cpu rep that should take ~2 min); always leave
-        # one core unreserved.
-        concurrency = max(2, ncpu - 4) if ncpu >= 6 else max(1, ncpu - 1)
+        # Below 6 cpus, ncpu-4 would reserve EVERY core and hang the
+        # streaming executor — pool_size always leaves one unreserved.
+        from ..state.partitions import pool_size
+
+        concurrency = pool_size(ncpu)
     if read_blocks is None:
         # a single pages file otherwise reads as ONE task (Ray splits
         # blocks only after the read) — measured 11.2 s serial vs 1.2 s

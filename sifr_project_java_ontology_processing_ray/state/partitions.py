@@ -40,3 +40,17 @@ def join_partitions(rows: int | None = None, floor: int = 8) -> int:
     if rows is None:
         return cluster
     return max(2, min(cluster, -(-rows // ROWS_PER_PARTITION)))
+
+
+def pool_size(ncpu: int, reserve: int = 4, floor: int = 2) -> int:
+    """Size a fixed 1-cpu actor pool for a cluster of ``ncpu`` CPUs.
+
+    Normally ``ncpu - reserve`` (the reserve keeps cores free for the
+    stateless read/emit tasks feeding the pool), floored at ``floor``.
+    BUT a 1-cpu pool that reserves EVERY core hangs Ray Data's streaming
+    executor (verified: a 2-actor pool on a 2-cpu cluster never starts —
+    session-8 repro), so below ``reserve + floor`` cpus the pool caps at
+    ``ncpu - 1`` and the floor yields: one core must stay unreserved."""
+    if ncpu >= reserve + floor:
+        return max(floor, ncpu - reserve)
+    return max(1, ncpu - 1)

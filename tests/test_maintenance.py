@@ -162,3 +162,27 @@ class TestCrossParallelismDeterminism:
         monkeypatch.setattr(grouped, "DEFAULT_BUCKETS", buckets)
         got = analytics.q_event_debounce(sf_small)
         assert got.equals(want)
+
+
+class TestPoolSize:
+    """The session-8 small-cluster rule: a fixed 1-cpu pool must never
+    reserve every core (streaming-executor hang repro'd at 2 cpus)."""
+
+    def test_never_reserves_every_core(self):
+        from sifr_project_java_ontology_processing_ray.state.partitions import pool_size
+
+        for ncpu in range(1, 64):
+            n = pool_size(ncpu)
+            assert 1 <= n, ncpu
+            if ncpu > 1:
+                assert n < ncpu, f"pool of {n} reserves all {ncpu} cores"
+
+    def test_matches_flagship_sizing(self):
+        from sifr_project_java_ontology_processing_ray.state.partitions import pool_size
+
+        assert pool_size(32) == 28
+        assert pool_size(8) == 4
+        assert pool_size(6) == 2
+        assert pool_size(4) == 3
+        assert pool_size(2) == 1
+        assert pool_size(1) == 1
