@@ -1484,11 +1484,18 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) ->
 
         routed = docs.map_batches(_keep_in_bloom, batch_format="pyarrow")
     else:
+        import ray
+
+        from ..state.partitions import pool_size
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
         routed = docs.map_batches(
             BloomRoute,
             fn_constructor_args=(blob_ref, "doc_id", True),
             batch_format="pyarrow",
-            concurrency=(2, max(4, join_partitions() // 2)),
+            # elastic pool's MIN actors must respect the one-core-free
+            # rule too (pool_size) or a 2-cpu cluster hangs at spawn
+            concurrency=(min(2, pool_size(ncpu)), max(4, join_partitions() // 2)),
         )
     cand_docs = routed.materialize()  # candidate-sized, consumed below
 

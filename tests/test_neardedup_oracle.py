@@ -190,3 +190,16 @@ def test_pii_redact_counts(ray_session, sf_small):
     assert out["redacted"].to_pylist() == [
         "mail <EMAIL> and <IP> ring <PHONE>", "clean"]
     assert out["n_emails"].to_pylist() == [1, 0]
+
+
+def test_minhash_bloom_routes_identical(ray_session, sf_small, monkeypatch):
+    """VERDICT r3 #6: the size-gated candidate ROUTING must emit identical
+    pairs on the task-pool route (blob rides each task, default at KB
+    size) and the actor-pool BloomRoute (forced by zeroing the gate —
+    also exercises the elastic pool's small-cluster min-actor clamp)."""
+    task_route = textops.q_minhash_dedup(sf_small)
+    monkeypatch.setattr(textops, "TASK_BLOOM_MAX_BYTES", 0)
+    actor_route = textops.q_minhash_dedup(sf_small)
+    key = lambda df: sorted(zip(df["a"], df["b"], df["jaccard"]))  # noqa: E731
+    assert key(task_route) == key(actor_route)
+    assert len(task_route) > 0
