@@ -324,6 +324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_entropy": analytics.q_user_event_entropy,
         "user_value_trend": analytics.q_user_value_trend,
         "user_value_zscore": analytics.q_user_value_zscore,
+        "daily_totals_filled": analytics.q_daily_totals_filled,
+        "click_attribution": analytics.q_click_attribution,
         "hour_window_sum": analytics.q_user_hour_window_sum,
         "value_p90": analytics.q_value_p90,
         "user_running_total": analytics.q_user_running_total,
@@ -457,6 +459,8 @@ def oracle_sql() -> dict[str, str]:
         "user_event_entropy": analytics.SQL_USER_EVENT_ENTROPY,
         "user_value_trend": analytics.SQL_USER_VALUE_TREND,
         "user_value_zscore": analytics.SQL_USER_VALUE_ZSCORE,
+        "daily_totals_filled": analytics.SQL_DAILY_TOTALS_FILLED,
+        "click_attribution": analytics.SQL_CLICK_ATTRIBUTION,
         "hour_window_sum": analytics.SQL_USER_HOUR_WINDOW_SUM,
         "value_p90": analytics.SQL_VALUE_P90,
         "user_running_total": analytics.SQL_USER_RUNNING_TOTAL,

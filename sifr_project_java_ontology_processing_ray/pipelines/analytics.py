@@ -1226,3 +1226,121 @@ SELECT event_id, c.user_id,
                        / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 9) END AS z
 FROM c JOIN s ON c.user_id = s.user_id ORDER BY event_id
 """
+
+
+# --------------------------------------------------------------------------
+# time-series resample with gap filling: per-day totals over the corpus's
+# FULL day span (zero rows for silent days) — the spine comes from parquet
+# footer statistics, metadata-only, never a scan
+# --------------------------------------------------------------------------
+
+
+def q_daily_totals_filled(sf_dir: str):
+    """(day, n, total): per-UTC-day event count and value total (cents
+    summed exactly, ONE final /100), with every day of [min_day, max_day]
+    present — silent days emit (day, 0, 0.0). The day spine is derived
+    from parquet ts statistics (footer-only, the prune-at-the-read
+    discipline); the aggregate is per-batch partials → days-sized
+    groupby. Day keys are date32 ints (no timezone, no float time)."""
+    from ray.data.aggregate import Sum
+
+    d_first, d_last = _events_day_bounds(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(b["ts"], pa.date32()), pa.int32())
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(b["value"], pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.int64(),
+        )
+        return (
+            pa.table({"day": day, "p_c": cents})
+            .group_by("day")
+            .aggregate([("p_c", "sum"), ("p_c", "count")])
+            .rename_columns(["day", "p_cents", "p_n"])
+        )
+
+    got = (
+        _read(sf_dir, "events", ["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("p_cents", alias_name="cents"), Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    spine = pd.DataFrame({"day": np.arange(d_first, d_last + 1, dtype=np.int64)})
+    out = spine.merge(got.astype({"day": "int64"}), on="day", how="left")
+    out["n"] = out["n"].fillna(0).astype("int64")
+    out["total"] = (out["cents"].fillna(0) / 100.0).round(2)
+    return out[["day", "n", "total"]].sort_values("day").reset_index(drop=True)
+
+
+SQL_DAILY_TOTALS_FILLED = """
+WITH b AS (
+  SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events
+), spine AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS day
+  FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM b)
+), agg AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+         count(*) AS n,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events GROUP BY 1
+)
+SELECT spine.day, COALESCE(agg.n, 0) AS n,
+       round(COALESCE(agg.cents, 0) / 100.0, 2) AS total
+FROM spine LEFT JOIN agg USING (day) ORDER BY spine.day
+"""
+
+
+# --------------------------------------------------------------------------
+# last-touch attribution: each purchase attributed to the user's most
+# recent click within 7 days (grouped as-of join, exact integer time)
+# --------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 7 * 86_400 * 1_000_000
+
+
+def q_click_attribution(sf_dir: str):
+    """(purchase_id, user_id, click_id): every purchase event joined to
+    the user's LAST preceding click within 7 days (click_id null when
+    none) — the grouped as-of join marketing attribution runs at scale.
+    One bucketed shuffle on user_id; inside the bucket the as-of is a
+    vectorized sort + forward-fill over the (ts, event_id) total order,
+    all comparisons in exact integer microseconds."""
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        us = df["ts"].astype("int64")
+        is_click = df["event_type"].eq("click")
+        last_click_id = (
+            df["event_id"].where(is_click).groupby(df["user_id"], sort=False).ffill()
+        )
+        last_click_ts = us.where(is_click).groupby(df["user_id"], sort=False).ffill()
+        purchases = df["event_type"].eq("purchase")
+        out = df.loc[purchases, ["event_id", "user_id"]].rename(
+            columns={"event_id": "purchase_id"}
+        )
+        ok = last_click_ts[purchases] >= (us[purchases] - _ATTR_WINDOW_US)
+        click = last_click_id[purchases].where(ok)
+        out["click_id"] = click.astype("float64")  # null-able (oracle parity)
+        return out
+
+    out = bucketed_map_groups(
+        _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"]),
+        ["user_id"],
+        combine,
+    ).to_pandas()
+    return out.sort_values("purchase_id").reset_index(drop=True)
+
+
+SQL_CLICK_ATTRIBUTION = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       CAST((
+         SELECT c.event_id FROM events c
+         WHERE c.user_id = p.user_id AND c.event_type = 'click'
+           AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+           AND c.ts >= p.ts - INTERVAL 7 DAY
+         ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+       ) AS DOUBLE) AS click_id
+FROM events p WHERE p.event_type = 'purchase'
+ORDER BY purchase_id
+"""

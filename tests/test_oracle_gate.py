@@ -112,6 +112,8 @@ SUBSET = [
     "rrf_fusion",
     "pareto_orders",
     "table_profile",
+    "daily_totals_filled",
+    "click_attribution",
 ]
 
 
