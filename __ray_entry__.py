@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": textops.q_stratified_sample,
         "weighted_sample": textops.q_weighted_sample,
         "bigram_lm_score": textops.q_bigram_lm_score,
+        "nb_langid": textops.q_nb_langid,
         "rrf_fusion": ann.q_rrf_fusion,
         "quota_sample": textops.q_quota_sample,
         "bpe_merges": textops.q_bpe_merges,
@@ -489,6 +490,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": textops.SQL_STRATIFIED_SAMPLE,
         "weighted_sample": textops.SQL_WEIGHTED_SAMPLE,
         "bigram_lm_score": textops.SQL_BIGRAM_LM,
+        "nb_langid": textops.SQL_NB_LANGID,
         "rrf_fusion": ann.SQL_RRF_FUSION,
         "quota_sample": textops.SQL_QUOTA_SAMPLE,
         "vocab_top50": textops.SQL_VOCAB_TOP50,

@@ -2898,3 +2898,133 @@ SELECT bigs.doc_id,
 FROM bigs JOIN uni u USING (w1) LEFT JOIN topb t USING (bg)
 GROUP BY bigs.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Naive-Bayes language classifier: model TRAINING as distributed
+# aggregation (exact integer counts), scoring as a broadcast batch map
+# --------------------------------------------------------------------------
+
+
+def _nb_score_batch(batch: pa.Table, ref) -> pa.Table:
+    from ..state.broadcast import cached_get
+
+    langs, prior, logp, floor = cached_get(ref)
+    ids, preds = [], []
+    for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        toks = t.lower().split()
+        if not toks:
+            continue  # oracle parity: nothing to classify
+        best_lang, best_s = None, None
+        for li, lang in enumerate(langs):  # langs sorted asc → ties keep first
+            table = logp[li]
+            s = prior[li] + sum(table.get(w, floor[li]) for w in toks)
+            if best_s is None or s > best_s:
+                best_lang, best_s = lang, s
+        ids.append(did)
+        preds.append(best_lang)
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()),
+         "pred_lang": pa.array(preds, pa.string())}
+    )
+
+
+def q_nb_langid(sf_dir: str):
+    """(doc_id, pred_lang): multinomial Naive-Bayes language ID where the
+    MODEL IS TRAINED BY THE ENGINE — per-(lang, token) counts are a
+    distributed aggregation over the same corpus, priors are doc counts,
+    add-1 smoothing over the corpus vocabulary. Scoring broadcasts the
+    (langs × vocab) log-prob tables and maps batches; ties break on lang
+    asc (langs iterated sorted, strict > to switch). The heuristic
+    `langid` stays as the no-training counterpart; this is the trained
+    path a curation stack would actually fit on its own data."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import collections
+
+        cnt: collections.Counter = collections.Counter()
+        docs: collections.Counter = collections.Counter()
+        for lang, t in zip(b["lang"].to_pylist(), b["text"].to_pylist()):
+            toks = t.lower().split()
+            if not toks:
+                continue
+            docs[lang] += 1
+            for w in toks:
+                cnt[(lang, w)] += 1
+        # doc-count rows ride with the "" token sentinel (split() never
+        # emits an empty token — same trick as _bigram_partial)
+        rows = [(lang, "", n) for lang, n in sorted(docs.items())]
+        rows += [(lg, w, c) for (lg, w), c in sorted(cnt.items())]
+        return pa.table(
+            {"lang": pa.array([r[0] for r in rows], pa.string()),
+             "token": pa.array([r[1] for r in rows], pa.string()),
+             "p_cnt": pa.array([r[2] for r in rows], pa.int64())}
+        )
+
+    counts = (
+        pio.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("p_cnt", alias_name="n"))
+        .to_pandas()
+    )
+    tok = counts[counts["token"] != ""]
+    docs = counts[counts["token"] == ""].set_index("lang")["n"]
+    vocab_n = tok["token"].nunique()
+    total_docs = int(docs.sum())
+    langs = sorted(docs.index)
+    prior, logp, floor = [], [], []
+    for lang in langs:
+        sub = tok[tok["lang"] == lang]
+        n_lang = int(sub["n"].sum())
+        denom = n_lang + vocab_n
+        prior.append(math.log(int(docs[lang]) / total_docs))
+        logp.append(
+            {w: math.log((int(c) + 1) / denom) for w, c in zip(sub["token"], sub["n"])}
+        )
+        floor.append(math.log(1.0 / denom))
+    import functools
+
+    ref = ray.put((langs, prior, logp, floor))
+    out = (
+        pio.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(functools.partial(_nb_score_batch, ref=ref), batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_NB_LANGID = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            w -> w <> '')) AS token
+  FROM documents WHERE trim(text) <> ''
+), vocab AS (
+  SELECT count(DISTINCT token) AS v FROM toks
+), langs AS (
+  SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_toks
+  FROM toks GROUP BY lang
+), total AS (SELECT sum(n_docs) AS t FROM langs
+), lt AS (
+  SELECT lang, token, count(*) AS c FROM toks GROUP BY lang, token
+), scored AS (
+  SELECT d.doc_id, l.lang,
+         ln(CAST(l.n_docs AS DOUBLE) / (SELECT t FROM total))
+         + sum(ln(CAST(COALESCE(lt.c, 0) + 1 AS DOUBLE)
+                  / (l.n_toks + (SELECT v FROM vocab)))) AS s
+  FROM toks d
+  CROSS JOIN langs l
+  LEFT JOIN lt ON lt.lang = l.lang AND lt.token = d.token
+  GROUP BY d.doc_id, l.lang, l.n_docs, l.n_toks
+)
+SELECT doc_id, lang AS pred_lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) AS rk
+  FROM scored)
+WHERE rk = 1 ORDER BY doc_id
+"""

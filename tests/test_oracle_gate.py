@@ -114,6 +114,7 @@ SUBSET = [
     "table_profile",
     "daily_totals_filled",
     "click_attribution",
+    "nb_langid",
 ]
 
 
