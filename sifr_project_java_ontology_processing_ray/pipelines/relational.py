@@ -1770,9 +1770,14 @@ def q_shipping_priority(sf_dir: str):
 
     from ..state.partitions import join_partitions
 
+    # row hint from the raw lineitem count (parquet metadata, read-free):
+    # an upper bound for the filtered side, so toy-scale runs get a few
+    # reduce tasks instead of one aggregator actor per CPU
     joined = lines.join(
         orders, join_type="inner",
-        num_partitions=join_partitions(),
+        num_partitions=join_partitions(
+            rows=_read(sf_dir, "lineitem", ["l_orderkey"]).count()
+        ),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
