@@ -194,6 +194,31 @@ def cmd_reconcile(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    from .pipelines import curation
+
+    _init_ray(args.num_cpus)
+    langs = tuple(x.strip() for x in args.langs.split(",") if x.strip())
+    if not langs:
+        raise ValueError("--langs must name at least one language")
+    if not (0.0 <= args.min_quality <= 1.0):
+        raise ValueError("--min-quality must be in [0, 1]")
+    if not (0.0 < args.jaccard <= 1.0):
+        raise ValueError("--jaccard must be in (0, 1]")
+    ds, report = curation.curate(
+        args.sf_dir,
+        keep_langs=langs,
+        min_quality=args.min_quality,
+        jaccard_threshold=args.jaccard,
+        out_dir=args.out,
+        num_parts=args.num_parts,
+    )
+    if args.out is None:
+        report = dict(report, kept_rows=ds.count())
+    print(json.dumps(report))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="sifr_project_java_ontology_processing_ray")
     # shared options accepted before OR after the subcommand
@@ -244,6 +269,18 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--source"); r.add_argument("--target"); r.add_argument("--mappings")
     r.add_argument("--mrconso"); r.add_argument("--mrsty")
     r.set_defaults(fn=cmd_reconcile)
+
+    cu = sub.add_parser("curate", parents=[common],
+                        help="corpus curation: lang/quality gate + exact & near dedup")
+    cu.add_argument("--sf-dir", dest="sf_dir", required=True,
+                    help="directory holding documents.parquet")
+    cu.add_argument("--langs", default="en", help="comma-separated keep languages")
+    cu.add_argument("--min-quality", dest="min_quality", type=float, default=0.3)
+    cu.add_argument("--jaccard", type=float, default=0.6,
+                    help="near-dup verification threshold")
+    cu.add_argument("--out", default=None, help="partitioned parquet output dir")
+    cu.add_argument("--num-parts", dest="num_parts", type=int, default=16)
+    cu.set_defaults(fn=cmd_curate)
     return p
 
 

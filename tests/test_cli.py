@@ -63,3 +63,48 @@ def test_clean_cli_accepts_turtle(ray_session, capsys, tmp_path):
     # fr label dropped (en present); e2 got a synthesized prefLabel
     assert set(df[df.subj == "http://x/e1"]["obj"]) == {"lung"}
     assert "only alt" in set(df[(df.subj == "http://x/e2") & (df.pred == "skos:prefLabel")]["obj"])
+
+
+def test_curate_cli(ray_session, capsys, sf_small, tmp_path):
+    """The curate subcommand runs the composed curation pipeline and
+    prints the rejection report; with --out it writes the partitioned
+    corpus and the report counts match the written rows."""
+    import json
+
+    import pandas as pd
+
+    from sifr_project_java_ontology_processing_ray.__main__ import main
+
+    out = str(tmp_path / "curated")
+    rc = main([
+        "curate", "--sf-dir", sf_small, "--langs", "en",
+        "--min-quality", "0.3", "--out", out, "--num-parts", "2",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["n_docs"] > 0
+    import glob
+
+    shards = glob.glob(out + "/__part=*/*.parquet")
+    assert shards, "no partition shards written"
+    df = pd.concat([pd.read_parquet(p) for p in shards])
+    assert len(df) == rep["n_curated"]
+    # rejection counters are PER-REASON (a doc may trip several), so they
+    # bound — not partition — the drop count; the lang gate runs on the
+    # DETECTED language (curation._annotate), not the lang column
+    dropped = rep["n_docs"] - rep["n_curated"]
+    reasons = (
+        rep["n_lang_rejected"]
+        + rep["n_quality_rejected"]
+        + rep["n_exact_dups_removed"]
+        + rep["n_near_dups_removed"]
+    )
+    assert 0 <= dropped <= reasons
+
+
+def test_curate_cli_validates_args(ray_session, capsys, sf_small):
+    from sifr_project_java_ontology_processing_ray.__main__ import main
+
+    assert main(["curate", "--sf-dir", sf_small, "--langs", " "]) == 2
+    assert main(["curate", "--sf-dir", sf_small, "--min-quality", "7"]) == 2
+    assert main(["curate", "--sf-dir", sf_small, "--jaccard", "0"]) == 2
