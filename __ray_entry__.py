@@ -350,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm_score": textops.q_bigram_lm_score,
         "nb_langid": textops.q_nb_langid,
         "rrf_fusion": ann.q_rrf_fusion,
+        "label_centroids": ann.q_label_centroids,
         "quota_sample": textops.q_quota_sample,
         "bpe_merges": textops.q_bpe_merges,
         "heavy_tokens": textops.q_heavy_tokens,
@@ -492,6 +493,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_score": textops.SQL_BIGRAM_LM,
         "nb_langid": textops.SQL_NB_LANGID,
         "rrf_fusion": ann.SQL_RRF_FUSION,
+        "label_centroids": ann.SQL_LABEL_CENTROIDS,
         "quota_sample": textops.SQL_QUOTA_SAMPLE,
         "vocab_top50": textops.SQL_VOCAB_TOP50,
         "doc_chunks": textops.SQL_DOC_CHUNKS,

@@ -627,3 +627,59 @@ FROM (SELECT * FROM a WHERE r <= 50) a
 FULL JOIN (SELECT * FROM b WHERE r <= 50) b USING (vec_id)
 ORDER BY rrf DESC, vec_id LIMIT 10
 """
+
+
+# --------------------------------------------------------------------------
+# per-label centroids: VECTOR aggregation (the k-means E-step / class-
+# prototype primitive) — per-batch vector-sum partials, labels×dim output
+# --------------------------------------------------------------------------
+
+
+def q_label_centroids(sf_dir: str):
+    """(label, dim, c): the mean embedding per label, long-form (dim is
+    1-based to match SQL list indexing). Each batch emits ONE row per
+    label present — (label, count, sum-vector as list<double>) — via a
+    label-factorized np.add.at, so the exchange is labels-bounded
+    regardless of corpus size; the driver folds labels×dim floats. The
+    distributed-mean shape every embedding-space diagnostic (class
+    prototypes, IVF seeding, centroid drift) reuses."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _list_col_to_matrix(batch["embedding"]).astype(np.float64)
+        codes, uniq = pd.factorize(batch["label"].to_numpy(zero_copy_only=False))
+        sums = np.zeros((len(uniq), mat.shape[1]), dtype=np.float64)
+        np.add.at(sums, codes, mat)
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(uniq, pa.int32()),
+                "n": pa.array(counts, pa.int64()),
+                "s": pa.array(list(sums), pa.list_(pa.float64())),
+            }
+        )
+
+    parts = (
+        pio.read_parquet(_emb_path(sf_dir), columns=["label", "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    rows = []
+    for label, g in parts.groupby("label"):
+        n = int(g["n"].sum())
+        s = np.sum(np.vstack(g["s"].to_numpy()), axis=0)
+        for d, v in enumerate(s, start=1):
+            rows.append((int(label), d, round(v / n, 6)))
+    return (
+        pd.DataFrame(rows, columns=["label", "dim", "c"])
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_LABEL_CENTROIDS = """
+SELECT label, i AS dim,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+GROUP BY label, i ORDER BY label, dim
+"""

@@ -115,6 +115,7 @@ SUBSET = [
     "daily_totals_filled",
     "click_attribution",
     "nb_langid",
+    "label_centroids",
 ]
 
 
