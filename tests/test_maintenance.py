@@ -186,3 +186,62 @@ class TestPoolSize:
         assert pool_size(4) == 3
         assert pool_size(2) == 1
         assert pool_size(1) == 1
+
+
+class TestPartialMergeLayoutInvariance:
+    """Session-8 operators built on per-block partial-merge shapes
+    (local top-k, local fronts, per-label vector sums) must be
+    bit-identical at any read block layout."""
+
+    @pytest.fixture()
+    def forced_blocks(self):
+        from sifr_project_java_ontology_processing_ray.sources import parquet_io
+
+        orig = parquet_io.read_parquet
+
+        def force(n):
+            def forced(paths, **kw):
+                kw["override_num_blocks"] = n
+                return orig(paths, **kw)
+
+            parquet_io.read_parquet = forced
+
+        yield force
+        parquet_io.read_parquet = orig
+
+    @pytest.mark.parametrize("blocks", [1, 13])
+    def test_weighted_sample(self, ray_session, sf_small, forced_blocks, blocks):
+        from sifr_project_java_ontology_processing_ray.pipelines import textops
+
+        want = textops.q_weighted_sample(sf_small)
+        forced_blocks(blocks)
+        assert textops.q_weighted_sample(sf_small).equals(want)
+
+    @pytest.mark.parametrize("blocks", [1, 13])
+    def test_pareto_orders(self, ray_session, sf_small, forced_blocks, blocks):
+        from sifr_project_java_ontology_processing_ray.pipelines import relational
+
+        want = relational.q_pareto_orders(sf_small)
+        forced_blocks(blocks)
+        assert relational.q_pareto_orders(sf_small).equals(want)
+
+    @pytest.mark.parametrize("blocks", [1, 13])
+    def test_label_centroids(self, ray_session, sf_small, forced_blocks, blocks):
+        from sifr_project_java_ontology_processing_ray.pipelines import ann
+
+        want = ann.q_label_centroids(sf_small)
+        forced_blocks(blocks)
+        got = ann.q_label_centroids(sf_small)
+        # float sums reorder across layouts; the ROUNDED output contract
+        # (6 dp, ~1e-13 noise floor) is what must hold
+        import pandas.testing as pdt
+
+        pdt.assert_frame_equal(got, want)
+
+    @pytest.mark.parametrize("blocks", [1, 13])
+    def test_rrf_fusion(self, ray_session, sf_small, forced_blocks, blocks):
+        from sifr_project_java_ontology_processing_ray.pipelines import ann
+
+        want = ann.q_rrf_fusion(sf_small)
+        forced_blocks(blocks)
+        assert ann.q_rrf_fusion(sf_small).equals(want)
