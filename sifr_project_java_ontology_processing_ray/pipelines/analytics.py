@@ -1344,3 +1344,77 @@ SELECT p.event_id AS purchase_id, p.user_id,
 FROM events p WHERE p.event_type = 'purchase'
 ORDER BY purchase_id
 """
+
+
+# --------------------------------------------------------------------------
+# per-group trimmed mean (robust-statistics completion of the histogram
+# family: median / MAD / p90 → 10-90% trimmed mean, same ONE histogram)
+# --------------------------------------------------------------------------
+
+
+def q_trimmed_mean(sf_dir: str):
+    """(event_type, n_kept, trimmed_mean): mean of values inside the
+    discrete [p10, p90] band per event_type — bounds by the explicit
+    integer rank rule (element at ceil(q·n) in cv order, the same
+    double-free form as q_value_p90), the mean from exact integer-cent
+    sums over the SAME distributed histogram (no second data pass), one
+    final float division mirrored by the SQL."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        cv = pc.cast(
+            pc.floor(pc.add(pc.multiply(b["value"], pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.int64(),
+        )
+        t = pa.table({"event_type": b["event_type"], "cv": cv})
+        return (
+            t.group_by(["event_type", "cv"])
+            .aggregate([("cv", "count")])
+            .rename_columns(["event_type", "cv", "p_n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "cv"])
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["event_type", "cv"])
+    )
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        n = int(g["n"].sum())
+        cum = g["n"].cumsum().to_numpy()
+        cvs = g["cv"].to_numpy()
+        lo = int(cvs[np.searchsorted(cum, (n + 9) // 10)])
+        hi = int(cvs[np.searchsorted(cum, (9 * n + 9) // 10)])
+        band = (cvs >= lo) & (cvs <= hi)
+        cnt = int(g["n"].to_numpy()[band].sum())
+        s = int((cvs[band] * g["n"].to_numpy()[band]).sum())
+        rows.append((et, cnt, round(float(s) / cnt / 100.0, 6)))
+    return pd.DataFrame(rows, columns=["event_type", "n_kept", "trimmed_mean"])
+
+
+SQL_TRIMMED_MEAN = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cv FROM events
+), h AS (
+  SELECT event_type, cv, count(*) AS n FROM c GROUP BY event_type, cv
+), r AS (
+  SELECT event_type, cv, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY cv) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS tot
+  FROM h
+), b AS (
+  SELECT event_type,
+         min(CASE WHEN cum >= (tot + 9) // 10 THEN cv END) AS lo,
+         min(CASE WHEN cum >= (9 * tot + 9) // 10 THEN cv END) AS hi
+  FROM r GROUP BY event_type
+)
+SELECT c.event_type, count(*) AS n_kept,
+       round(CAST(sum(c.cv) AS DOUBLE) / count(*) / 100.0, 6) AS trimmed_mean
+FROM c JOIN b ON c.event_type = b.event_type
+WHERE c.cv BETWEEN b.lo AND b.hi
+GROUP BY c.event_type ORDER BY c.event_type
+"""

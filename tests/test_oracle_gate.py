@@ -116,6 +116,7 @@ SUBSET = [
     "click_attribution",
     "nb_langid",
     "label_centroids",
+    "trimmed_mean",
 ]
 
 
