@@ -213,8 +213,9 @@ def cmd_curate(args) -> int:
         out_dir=args.out,
         num_parts=args.num_parts,
     )
-    if args.out is None:
-        report = dict(report, kept_rows=ds.count())
+    # n_curated already counts the kept rows — ds.count() here would
+    # re-execute the whole curation DAG a second time
+    del ds
     print(json.dumps(report))
     return 0
 

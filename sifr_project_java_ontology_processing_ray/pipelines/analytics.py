@@ -23,6 +23,8 @@ Scale notes (the shapes, not the toy sizes):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1080,28 +1082,47 @@ FROM t GROUP BY user_id ORDER BY user_id
 # same HUGEINT discipline as q_qty_price_corr / assortativity)
 # --------------------------------------------------------------------------
 
-_TREND_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01, the fixture epoch
-
-
 def q_user_value_trend(sf_dir: str):
-    """(user_id, n, slope): least-squares slope of value (cents) over time
-    (whole seconds since 2024-01-01) per user. The five moment sums ride
-    as int64 per batch (x ≤ 2.6e6 s, y ≤ 5e6 cents ⇒ xx·4096 < 2^63) and
-    fold as python ints at the driver (no overflow at any scale); ONE
-    final float division mirrors the SQL's CAST(... AS DOUBLE) exactly."""
+    """(user_id, n, slope): least-squares slope of value (cents per
+    MINUTE) per user. x is the minute-ordinal difference from the
+    corpus's min ts (parquet footer statistics — exact, metadata-only;
+    DuckDB's date_diff('minute') counts the same minute-boundary
+    crossings). Overflow discipline: the int64 per-batch moment sums are
+    safe while x²·batch_size < 2^63 — with the ENFORCED batch_size=4096
+    that holds for corpus time spans up to ~80 years (x ≤ 4.2e7 min);
+    the driver folds python ints, and ONE final float division mirrors
+    the SQL's CAST(... AS DOUBLE) exactly."""
+    import pyarrow.parquet as pq_
+
+    md = pq_.read_metadata(os.path.join(sf_dir, "events.parquet"))
+    lo = None
+    for gi in range(md.num_row_groups):
+        rg = md.row_group(gi)
+        for ci in range(rg.num_columns):
+            c = rg.column(ci)
+            if c.path_in_schema == "ts" and c.statistics is not None:
+                mn = c.statistics.min
+                lo = mn if lo is None or mn < lo else lo
+    assert lo is not None, "events.parquet has no ts statistics"
+    import datetime as _dt
+
+    # timedelta arithmetic, NOT .timestamp(): the stats value is a naive
+    # datetime and .timestamp() would re-interpret it in the host's local
+    # timezone
+    _delta = lo - _dt.datetime(1970, 1, 1)
+    epoch_min = (
+        _delta.days * 86_400_000_000
+        + _delta.seconds * 1_000_000
+        + _delta.microseconds
+    ) // 60_000_000
 
     def partial(b: pa.Table) -> pa.Table:
-        x = pc.cast(
-            pc.floor(
-                pc.divide(
-                    pc.subtract(
-                        pc.cast(b["ts"], pa.int64()),
-                        pa.scalar(_TREND_EPOCH_US, pa.int64()),
-                    ),
-                    1_000_000,
-                )
+        x = pc.subtract(
+            pc.cast(
+                pc.floor(pc.divide(pc.cast(b["ts"], pa.int64()), 60_000_000)),
+                pa.int64(),
             ),
-            pa.int64(),
+            pa.scalar(epoch_min, pa.int64()),
         )
         y = pc.cast(
             pc.floor(
@@ -1129,7 +1150,9 @@ def q_user_value_trend(sf_dir: str):
 
     parts = (
         _read(sf_dir, "events", ["user_id", "ts", "value"])
-        .map_batches(partial, batch_format="pyarrow")
+        # batch_size=4096 is LOAD-BEARING: it caps the per-batch int64
+        # moment sums (see docstring overflow bound)
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096)
         .to_pandas()
     )
     for c in ("p_n", "p_x", "p_y", "p_xx", "p_xy"):
@@ -1153,7 +1176,7 @@ def q_user_value_trend(sf_dir: str):
 SQL_USER_VALUE_TREND = """
 WITH c AS (
   SELECT user_id,
-         CAST(floor(date_diff('second', TIMESTAMP '2024-01-01', ts)) AS HUGEINT) AS x,
+         CAST(date_diff('minute', (SELECT min(ts) FROM events), ts) AS HUGEINT) AS x,
          CAST(floor(value * 100 + 0.5) AS HUGEINT) AS y
   FROM events
 ), s AS (

@@ -1829,9 +1829,11 @@ def q_global_rank(sf_dir: str):
     table: rows range-bucket by price (equal-width bins over the exact
     min/max — a quantile sketch picks the boundaries at 100 TB), per-bin
     COUNTS fold to exact rank offsets (bins-sized, driver-cheap), and each
-    bin ranks locally inside one bucketed shuffle. Two streaming passes,
-    one exchange, bit-identical at any parallelism (integer cents keys —
-    prices are exact 2-dp values, so the cents order IS the price order)."""
+    bin ranks locally inside one bucketed shuffle. One stats scan of the
+    price column plus ONE materialized read+bin of the table (reused by
+    the counts and rank passes), one exchange, bit-identical at any
+    parallelism (integer cents keys — prices are exact 2-dp values, so
+    the cents order IS the price order)."""
     from ..state.grouped import bucketed_map_groups
 
     _NBINS = 256
@@ -1868,9 +1870,12 @@ def q_global_rank(sf_dir: str):
             {"o_orderkey": b["o_orderkey"], "cents": cents, "bin": binid}
         )
 
+    # materialize: the binned projection (3 int columns, smaller than the
+    # input) is consumed by BOTH the counts pass and the rank pass — without
+    # this, Ray re-executes the read+bin lineage for each consumer
     binned = _read(
         sf_dir, "orders", ["o_orderkey", "o_totalprice"]
-    ).map_batches(with_bin, batch_format="pyarrow")
+    ).map_batches(with_bin, batch_format="pyarrow").materialize()
 
     counts = (
         binned.map_batches(
@@ -1974,58 +1979,63 @@ _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus"
 
 
 def q_table_profile(sf_dir: str):
-    """(column, n, n_null, ndv): exact profile of four lineitem columns.
-    One read pass: each batch emits per-column (n, n_null) count partials
-    plus its DISTINCT (column, value) pairs; the pair stream reduces via
-    groupby to the exact distinct sets, then to per-column ndv. The pair
-    shuffle is bounded by the distinct-value volume, not the row count —
-    for truly high-cardinality columns swap the exact pass for the HLL
-    partial in functions/hashing.py (the approx_distinct_users pattern)."""
+    """(column, n, n_null, ndv): exact profile of four lineitem columns in
+    ONE read pass. Each batch emits a unified partial stream — per-column
+    count rows (kind='c': rows seen, nulls seen) AND its distinct
+    NON-NULL (column, value) pairs (kind='d'; nulls are excluded, same as
+    SQL count(DISTINCT)) — so the table is scanned once; a single
+    groupby reduces both kinds, and the driver folds columns-sized
+    frames. The pair shuffle is bounded by distinct-value volume, not row
+    count — for truly high-cardinality columns swap the exact pass for
+    the HLL partial in functions/hashing.py (approx_distinct_users)."""
     from ray.data.aggregate import Sum
 
-    def counts_partial(b: pa.Table) -> pa.Table:
-        rows = []
+    def partial(b: pa.Table) -> pa.Table:
+        kinds, cols, vals, ns, nulls = [], [], [], [], []
         for c in _PROFILE_COLS:
-            rows.append((c, b.num_rows, b[c].null_count))
+            kinds.append("c"); cols.append(c); vals.append("")
+            ns.append(b.num_rows); nulls.append(b[c].null_count)
+            u = pc.unique(pc.drop_null(pc.cast(b[c], pa.string())))
+            for v in u.to_pylist():
+                kinds.append("d"); cols.append(c); vals.append(v)
+                ns.append(0); nulls.append(0)
         return pa.table(
-            {"column": [r[0] for r in rows],
-             "p_n": pa.array([r[1] for r in rows], pa.int64()),
-             "p_null": pa.array([r[2] for r in rows], pa.int64())}
+            {"kind": pa.array(kinds, pa.string()),
+             "column": pa.array(cols, pa.string()),
+             "value": pa.array(vals, pa.string()),
+             "p_n": pa.array(ns, pa.int64()),
+             "p_null": pa.array(nulls, pa.int64())}
         )
 
-    def distinct_partial(b: pa.Table) -> pa.Table:
-        cols, vals = [], []
-        for c in _PROFILE_COLS:
-            u = pc.unique(pc.cast(b[c], pa.string()))
-            cols.extend([c] * len(u))
-            vals.extend(u.to_pylist())
-        return pa.table(
-            {"column": pa.array(cols, pa.string()),
-             "value": pa.array(vals, pa.string())}
-        )
-
-    ds = _read(sf_dir, "lineitem", _PROFILE_COLS)
-    counts = (
-        ds.map_batches(counts_partial, batch_format="pyarrow")
-        .groupby("column")
+    folded = (
+        _read(sf_dir, "lineitem", _PROFILE_COLS)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["kind", "column", "value"])
         .aggregate(Sum("p_n", alias_name="n"), Sum("p_null", alias_name="n_null"))
-        .to_pandas()
-    )
-    ndv = (
-        ds.map_batches(distinct_partial, batch_format="pyarrow")
-        .groupby(["column", "value"])
-        .count()  # exact global distinct pairs (count value unused)
         .map_batches(
-            lambda b: b.group_by("column").aggregate([([], "count_all")])
-            .rename_columns(["column", "p_ndv"]),
+            # per-block post-reduce: collapse distinct rows to ndv partials
+            lambda b: pa.table(
+                {
+                    "column": b["column"],
+                    "n": pc.if_else(pc.equal(b["kind"], "c"), b["n"], 0),
+                    "n_null": pc.if_else(pc.equal(b["kind"], "c"), b["n_null"], 0),
+                    "ndv": pc.cast(pc.equal(b["kind"], "d"), pa.int64()),
+                }
+            )
+            .group_by("column")
+            .aggregate([("n", "sum"), ("n_null", "sum"), ("ndv", "sum")])
+            .rename_columns(["column", "n", "n_null", "ndv"]),
             batch_format="pyarrow",
         )
         .groupby("column")
-        .aggregate(Sum("p_ndv", alias_name="ndv"))
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_null", alias_name="n_null"),
+            Sum("ndv", alias_name="ndv"),
+        )
         .to_pandas()
     )
-    out = counts.merge(ndv, on="column")
-    return out.sort_values("column").reset_index(drop=True)
+    return folded.sort_values("column").reset_index(drop=True)
 
 
 SQL_TABLE_PROFILE = """

@@ -1493,9 +1493,14 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) ->
             BloomRoute,
             fn_constructor_args=(blob_ref, "doc_id", True),
             batch_format="pyarrow",
-            # elastic pool's MIN actors must respect the one-core-free
-            # rule too (pool_size) or a 2-cpu cluster hangs at spawn
-            concurrency=(min(2, pool_size(ncpu)), max(4, join_partitions() // 2)),
+            # BOTH elastic bounds respect the one-core-free rule: the
+            # autoscaler may grow the pool to its max, and a max that
+            # reserves every core re-creates the spawn hang
+            concurrency=(
+                min(2, pool_size(ncpu)),
+                max(min(2, pool_size(ncpu)),
+                    min(pool_size(ncpu), max(4, join_partitions() // 2))),
+            ),
         )
     cand_docs = routed.materialize()  # candidate-sized, consumed below
 
@@ -2791,7 +2796,7 @@ def q_weighted_sample(sf_dir: str):
 SQL_WEIGHTED_SAMPLE = """
 SELECT doc_id, n_chars FROM (
   SELECT doc_id, n_chars,
-         ln(((doc_id * 2654435761 + 12345) % 4294967296 + 1)
+         ln((CAST((doc_id::HUGEINT * 2654435761 + 12345) % 4294967296 AS BIGINT) + 1)
             / 4294967297.0) / n_chars AS key
   FROM documents
   ORDER BY key DESC, doc_id LIMIT 20)
@@ -2812,13 +2817,13 @@ def _lm2_score_batch(batch: pa.Table, ref) -> pa.Table:
 
     big_c, uni_c = cached_get(ref)
     bget, uget = big_c.get, uni_c.get
+    import math
+
     ids, scores = [], []
     for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
         toks = t.lower().split()
         if len(toks) < 2:
             continue  # no bigrams to score (oracle parity)
-        import math
-
         s = 0.0
         for a, b in zip(toks, toks[1:]):
             s += math.log(bget((a, b), 1) / uget(a))

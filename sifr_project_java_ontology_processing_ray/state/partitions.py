@@ -50,7 +50,13 @@ def pool_size(ncpu: int, reserve: int = 4, floor: int = 2) -> int:
     BUT a 1-cpu pool that reserves EVERY core hangs Ray Data's streaming
     executor (verified: a 2-actor pool on a 2-cpu cluster never starts —
     session-8 repro), so below ``reserve + floor`` cpus the pool caps at
-    ``ncpu - 1`` and the floor yields: one core must stay unreserved."""
+    ``ncpu - 1`` and the floor yields: one core must stay unreserved.
+
+    A 1-cpu CLUSTER is below this engine's floor: any 1-cpu-actor pool
+    there reserves the only core (pool_size(1) == 1 — a pool needs at
+    least one actor). Callers on ncpu == 1 must drop to fractional
+    actors (num_cpus=0.5) or task-pool map_batches; the engine's minimum
+    supported cluster is 2 cpus."""
     if ncpu >= reserve + floor:
         return max(floor, ncpu - reserve)
     return max(1, ncpu - 1)

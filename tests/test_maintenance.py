@@ -176,6 +176,9 @@ class TestPoolSize:
             assert 1 <= n, ncpu
             if ncpu > 1:
                 assert n < ncpu, f"pool of {n} reserves all {ncpu} cores"
+        # ncpu == 1 is BELOW the engine floor (pool_size docstring): a
+        # 1-actor 1-cpu pool there still reserves the only core — callers
+        # must use fractional actors; minimum supported cluster is 2 cpus
 
     def test_matches_flagship_sizing(self):
         from sifr_project_java_ontology_processing_ray.state.partitions import pool_size

@@ -85,9 +85,13 @@ def main() -> None:
             try:
                 # GRAFT_HUNT_MODES selects which series fire on an open
                 # window (comma-separated; default both, weak first)
-                modes = os.environ.get(
-                    "GRAFT_HUNT_MODES", "--scaling-weak,--scaling"
-                ).split(",")
+                modes = [
+                    m.strip()
+                    for m in os.environ.get(
+                        "GRAFT_HUNT_MODES", "--scaling-weak,--scaling"
+                    ).split(",")
+                    if m.strip()
+                ]
                 for mode in modes:
                     res = fire(mode)
                     if res:
