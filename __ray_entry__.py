@@ -377,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": textops.q_inverted_index,
         "unigram_lm_score": textops.q_unigram_lm_score,
         "corpus_curation": curation.q_corpus_curation,
+        "llm_dataprep": curation.q_llm_dataprep,
         "seq_oracle_pr": _q_seq_oracle_pr,
         # similarity search
         "knn_top10": ann.q_knn_top10,

@@ -248,3 +248,89 @@ def q_corpus_curation(sf_dir: str):
     return pd.DataFrame(
         {"counter": list(report.keys()), "value": [int(v) for v in report.values()]}
     )
+
+
+def q_llm_dataprep(sf_dir: str):
+    """End-to-end LLM training-data preparation as ONE composed streaming
+    DAG — the second flagship composition next to the KG build:
+
+        curate (lang/quality gate + exact & near dedup)
+          → context-window chunking (64-token windows, 16 overlap)
+          → whitespace token counting
+          → bucket-local greedy packing into 512-token sequences
+
+    Every stage is the same operator the standalone queries verify
+    (`corpus_curation`, `doc_chunks`★, `token_counts`★,
+    `sequence_pack`★); this entry checks the COMPOSITION end-to-end and
+    returns one row per counter. Streaming throughout: the curated
+    corpus never materializes on the driver — only counters and the
+    packs-sized stats frame do."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..state.grouped import bucketed_map_groups
+    from .textops import (
+        PACK_BUCKETS,
+        PACK_BUDGET,
+        chunk_documents,
+    )
+
+    ds, report = curate(sf_dir)
+
+    chunks = ds.map_batches(chunk_documents, batch_format="pyarrow")
+
+    def with_tokens(b: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(b["chunk_text"])
+        toks = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+        toks = pc.cast(
+            pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int32()), toks),
+            pa.int64(),
+        )
+        # chunk identity: doc_id interleaved with chunk_idx keeps the
+        # modulo bucketing content-independent and collision-free
+        cid = pc.add(
+            pc.multiply(b["doc_id"], pa.scalar(1 << 20, pa.int64())),
+            pc.cast(b["chunk_idx"], pa.int64()),
+        )
+        bucket = pc.bit_wise_and(cid, PACK_BUCKETS - 1)
+        return pa.table({"pack_bucket": bucket, "cid": cid, "n_tok": toks})
+
+    def pack_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("cid")
+        n_packs, fill = 0, 0
+        n_chunks, n_tokens = len(df), int(df["n_tok"].sum())
+        for t in df["n_tok"]:
+            t = min(int(t), PACK_BUDGET)
+            if n_packs == 0 or fill + t > PACK_BUDGET:
+                n_packs += 1
+                fill = t
+            else:
+                fill += t
+        return pd.DataFrame(
+            {
+                "pack_bucket": [int(df["pack_bucket"].iloc[0])] if n_chunks else [],
+                "n_chunks": [n_chunks] if n_chunks else [],
+                "n_tokens": [n_tokens] if n_chunks else [],
+                "n_packs": [n_packs] if n_chunks else [],
+            }
+        )
+
+    stats = bucketed_map_groups(
+        chunks.map_batches(with_tokens, batch_format="pyarrow"),
+        ["pack_bucket"],
+        pack_bucket,
+    ).to_pandas()
+
+    n_chunks = int(stats["n_chunks"].sum())
+    n_tokens = int(stats["n_tokens"].sum())
+    n_packs = int(stats["n_packs"].sum())
+    fill_rate = round(n_tokens / (n_packs * PACK_BUDGET), 6) if n_packs else 0.0
+    counters = dict(report)
+    counters.update(
+        {"n_chunks": n_chunks, "n_pack_tokens": n_tokens,
+         "n_sequences": n_packs, "fill_rate_ppm": int(fill_rate * 1e6)}
+    )
+    return pd.DataFrame(
+        {"counter": list(counters.keys()),
+         "value": [int(v) for v in counters.values()]}
+    )

@@ -168,3 +168,21 @@ class TestWarcSplitReads:
         write_warc(rows, p)  # whole-file gzip (one member)
         df = read_warc(p, split_size=2048).to_pandas()
         assert len(df) == 100
+
+
+def test_llm_dataprep_composition(ray_session, sf_small):
+    """The composed curate→chunk→count→pack DAG: stage outputs must obey
+    the composition invariants (each stage is separately oracled; this
+    pins the end-to-end wiring)."""
+    from sifr_project_java_ontology_processing_ray.pipelines import curation
+
+    df = curation.q_llm_dataprep(sf_small)
+    c = dict(zip(df["counter"], df["value"]))
+    assert 0 < c["n_curated"] <= c["n_docs"]
+    assert c["n_chunks"] > 0
+    # every chunk is non-empty → at least one token each
+    assert c["n_pack_tokens"] >= c["n_chunks"]
+    # chunks are 64 tokens ≤ the 512 budget → no truncation, so the
+    # packed volume fits the sequence budget exactly
+    assert c["n_pack_tokens"] <= c["n_sequences"] * 512
+    assert 0 < c["fill_rate_ppm"] <= 1_000_000
