@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_totals_filled": analytics.q_daily_totals_filled,
         "click_attribution": analytics.q_click_attribution,
         "trimmed_mean": analytics.q_trimmed_mean,
+        "attribution_delay": analytics.q_attribution_delay,
         "hour_window_sum": analytics.q_user_hour_window_sum,
         "value_p90": analytics.q_value_p90,
         "user_running_total": analytics.q_user_running_total,
@@ -466,6 +467,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_totals_filled": analytics.SQL_DAILY_TOTALS_FILLED,
         "click_attribution": analytics.SQL_CLICK_ATTRIBUTION,
         "trimmed_mean": analytics.SQL_TRIMMED_MEAN,
+        "attribution_delay": analytics.SQL_ATTRIBUTION_DELAY,
         "hour_window_sum": analytics.SQL_USER_HOUR_WINDOW_SUM,
         "value_p90": analytics.SQL_VALUE_P90,
         "user_running_total": analytics.SQL_USER_RUNNING_TOTAL,

@@ -1441,3 +1441,88 @@ FROM c JOIN b ON c.event_type = b.event_type
 WHERE c.cv BETWEEN b.lo AND b.hi
 GROUP BY c.event_type ORDER BY c.event_type
 """
+
+
+# --------------------------------------------------------------------------
+# conversion-delay statistics: the attribution join composed with the
+# exact-histogram family (median + mean of click→purchase latency)
+# --------------------------------------------------------------------------
+
+
+def q_attribution_delay(sf_dir: str):
+    """(n_attributed, median_delay_s, mean_delay_s): over every purchase
+    with an attributed click (q_click_attribution semantics), the
+    click→purchase latency in WHOLE SECONDS — exact distributed
+    histogram (delay, count) partials → driver median by the explicit
+    ceil(n/2) integer rank rule + mean from exact integer sums, one
+    float division each. The delay histogram is bounded by the 7-day
+    window at second granularity (≤ 604 800 rows) at ANY corpus size."""
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        us = df["ts"].astype("int64")
+        is_click = df["event_type"].eq("click")
+        last_click_ts = us.where(is_click).groupby(df["user_id"], sort=False).ffill()
+        purchases = df["event_type"].eq("purchase")
+        delay_us = us[purchases] - last_click_ts[purchases]
+        ok = delay_us <= _ATTR_WINDOW_US
+        d = (delay_us[ok] // 1_000_000).astype("int64")
+        out = pd.DataFrame({"delay_s": d})
+        return out.groupby("delay_s", as_index=False).size().rename(
+            columns={"size": "p_n"}
+        )
+
+    hist = (
+        bucketed_map_groups(
+            _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"]),
+            ["user_id"],
+            combine,
+        )
+        .to_pandas()
+        .groupby("delay_s", as_index=False)["p_n"]
+        .sum()
+        .sort_values("delay_s")
+    )
+    n = int(hist["p_n"].sum())
+    if n == 0:
+        return pd.DataFrame(
+            {"n_attributed": [0], "median_delay_s": [None], "mean_delay_s": [None]}
+        )
+    cum = hist["p_n"].cumsum().to_numpy()
+    med = int(hist["delay_s"].to_numpy()[np.searchsorted(cum, (n + 1) // 2)])
+    total = int((hist["delay_s"].astype(object) * hist["p_n"].astype(object)).sum())
+    return pd.DataFrame(
+        {
+            "n_attributed": [n],
+            "median_delay_s": [med],
+            "mean_delay_s": [round(float(total) / n, 6)],
+        }
+    )
+
+
+SQL_ATTRIBUTION_DELAY = """
+WITH d AS (
+  SELECT CAST(floor(date_diff('microsecond', (
+           SELECT c.ts FROM events c
+           WHERE c.user_id = p.user_id AND c.event_type = 'click'
+             AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+             AND c.ts >= p.ts - INTERVAL 7 DAY
+           ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+         ), p.ts) / 1000000) AS BIGINT) AS delay_s
+  FROM events p WHERE p.event_type = 'purchase'
+), v AS (SELECT delay_s FROM d WHERE delay_s IS NOT NULL),
+h AS (
+  SELECT delay_s, count(*) AS n FROM v GROUP BY delay_s
+), r AS (
+  SELECT delay_s, n,
+         sum(n) OVER (ORDER BY delay_s) AS cum,
+         sum(n) OVER () AS tot
+  FROM h
+)
+SELECT CAST(max(tot) AS BIGINT) AS n_attributed,
+       CAST(min(CASE WHEN cum >= (tot + 1) // 2 THEN delay_s END) AS BIGINT)
+         AS median_delay_s,
+       round(CAST((SELECT sum(delay_s) FROM v) AS DOUBLE) / max(tot), 6)
+         AS mean_delay_s
+FROM r
+"""

@@ -117,6 +117,7 @@ SUBSET = [
     "nb_langid",
     "label_centroids",
     "trimmed_mean",
+    "attribution_delay",
 ]
 
 
