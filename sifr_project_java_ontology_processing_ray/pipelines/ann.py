@@ -680,6 +680,8 @@ def q_label_centroids(sf_dir: str):
 SQL_LABEL_CENTROIDS = """
 SELECT label, i AS dim,
        round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
-FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+FROM embeddings,
+     (SELECT unnest(range(1, (SELECT len(embedding) + 1
+                              FROM embeddings LIMIT 1))) AS i)
 GROUP BY label, i ORDER BY label, dim
 """

@@ -315,10 +315,22 @@ def q_llm_dataprep(sf_dir: str):
             }
         )
 
+    def pack_all_keys(df: pd.DataFrame) -> pd.DataFrame:
+        # a physical bucket may hold several pack_bucket keys (ADVICE r4:
+        # 16 keys hashed into 64 buckets collide) — pack each key
+        # independently so results are partitioning-invariant, mirroring
+        # the oracled q_sequence_pack
+        if df.empty:
+            return pack_bucket(df)
+        return pd.concat(
+            [pack_bucket(g) for _, g in df.groupby("pack_bucket", sort=False)],
+            ignore_index=True,
+        )
+
     stats = bucketed_map_groups(
         chunks.map_batches(with_tokens, batch_format="pyarrow"),
         ["pack_bucket"],
-        pack_bucket,
+        pack_all_keys,
     ).to_pandas()
 
     n_chunks = int(stats["n_chunks"].sum())

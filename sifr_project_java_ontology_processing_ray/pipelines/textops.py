@@ -2768,6 +2768,9 @@ def q_weighted_sample(sf_dir: str):
     no RNG state, no sort of the full table."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        # zero-weight docs are excluded EXPLICITLY on both sides (ADVICE
+        # r4: ln(u)/0 is -inf here but NULL in DuckDB — divergent ranks)
+        batch = batch.filter(pc.greater(batch["n_chars"], 0))
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = (ids * np.uint64(_WS_MULT) + np.uint64(_WS_ADD)) % np.uint64(_WS_MOD)
         u = (h.astype(np.float64) + 1.0) / float(_WS_MOD + 1)
@@ -2799,6 +2802,7 @@ SELECT doc_id, n_chars FROM (
          ln((CAST((doc_id::HUGEINT * 2654435761 + 12345) % 4294967296 AS BIGINT) + 1)
             / 4294967297.0) / n_chars AS key
   FROM documents
+  WHERE n_chars > 0
   ORDER BY key DESC, doc_id LIMIT 20)
 ORDER BY doc_id
 """

@@ -53,10 +53,17 @@ def pool_size(ncpu: int, reserve: int = 4, floor: int = 2) -> int:
     ``ncpu - 1`` and the floor yields: one core must stay unreserved.
 
     A 1-cpu CLUSTER is below this engine's floor: any 1-cpu-actor pool
-    there reserves the only core (pool_size(1) == 1 — a pool needs at
-    least one actor). Callers on ncpu == 1 must drop to fractional
-    actors (num_cpus=0.5) or task-pool map_batches; the engine's minimum
-    supported cluster is 2 cpus."""
+    there reserves the only core, so rather than return a size that
+    silently hangs the executor (ADVICE r4), raise — callers on
+    ncpu == 1 must drop to fractional actors (num_cpus=0.5) or
+    task-pool map_batches; the engine's minimum supported cluster is
+    2 cpus."""
+    if ncpu < 2:
+        raise ValueError(
+            f"pool_size({ncpu}): a 1-cpu-actor pool on a {ncpu}-cpu cluster "
+            "reserves every core and hangs the streaming executor; minimum "
+            "supported cluster is 2 cpus (use fractional num_cpus below that)"
+        )
     if ncpu >= reserve + floor:
         return max(floor, ncpu - reserve)
     return max(1, ncpu - 1)

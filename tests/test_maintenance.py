@@ -171,14 +171,15 @@ class TestPoolSize:
     def test_never_reserves_every_core(self):
         from sifr_project_java_ontology_processing_ray.state.partitions import pool_size
 
-        for ncpu in range(1, 64):
+        for ncpu in range(2, 64):
             n = pool_size(ncpu)
             assert 1 <= n, ncpu
             if ncpu > 1:
                 assert n < ncpu, f"pool of {n} reserves all {ncpu} cores"
-        # ncpu == 1 is BELOW the engine floor (pool_size docstring): a
-        # 1-actor 1-cpu pool there still reserves the only core — callers
-        # must use fractional actors; minimum supported cluster is 2 cpus
+        # ncpu == 1 is BELOW the engine floor: it must FAIL FAST, not
+        # return a size that silently hangs the executor (ADVICE r4)
+        with pytest.raises(ValueError):
+            pool_size(1)
 
     def test_matches_flagship_sizing(self):
         from sifr_project_java_ontology_processing_ray.state.partitions import pool_size
@@ -188,7 +189,6 @@ class TestPoolSize:
         assert pool_size(6) == 2
         assert pool_size(4) == 3
         assert pool_size(2) == 1
-        assert pool_size(1) == 1
 
 
 class TestPartialMergeLayoutInvariance:

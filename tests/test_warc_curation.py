@@ -186,3 +186,19 @@ def test_llm_dataprep_composition(ray_session, sf_small):
     # packed volume fits the sequence budget exactly
     assert c["n_pack_tokens"] <= c["n_sequences"] * 512
     assert 0 < c["fill_rate_ppm"] <= 1_000_000
+
+
+def test_llm_dataprep_bucket_count_invariant(ray_session, sf_small, monkeypatch):
+    """ADVICE r4 (high): packing must be per-pack_bucket-KEY, not
+    per-physical-bucket — with 16 keys hashed into B physical buckets,
+    colliding keys must still pack independently, so the counters are
+    byte-identical at any B (cross-parallelism determinism contract)."""
+    from sifr_project_java_ontology_processing_ray.pipelines import curation
+    from sifr_project_java_ontology_processing_ray.state import grouped
+
+    base = curation.q_llm_dataprep(sf_small)
+    monkeypatch.setattr(grouped, "DEFAULT_BUCKETS", 7)
+    alt = curation.q_llm_dataprep(sf_small)
+    assert dict(zip(base["counter"], base["value"])) == dict(
+        zip(alt["counter"], alt["value"])
+    )
