@@ -228,6 +228,24 @@ class BloomFilter:
                 return False
         return True
 
+    def contains_many(self, values) -> np.ndarray:
+        """Vectorized batch membership (VERDICT r4 #6): the per-value
+        blake2b is irreducible for strings, but all k probe positions and
+        bit tests collapse into one numpy gather — replaces the per-row
+        ``in`` loop in the route stages."""
+        n = len(values)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        h1 = np.fromiter((hash64(v, seed=1) for v in values), dtype=np.uint64, count=n)
+        h2 = np.fromiter((hash64(v, seed=2) for v in values), dtype=np.uint64, count=n)
+        h2 |= np.uint64(1)
+        pos = (
+            h1[:, None] + np.arange(self.k, dtype=np.uint64)[None, :] * h2[:, None]
+        ) % np.uint64(self.m)
+        words = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+        hit = (words >> (pos & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=1)
+
     def merge(self, other: "BloomFilter") -> None:
         assert self.m == other.m and self.k == other.k
         np.bitwise_or(self.bits, other.bits, out=self.bits)

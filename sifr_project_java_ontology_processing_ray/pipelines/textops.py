@@ -1479,7 +1479,7 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) ->
         def _keep_in_bloom(batch: pa.Table, blob_ref=blob_ref) -> pa.Table:
             # cached_get: deserialize the Bloom once per worker, not per batch
             bf = cached_get(blob_ref, transform=BloomFilter.loads)
-            mask = [str(v) in bf for v in batch["doc_id"].to_pylist()]
+            mask = bf.contains_many([str(v) for v in batch["doc_id"].to_pylist()])
             return batch.filter(pa.array(mask, pa.bool_()))
 
         routed = docs.map_batches(_keep_in_bloom, batch_format="pyarrow")

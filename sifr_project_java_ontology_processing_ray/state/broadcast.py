@@ -105,6 +105,8 @@ class BloomRoute:
         self.keep_maybe = keep_maybe
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        maybe = [str(v) in self.bf for v in batch[self.col].to_pylist()]
-        mask = maybe if self.keep_maybe else [not m for m in maybe]
+        maybe = self.bf.contains_many(
+            [str(v) for v in batch[self.col].to_pylist()]
+        )
+        mask = maybe if self.keep_maybe else ~maybe
         return batch.filter(pa.array(mask, pa.bool_()))

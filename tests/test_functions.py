@@ -247,6 +247,20 @@ class TestBloom:
         a2 = hashing.BloomFilter.loads(a.dumps())
         assert "x" in a2 and "y" in a2 and "z" not in a2
 
+    def test_contains_many_matches_scalar(self):
+        """Vectorized membership must be bit-identical to `in` (VERDICT
+        r4 #6: it replaced the per-row loop in the route stages)."""
+        import numpy as np
+
+        bf = hashing.BloomFilter(2000)
+        for i in range(1000):
+            bf.add(f"k{i}")
+        probe = [f"k{i}" for i in range(0, 2000, 3)]
+        got = bf.contains_many(probe)
+        want = np.array([p in bf for p in probe])
+        assert (got == want).all()
+        assert bf.contains_many([]).shape == (0,)
+
 
 class TestUMLSLanguageCodes:
     """≙ ontology/umls/UMLSLanguageCode.java:6-26 (incl. non-ISO quirks)."""
