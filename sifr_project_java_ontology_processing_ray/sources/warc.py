@@ -135,22 +135,61 @@ def _parse_cc_range(path: str, start: int, end: int):
                 i = data.find(_GZ_MAGIC, i + 1)
 
 
-def _looks_like_header_block(f) -> bool:
-    """Validate a candidate ``WARC/`` boundary found by the post-seek sync:
-    a real record version line is followed by a header block containing a
-    ``WARC-Type``/``Content-Length`` header before the first blank line. A
-    payload line that merely *starts* with ``WARC/`` near a split point
-    fails this check, so split and unsplit reads agree (ADVICE r3)."""
+def _valid_record_chain(f, end: int, max_links: int = 3) -> bool:
+    """Validate a candidate ``WARC/`` boundary found by the post-seek sync
+    by WALKING THE CONTENT-LENGTH CHAIN (VERDICT r4 #3): each link must be
+    a version line + header block with WARC- headers and a parseable
+    Content-Length, and skipping the counted payload must land on blank
+    separators followed by another ``WARC/`` line (or clean EOF). A
+    payload-EMBEDDED header block — even a byte-faithful one — fails when
+    its length chain desyncs from the true framing, which a header-only
+    peek (the r3 check) could not catch. A payload embedding a chain that
+    is SELF-CONSISTENT with the true framing is locally indistinguishable
+    — inherent to range-splitting an unindexed plain WARC; CC's
+    per-record-gzip layout has no such ambiguity. Restores the position."""
     here = f.tell()
-    ok = False
-    for _ in range(64):  # header blocks are small; bound the peek
-        h = f.readline()
-        if not h or not h.strip():
+    size = os.fstat(f.fileno()).st_size
+    ok = True
+    for _ in range(max_links):
+        line = f.readline()
+        if not line:
+            break  # clean EOF between links
+        if not line.startswith(b"WARC/"):
+            ok = False
             break
-        low = h.lower()
-        if low.startswith((b"warc-type:", b"content-length:")):
-            ok = True
+        clen, warc_hdr = None, False
+        for _h in range(64):  # header blocks are small; bound the scan
+            h = f.readline()
+            if not h or not h.strip():
+                break
+            low = h.lower()
+            if low.startswith(b"content-length:"):
+                try:
+                    clen = int(h.split(b":", 1)[1].strip())
+                except ValueError:
+                    clen = None
+            elif low.startswith(b"warc-"):
+                warc_hdr = True
+        if clen is None or clen < 0 or not warc_hdr:
+            ok = False
             break
+        f.seek(clen, 1)
+        if f.tell() > size:  # bogus length pointing past EOF
+            ok = False
+            break
+        pos = f.tell()
+        nxt = f.readline()
+        while nxt and not nxt.strip():
+            pos = f.tell()
+            nxt = f.readline()
+        if not nxt:
+            break  # chain ends at EOF — consistent
+        if not nxt.startswith(b"WARC/"):
+            ok = False
+            break
+        f.seek(pos)
+        if pos >= end:
+            break  # chain verified past the owned range — enough evidence
     f.seek(here)
     return ok
 
@@ -174,13 +213,11 @@ def _parse_plain_range(path: str, start: int, end: int):
                 # boundary unless the split landed exactly on one. A mid-
                 # payload line that happens to start with WARC/ is rejected
                 # by peeking for a real header block after it.
-                if (
-                    line.startswith(b"WARC/")
-                    and pos >= start
-                    and _looks_like_header_block(f)
-                ):
-                    f.seek(pos)
-                    break
+                if line.startswith(b"WARC/") and pos >= start:
+                    f.seek(pos)  # validator walks from the version line
+                    if _valid_record_chain(f, end):
+                        break  # position restored to pos by the validator
+                    f.seek(pos + len(line))  # rejected — resume the scan
         while True:
             # skip blank separator lines, tracking the header-line offset
             pos = f.tell()

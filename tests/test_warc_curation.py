@@ -170,6 +170,93 @@ class TestWarcSplitReads:
         assert len(df) == 100
 
 
+class TestSplitBoundaryAdversarial:
+    """VERDICT r4 #3: the two named split-boundary hazards, driven at many
+    split sizes — split and unsplit reads must agree byte-for-byte."""
+
+    @staticmethod
+    def _frames(path, split):
+        from sifr_project_java_ontology_processing_ray.sources.warc import read_warc
+
+        df = read_warc(path, split_size=split).to_pandas()
+        return df.sort_values("url").reset_index(drop=True)[["url", "html"]]
+
+    def test_gz_member_straddles_every_range_end(self, ray_session, tmp_path):
+        """Per-record-gzip members straddling the range end at many split
+        sizes: each member is owned by exactly the task containing its
+        START offset; a failed tail decode must not desync the buffer."""
+        import os
+
+        from sifr_project_java_ontology_processing_ray.sources.warc import write_warc_cc
+
+        rows = [
+            (f"http://s.example/{i}", dt.datetime(2024, 1, 1),
+             b"<html>" + bytes([65 + i % 26]) * 5000 + b"</html>")
+            for i in range(40)
+        ]
+        p = str(tmp_path / "adv.warc.gz")
+        write_warc_cc(rows, p)
+        size = os.path.getsize(p)
+        base = self._frames(p, size + 1)
+        assert len(base) == 40
+        for split in (137, 1000, 1501, 4096, size // 3, size // 2):
+            assert self._frames(p, split).equals(base), split
+
+    def test_plain_payload_embedding_warc_header_block(self, ray_session, tmp_path):
+        """A payload containing a full fake record — `WARC/1.0` version
+        line AND a plausible header block — must not be adopted as a sync
+        point: the content-length chain walk rejects it (the r3
+        header-only peek did not — 60 rows vs 30 before this fix)."""
+        import os
+
+        from sifr_project_java_ontology_processing_ray.sources.warc import write_warc
+
+        evil = (
+            b"<html>\r\nWARC/1.0\r\nWARC-Type: response\r\n"
+            b"Content-Length: 10\r\n\r\nxxxxxxxxxx\r\n\r\nmore text</html>"
+        )
+        rows = [
+            (f"http://e.example/{i}", dt.datetime(2024, 1, 1),
+             evil + bytes([48 + i % 10]) * 300)
+            for i in range(30)
+        ]
+        p = str(tmp_path / "evil.warc")
+        write_warc(rows, p)
+        size = os.path.getsize(p)
+        base = self._frames(p, size + 1)
+        assert len(base) == 30
+        for split in range(80, size, 173):
+            assert self._frames(p, split).equals(base), split
+
+    def test_gz_range_task_memory_is_bounded(self, tmp_path):
+        """VERDICT r4 #5 receipt: consuming a many-record range streams —
+        peak Python allocation stays near compressed-range + one member,
+        far below the range's total decompressed corpus."""
+        import tracemalloc
+
+        from sifr_project_java_ontology_processing_ray.sources import warc
+
+        rows = [
+            (f"http://m.example/{i}", dt.datetime(2024, 1, 1),
+             (b"<p>tok %d</p>" % i) * 4000)  # ~50 KB each, compresses hard
+            for i in range(200)
+        ]
+        p = str(tmp_path / "big.warc.gz")
+        warc.write_warc_cc(rows, p)
+        import os
+
+        size = os.path.getsize(p)
+        total_decompressed = sum(len(r[2]) for r in rows)  # ~10 MB
+        tracemalloc.start()
+        n = 0
+        for _ in warc._parse_cc_range(p, 0, size):
+            n += 1
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        assert n == 200
+        assert peak < total_decompressed / 3, (peak, total_decompressed)
+
+
 def test_llm_dataprep_composition(ray_session, sf_small):
     """The composed curate→chunk→count→pack DAG: stage outputs must obey
     the composition invariants (each stage is separately oracled; this
