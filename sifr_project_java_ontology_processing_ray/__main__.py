@@ -220,12 +220,82 @@ def cmd_curate(args) -> int:
     return 0
 
 
-def build_parser() -> argparse.ArgumentParser:
+# Reference ``config.*`` property keys → this CLI's argparse dests
+# (≙ CUIProcessorCommandlineHandler.java:109-147 and the generator/matcher
+# handlers: every reference main() loads a .properties file FIRST, then
+# command-line flags override individual keys — same precedence here).
+_PROPERTY_DESTS = {
+    "source_endpoint": "source",
+    "target_endpoint": "target",
+    "mappings_endpoint": "mappings",
+    "disambiguate": "dc",
+    "match": "mc",
+    "add_code_to_preflabel": "cpl",
+    "history_note": "hn",
+    "language": "l",
+    "dictionary": "d",
+    "dictionary_path": "d",
+    "corpus_path": "corpus",
+    "corpus.raw": "cr",
+    "corpus.std": "cs",
+    "corpus.adapted": "a",
+    "most_frequent_code": "mfc",
+}
+# live-service keys the engine designed away (broadcast tables replace
+# Redis/MySQL, SURVEY §1.2) — present in every reference properties file,
+# silently irrelevant here
+_PROPERTY_IGNORED_PREFIXES = ("redis_", "umls_", "output_file_suffix")
+
+
+def _load_properties(path: str) -> dict:
+    """Java-.properties → {argparse dest: typed value}. Keys may be
+    reference ``config.*`` names (mapped via _PROPERTY_DESTS) or this
+    CLI's own dest names (dashes/dots → underscores). Values: true/false
+    → bool, numeric strings → int/float, else verbatim."""
+    out: dict = {}
+    with open(path, encoding="utf-8") as f:
+        for raw in f:
+            line = raw.strip()
+            if not line or line.startswith(("#", "!")) or "=" not in line:
+                continue
+            key, val = (t.strip() for t in line.split("=", 1))
+            if key.startswith("config."):
+                key = key[len("config.") :]
+            if any(key.startswith(pfx) for pfx in _PROPERTY_IGNORED_PREFIXES):
+                continue
+            dest = _PROPERTY_DESTS.get(key, key.replace("-", "_").replace(".", "_"))
+            if val.lower() in ("true", "false"):
+                out[dest] = val.lower() == "true"
+                continue
+            for cast in (int, float):
+                try:
+                    out[dest] = cast(val)
+                    break
+                except ValueError:
+                    pass
+            else:
+                out[dest] = val
+    return out
+
+
+def build_parser(defaults: dict | None = None) -> argparse.ArgumentParser:
+    """``defaults`` (from a -p .properties file) are applied via
+    set_defaults on the top parser AND every subparser — subparsers parse
+    into a fresh namespace (argparse SubParsersAction), so preloading the
+    caller's namespace would be clobbered by subparser defaults; flags
+    given explicitly still override."""
     p = argparse.ArgumentParser(prog="sifr_project_java_ontology_processing_ray")
     # shared options accepted before OR after the subcommand
     common = argparse.ArgumentParser(add_help=False)
     common.add_argument("--num-cpus", type=int, default=None)
+    common.add_argument(
+        "-p", "--config", default=None, metavar="FILE",
+        help=".properties defaults (flags override; reference config.* "
+             "keys and plain dest names both accepted)",
+    )
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("-p", "--config", default=None, metavar="FILE",
+                   help=".properties defaults (flags override)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     k = sub.add_parser("kg", parents=[common], help="flagship pages→triples pipeline")
@@ -282,11 +352,31 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--out", default=None, help="partitioned parquet output dir")
     cu.add_argument("--num-parts", dest="num_parts", type=int, default=16)
     cu.set_defaults(fn=cmd_curate)
+    if defaults:
+        safe = {k: v for k, v in defaults.items() if k not in ("fn", "cmd")}
+        for sp in (p, k, e, g, c, r, cu):
+            sp.set_defaults(**safe)
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # properties file loads FIRST as parser defaults; explicit flags
+    # always overwrite — exactly the reference's load-then-override order
+    props: dict = {}
+    for flag in ("-p", "--config"):
+        while flag in argv:
+            i = argv.index(flag)
+            if i + 1 >= len(argv):
+                print(f"error: {flag} requires a file argument", file=sys.stderr)
+                return 2
+            try:
+                props.update(_load_properties(argv[i + 1]))
+            except OSError as e:
+                print(f"error: cannot read config {argv[i + 1]!r}: {e}", file=sys.stderr)
+                return 2
+            del argv[i : i + 2]
+    args = build_parser(props).parse_args(argv)
     try:
         return args.fn(args)
     except ValueError as e:

