@@ -96,18 +96,21 @@ def q_collect_segments(sf_dir: str):
     deterministic 'sorted deduped TreeSet' of getObjectsThroughRelation,
     BaseOntologyDelegate.java:256-283)."""
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def per_group(g: pa.Table) -> pa.Table:
+        # Arrow-native (VERDICT r4): the group scan stays vectorized
+        # (pc.unique); only the distinct set (≤ a handful) hits Python
+        segs = sorted(pc.unique(g["c_mktsegment"]).to_pylist())
+        return pa.table(
             {
-                "c_nationkey": [int(g["c_nationkey"].iloc[0])],
-                "segments": [",".join(sorted(set(g["c_mktsegment"])))],
+                "c_nationkey": pa.array([g["c_nationkey"][0].as_py()], pa.int64()),
+                "segments": pa.array([",".join(segs)], pa.string()),
             }
         )
 
     return (
         _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
         .groupby("c_nationkey")
-        .map_groups(per_group, batch_format="pandas")
+        .map_groups(per_group, batch_format="pyarrow")
     )
 
 
@@ -120,18 +123,19 @@ FROM customer GROUP BY c_nationkey
 
 # A3: inverse index label→codes
 def q_segment_nations(sf_dir: str):
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def per_group(g: pa.Table) -> pa.Table:
+        nations = sorted(pc.unique(g["c_nationkey"]).to_pylist())
+        return pa.table(
             {
-                "c_mktsegment": [g["c_mktsegment"].iloc[0]],
-                "nations": [",".join(str(x) for x in sorted(set(int(v) for v in g["c_nationkey"])))],
+                "c_mktsegment": pa.array([g["c_mktsegment"][0].as_py()], pa.string()),
+                "nations": pa.array([",".join(str(int(v)) for v in nations)], pa.string()),
             }
         )
 
     return (
         _read(sf_dir, "customer", ["c_mktsegment", "c_nationkey"])
         .groupby("c_mktsegment")
-        .map_groups(per_group, batch_format="pandas")
+        .map_groups(per_group, batch_format="pyarrow")
     )
 
 
