@@ -220,6 +220,30 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    """Build the cell-partitioned IVF index (the one-time job of the
+    100 TB ANN path): out/ must be on cluster-shared storage; queries
+    then read only the probed cell partitions."""
+    from .pipelines import ann
+
+    _init_ray(args.num_cpus)
+    if args.n_centroids < 1:
+        raise ValueError("--n-centroids must be >= 1")
+    out = ann.ivf_build_index(
+        args.sf_dir, args.out, n_centroids=args.n_centroids, seed=args.seed
+    )
+    import os as _os
+
+    cells = sorted(
+        int(d.split("=", 1)[1])
+        for d in _os.listdir(_os.path.join(out, "data"))
+        if d.startswith("cell=")
+    )
+    print(json.dumps({"out": out, "n_cells": len(cells),
+                      "n_centroids": args.n_centroids}))
+    return 0
+
+
 # Reference ``config.*`` property keys → this CLI's argparse dests
 # (≙ CUIProcessorCommandlineHandler.java:109-147 and the generator/matcher
 # handlers: every reference main() loads a .properties file FIRST, then
@@ -352,9 +376,19 @@ def build_parser(defaults: dict | None = None) -> argparse.ArgumentParser:
     cu.add_argument("--out", default=None, help="partitioned parquet output dir")
     cu.add_argument("--num-parts", dest="num_parts", type=int, default=16)
     cu.set_defaults(fn=cmd_curate)
+
+    ix = sub.add_parser("index", parents=[common],
+                        help="build the cell-partitioned IVF ANN index")
+    ix.add_argument("--sf-dir", dest="sf_dir", required=True,
+                    help="directory holding embeddings.parquet")
+    ix.add_argument("--out", required=True,
+                    help="index output dir (cluster-shared storage)")
+    ix.add_argument("--n-centroids", dest="n_centroids", type=int, default=16)
+    ix.add_argument("--seed", type=int, default=42)
+    ix.set_defaults(fn=cmd_index)
     if defaults:
         safe = {k: v for k, v in defaults.items() if k not in ("fn", "cmd")}
-        for sp in (p, k, e, g, c, r, cu):
+        for sp in (p, k, e, g, c, r, cu, ix):
             sp.set_defaults(**safe)
     return p
 

@@ -277,16 +277,21 @@ def ivf_probe_paths(index_dir: str, probe_cells) -> list[str]:
     return out
 
 
-def q_knn_ivf(sf_dir: str, k: int = TOPK, nprobe: int = 4):
-    """IVF approximate top-k for vec_id=0 + recall vs exact (rows-only).
-
-    Scale path: the cell-partitioned index (``ivf_build_index``) is built
-    once and reused; the query reads ONLY the ``nprobe`` nearest cell
-    partitions (directory pruning — IO ∝ nprobe/n_centroids, asserted by
-    tests/test_graph.py::TestIVFIndex), then scores them with the same
-    per-batch local-top-k combiner as the exact path."""
-    q = _query_vector(sf_dir, 0)
-    idx = ensure_ivf_index(sf_dir)
+def ivf_search(
+    sf_dir: str,
+    q: np.ndarray,
+    k: int = TOPK,
+    nprobe: int = 4,
+    index_dir: str | None = None,
+) -> pd.DataFrame:
+    """Approximate cosine top-k for an ARBITRARY query vector over the
+    cell-partitioned index (built once by ``ivf_build_index``, or lazily
+    cached via ``ensure_ivf_index`` when ``index_dir`` is None). The
+    query reads ONLY the ``nprobe`` nearest cell partitions (directory
+    pruning — IO ∝ nprobe/n_centroids, asserted by
+    tests/test_kg_pipeline.py::TestIVFIndex), then scores them with the
+    same per-batch local-top-k combiner as the exact path."""
+    idx = index_dir or ensure_ivf_index(sf_dir)
     cent = np.load(os.path.join(idx, "centroids.npy"))
     probe = np.argsort(((cent - q) ** 2).sum(1))[:nprobe]
     paths = ivf_probe_paths(idx, probe)
@@ -300,7 +305,15 @@ def q_knn_ivf(sf_dir: str, k: int = TOPK, nprobe: int = 4):
     ds = pio.read_parquet(paths, columns=["vec_id", "embedding"]).map_batches(
         local_topk, batch_format="pyarrow"
     )
-    approx = ds.to_pandas().sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+    return (
+        ds.to_pandas().sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+    )
+
+
+def q_knn_ivf(sf_dir: str, k: int = TOPK, nprobe: int = 4):
+    """IVF approximate top-k for vec_id=0 + recall vs exact (rows-only) —
+    the driver-gated wrapper over ``ivf_search``."""
+    approx = ivf_search(sf_dir, _query_vector(sf_dir, 0), k=k, nprobe=nprobe)
     exact = q_knn_top10(sf_dir)
     recall = len(set(approx["vec_id"]) & set(exact["vec_id"])) / max(1, len(exact))
     approx = approx.reset_index(drop=True)

@@ -142,3 +142,20 @@ def test_properties_file_defaults_then_flag_override(ray_session, capsys, tmp_pa
     assert a1.dc is True and a1.l == "FRE"
     a2 = build_parser(loaded).parse_args(["enrich", "-l", "ENG"])
     assert a2.l == "ENG" and a2.dc is True
+
+
+def test_index_cli_builds_partitioned_ivf(ray_session, capsys, sf_small, tmp_path):
+    """The `index` subcommand is the one-time IVF build job: hive cell
+    partitions + centroids land in --out, counts reported as JSON."""
+    import json
+    import os
+
+    from sifr_project_java_ontology_processing_ray.__main__ import main
+
+    out = str(tmp_path / "ivf")
+    rc = main(["index", "--sf-dir", sf_small, "--out", out, "--n-centroids", "8"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["out"] == out and 1 <= rep["n_cells"] <= 8
+    assert os.path.exists(os.path.join(out, "centroids.npy"))
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
