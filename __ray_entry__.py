@@ -290,7 +290,7 @@ _DRIVER_PRIORITY = (
     "duplicate_sentences", "fuzzy_name_pairs", "pii_redact",
     "domain_stats", "decontaminate", "latest_snapshot", "vocab_by_lang",
     "collocations", "inverted_index", "unigram_lm_score", "llm_dataprep",
-    "ivf_recall", "pq_recall", "cosine_neardup_exact", "kg_delta_pr",
+    "ivf_recall", "pq_recall", "knn_ivf_multi", "cosine_neardup_exact", "kg_delta_pr",
     "enrichment_pr", "frame_sample", "audio_decode", "graph_components",
     "bfs_levels", "sssp", "degree_distribution", "triangle_count",
     "clustering_coefficient", "copurchase_lift", "kcore", "hits",
@@ -416,6 +416,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "knn_top10": ann.q_knn_top10,
         "knn_multi": ann.q_knn_multi,
         "knn_ivf": ann.q_knn_ivf,
+        "knn_ivf_multi": ann.q_ivf_multi_gate,
         "knn_pq": ann.q_knn_pq,
         "ivf_recall": ann.q_ivf_recall,
         "pq_recall": ann.q_pq_recall,
@@ -547,6 +548,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": textops.SQL_NGRAM_JACCARD,
         "cosine_neardup_exact": ann.SQL_COSINE_NEARDUP,
         "ivf_recall": ann.SQL_IVF_RECALL,
+        "knn_ivf_multi": ann.SQL_IVF_MULTI_GATE,
         "pq_recall": ann.SQL_PQ_RECALL,
         # fixture-driven restatements: the fixture files are materialized
         # here so the SQL's read_csv/read_parquet inputs exist regardless

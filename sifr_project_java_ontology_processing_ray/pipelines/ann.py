@@ -259,7 +259,24 @@ def ensure_ivf_index(sf_dir: str, n_centroids: int = 16, seed: int = 42) -> str:
     ).hexdigest()
     out_dir = os.path.join("/tmp/sifr_ivf", fp)
     if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
-        ivf_build_index(sf_dir, out_dir, n_centroids=n_centroids, seed=seed)
+        # crash/concurrency safety: build into a private dir, publish with
+        # one atomic rename — a crashed build leaves no half-index at the
+        # cache path, and a concurrent builder that loses the race just
+        # discards its copy (same publish contract as state/manifest.py)
+        import shutil
+        import tempfile
+
+        os.makedirs("/tmp/sifr_ivf", exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix=fp + ".build-", dir="/tmp/sifr_ivf")
+        try:
+            ivf_build_index(sf_dir, tmp, n_centroids=n_centroids, seed=seed)
+            try:
+                os.rename(tmp, out_dir)
+            except OSError:  # raced: another builder published first
+                shutil.rmtree(tmp, ignore_errors=True)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
     return out_dir
 
 
@@ -307,6 +324,117 @@ def ivf_search(
     )
     return (
         ds.to_pandas().sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+    )
+
+
+def ivf_search_multi(
+    sf_dir: str,
+    Q: np.ndarray,
+    query_ids,
+    k: int = TOPK,
+    nprobe: int = 4,
+    index_dir: str | None = None,
+) -> pd.DataFrame:
+    """Batched IVF serving — the query-throughput shape at scale: N query
+    vectors probe their cells, the UNION of probed cells is read ONCE
+    (each distinct partition one read, regardless of how many queries
+    probe it), and every batch scores all queries in one matmul against
+    the broadcast query matrix. Returns (query_id, vec_id, cos) top-k per
+    query. Queries that did not probe a cell ignore its rows via the
+    per-query cell mask."""
+    idx = index_dir or ensure_ivf_index(sf_dir)
+    cent = np.load(os.path.join(idx, "centroids.npy"))
+    d = ((Q[:, None, :] - cent[None, :, :]) ** 2).sum(-1)  # (nq, ncent)
+    probe = np.argsort(d, axis=1)[:, :nprobe]  # per-query probed cells
+    cells = sorted({int(c) for row in probe for c in row})
+    probe_sets = [set(int(c) for c in row) for row in probe]
+    Qn = Q / np.where(
+        np.linalg.norm(Q, axis=1, keepdims=True) == 0,
+        1.0,
+        np.linalg.norm(Q, axis=1, keepdims=True),
+    )
+    # per-cell active-query lists (tuple-keyed, shipped in the broadcast)
+    cell_active = {
+        c: tuple(qi for qi, s in enumerate(probe_sets) if c in s) for c in cells
+    }
+    state_ref = ray.put((list(query_ids), Qn, cell_active))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, Qn, cell_active = ray.get(state_ref)
+        if batch.num_rows:
+            import pyarrow.compute as _pc
+
+            cell_vals = _pc.unique(batch["cell"]).to_pylist()
+            if len(cell_vals) > 1:  # defensive: a batch never spans cells
+                return pa.concat_tables(
+                    [
+                        local_topk(batch.filter(_pc.equal(batch["cell"], c)))
+                        for c in cell_vals
+                    ]
+                )
+            cell = int(cell_vals[0])
+        else:
+            cell = -1
+        active = cell_active.get(cell, ())
+        if not active:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64())}
+            )
+        mat = _list_col_to_matrix(batch["embedding"])
+        mn = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(mn == 0, 1.0, mn)
+        vids = batch["vec_id"].to_numpy()
+        scores = Qn[list(active)] @ mat.T  # all active queries, one matmul
+        oq, ov, oc = [], [], []
+        for row_i, qi in enumerate(active):
+            order = np.lexsort((vids, -scores[row_i]))[:k]
+            oq.extend([qids[qi]] * len(order))
+            ov.extend(vids[order])
+            oc.extend(scores[row_i][order])
+        return pa.table(
+            {
+                "query_id": pa.array(oq, pa.int64()),
+                "vec_id": pa.array(np.array(ov, dtype=np.int64)),
+                "cos": pa.array(np.array(oc, dtype=np.float64)),
+            }
+        )
+
+    # ONE execution over the union of probed cells: each cell's files are
+    # tagged with their cell id (explicit file paths drop the hive column)
+    # and the tagged datasets union into a single read — the per-execution
+    # executor floor is paid once, not once per cell
+    parts = []
+    for cell in cells:
+        paths = ivf_probe_paths(idx, [cell])
+        if not paths:
+            continue
+
+        def tag(b: pa.Table, _c=cell) -> pa.Table:
+            return b.append_column(
+                "cell", pa.nulls(b.num_rows, pa.int32()).fill_null(_c)
+            )
+
+        parts.append(
+            pio.read_parquet(paths, columns=["vec_id", "embedding"]).map_batches(
+                tag, batch_format="pyarrow"
+            )
+        )
+    if parts:
+        ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+        # batch_size=None: whole blocks — blocks never span union sources,
+        # so a batch is single-cell (defensively re-split inside anyway)
+        df = ds.map_batches(
+            local_topk, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+    else:
+        df = pd.DataFrame(columns=["query_id", "vec_id", "cos"])
+    return (
+        df.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
     )
 
 
@@ -409,6 +537,31 @@ def q_ivf_recall(sf_dir: str, floor: float = 0.8):
 
 
 SQL_IVF_RECALL = "SELECT 'ivf_recall_ge_0.8' AS metric, 1.0 AS value"
+
+
+def q_ivf_multi_gate(sf_dir: str, n_queries: int = 4):
+    """Driver-visible batched-serving gate: ``ivf_search_multi`` (union
+    of probed cells read once, all queries in one matmul per batch) must
+    return EXACTLY the per-query ``ivf_search`` results for every query —
+    the engine-computed-companion pattern of ``ivf_recall``."""
+    t = _query_vectors(sf_dir, list(range(n_queries)))
+    rows = sorted(zip(t["vec_id"].to_pylist(), t["embedding"]))
+    ids = [v for v, _ in rows]
+    Q = np.vstack([np.asarray(e.as_py(), np.float64) for _, e in rows])
+    multi = ivf_search_multi(sf_dir, Q, ids)
+    ok = True
+    for qi, vid in enumerate(ids):
+        single = ivf_search(sf_dir, Q[qi])
+        m = multi[multi.query_id == vid].reset_index(drop=True)
+        ok = ok and list(m["vec_id"]) == list(single["vec_id"]) and np.allclose(
+            m["cos"], single["cos"]
+        )
+    return pd.DataFrame(
+        {"metric": ["ivf_multi_consistent"], "value": [1.0 if ok else 0.0]}
+    )
+
+
+SQL_IVF_MULTI_GATE = "SELECT 'ivf_multi_consistent' AS metric, 1.0 AS value"
 
 
 # --------------------------------------------------------------------------

@@ -408,3 +408,22 @@ def test_knn_pq_recall_floor(ray_session, sf_small):
     for vid, cos in zip(out["vec_id"], out["cos"]):
         if vid in exact_cos:  # shared ids: identical exact cosine
             assert cos == exact_cos[vid]
+
+
+def test_ivf_search_multi_matches_single(ray_session, sf_small):
+    """Batched IVF serving must exactly equal per-query serving: union of
+    probed cells read once, per-query cell masks honored."""
+    import numpy as np
+
+    from sifr_project_java_ontology_processing_ray.pipelines import ann
+
+    t = ann._query_vectors(sf_small, [0, 1, 2])
+    rows = sorted(zip(t["vec_id"].to_pylist(), t["embedding"]))
+    ids = [v for v, _ in rows]
+    Q = np.vstack([np.asarray(e.as_py(), np.float64) for _, e in rows])
+    multi = ann.ivf_search_multi(sf_small, Q, ids, k=5, nprobe=3)
+    for qi, vid in enumerate(ids):
+        single = ann.ivf_search(sf_small, Q[qi], k=5, nprobe=3)
+        m = multi[multi.query_id == vid].reset_index(drop=True)
+        assert list(m["vec_id"]) == list(single["vec_id"])
+        assert np.allclose(m["cos"], single["cos"])

@@ -37,6 +37,7 @@ SUBSET = [
     "ngram_jaccard",
     "cosine_neardup_exact",
     "ivf_recall",
+    "knn_ivf_multi",
     "event_windows_sliding",
     "stratified_sample",
     "value_quantiles",
