@@ -289,3 +289,77 @@ def test_llm_dataprep_bucket_count_invariant(ray_session, sf_small, monkeypatch)
     assert dict(zip(base["counter"], base["value"])) == dict(
         zip(alt["counter"], alt["value"])
     )
+
+
+class TestSplitInvarianceProperty:
+    """Property form of the split-boundary guarantee: for ANY record
+    contents (payloads free to contain CRLFs, WARC/ fragments, binary
+    bytes) and ANY split size, a range-split read equals the unsplit
+    read. Runs the PARSERS directly (no Ray) so hypothesis can afford
+    many examples."""
+
+    @staticmethod
+    def _gen_rows(payloads):
+        import datetime as _dt
+
+        return [
+            (f"http://p.example/{i}", _dt.datetime(2024, 1, 1), p)
+            for i, p in enumerate(payloads)
+        ]
+
+    @staticmethod
+    def _read_ranges(parse, path, split):
+        import os as _os
+
+        size = _os.path.getsize(path)
+        out = []
+        start = 0
+        while start < size:
+            out.extend(parse(path, start, min(start + split, size)))
+            start += split
+        return sorted((u, p) for u, _, p in out)
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    payload_st = st.binary(min_size=0, max_size=400) | st.sampled_from(
+        [
+            b"x\r\nWARC/1.0\r\nWARC-Type: response\r\nContent-Length: 5\r\n\r\nabcde\r\n\r\ny",
+            b"WARC/1.0\r\n\r\n",
+            b"\r\n\r\nWARC/9.9\r\nContent-Length: 0\r\n\r\n",
+        ]
+    )
+
+    @given(payloads=st.lists(payload_st, min_size=1, max_size=12),
+           split=st.integers(min_value=32, max_value=4096))
+    @settings(max_examples=40, deadline=None)
+    def test_plain_split_equals_unsplit(self, tmp_path_factory, payloads, split):
+        import os
+
+        from sifr_project_java_ontology_processing_ray.sources import warc
+
+        d = tmp_path_factory.mktemp("prop")
+        p = str(d / "t.warc")
+        warc.write_warc(self._gen_rows(payloads), p)
+        whole = sorted(
+            (u, pl) for u, _, pl in warc._parse_plain_range(p, 0, os.path.getsize(p))
+        )
+        assert len(whole) == len(payloads)
+        assert self._read_ranges(warc._parse_plain_range, p, split) == whole
+
+    @given(payloads=st.lists(payload_st, min_size=1, max_size=10),
+           split=st.integers(min_value=24, max_value=2048))
+    @settings(max_examples=30, deadline=None)
+    def test_cc_gz_split_equals_unsplit(self, tmp_path_factory, payloads, split):
+        import os
+
+        from sifr_project_java_ontology_processing_ray.sources import warc
+
+        d = tmp_path_factory.mktemp("propgz")
+        p = str(d / "t.warc.gz")
+        warc.write_warc_cc(self._gen_rows(payloads), p)
+        whole = sorted(
+            (u, pl) for u, _, pl in warc._parse_cc_range(p, 0, os.path.getsize(p))
+        )
+        assert len(whole) == len(payloads)
+        assert self._read_ranges(warc._parse_cc_range, p, split) == whole
