@@ -30,6 +30,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.numeric import round_sql
 from ..state.grouped import bucketed_map_groups
 from .relational import _read
 
@@ -52,7 +53,7 @@ def q_user_running_total(sf_dir: str):
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         out = df[["event_id", "user_id"]].copy()
-        out["running_total"] = df.groupby("user_id")["value"].cumsum().round(3)
+        out["running_total"] = round_sql(df.groupby("user_id")["value"].cumsum(), 3)
         return out
 
     out = bucketed_map_groups(
@@ -472,11 +473,12 @@ def q_event_gaps(sf_dir: str):
         ["user_id"],
         combine,
     ).to_pandas()
-    parts["avg_gap_s"] = (
+    parts["avg_gap_s"] = round_sql(
         parts["sum_gap_us"].astype(np.float64)
         / parts["n_gaps"].astype(np.float64)
-        / 1e6
-    ).round(6)
+        / 1e6,
+        6,
+    )
     return (
         parts[["user_id", "n_gaps", "avg_gap_s", "max_gap_us"]]
         .sort_values("user_id")
@@ -1049,7 +1051,7 @@ def q_user_event_entropy(sf_dir: str):
             .groupby("user_id", as_index=False)
             .agg(n_events=("p_cnt", "sum"), entropy=("term", "sum"))
         )
-        ent["entropy"] = ent["entropy"].round(9)
+        ent["entropy"] = round_sql(ent["entropy"], 9)
         return ent
 
     out = bucketed_map_groups(
@@ -1224,7 +1226,7 @@ def q_user_value_zscore(sf_dir: str):
                 den == 0, np.nan, num.astype(np.float64) / np.sqrt(den.astype(np.float64))
             )
         out = df[["event_id", "user_id"]].copy()
-        out["z"] = np.round(z, 9)
+        out["z"] = round_sql(z, 9)
         return out
 
     out = bucketed_map_groups(
@@ -1292,7 +1294,7 @@ def q_daily_totals_filled(sf_dir: str):
     spine = pd.DataFrame({"day": np.arange(d_first, d_last + 1, dtype=np.int64)})
     out = spine.merge(got.astype({"day": "int64"}), on="day", how="left")
     out["n"] = out["n"].fillna(0).astype("int64")
-    out["total"] = (out["cents"].fillna(0) / 100.0).round(2)
+    out["total"] = round_sql(out["cents"].fillna(0) / 100.0, 2)
     return out[["day", "n", "total"]].sort_values("day").reset_index(drop=True)
 
 

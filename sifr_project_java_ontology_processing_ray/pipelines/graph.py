@@ -39,6 +39,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Max, Sum
 
+from ..functions.numeric import round_sql
 from ..sources import parquet_io as pio
 from ..state.partitions import join_partitions
 
@@ -269,7 +270,7 @@ def _pagerank_broadcast(
     from ..state.grouped import dataset_from_table
 
     return dataset_from_table(
-        pa.table({"node": pa.array(nodes), "rank_n": pa.array(r * n)})
+        pa.table({"node": pa.array(nodes), "rank_n": pa.array(round_sql(r * n, 4))})
     )
 
 
@@ -387,7 +388,7 @@ def _pagerank_shuffle(
 
     def finalize(b: pa.Table) -> pa.Table:
         return pa.table(
-            {"node": b["node"], "rank_n": pc.multiply(b["rank"], n)}
+            {"node": b["node"], "rank_n": pc.round(pc.multiply(b["rank"], n), ndigits=4, round_mode="half_towards_infinity")}
         )
 
     return ranks.map_batches(finalize, batch_format="pyarrow")
@@ -804,7 +805,7 @@ r{k} AS (
     GROUP BY e.dst
   ) s ON nodes.node = s.node
 )"""
-    sql += f"\nSELECT node, rank * (SELECT c FROM nn) AS rank_n FROM r{iters}"
+    sql += f"\nSELECT node, round(rank * (SELECT c FROM nn), 4) AS rank_n FROM r{iters}"
     return sql
 
 
@@ -1727,7 +1728,10 @@ def hits(edges: rd.Dataset, iters: int = HITS_ITERS) -> rd.Dataset:
     """HITS over a DISTINCT directed (src:int64, dst:int64) edge set:
     ``iters`` synchronous rounds of a ← Aᵀh, L2-normalize, h ← Aa,
     L2-normalize, from h ≡ 1. Returns (node, hub_n, auth_n) scaled by the
-    node count N (same 6-decimal-sensitivity trick as pagerank's rank_n:
+    node count N and rounded to 4 decimals on BOTH sides (iterative float
+    drift between engine and SQL summation orders is ~1e-10; a 1e-4 grid
+    makes a boundary flip ~100× rarer than the 6-dp gate grid — the
+    session-9 sf0.1 fix) (same N-scaling sensitivity trick as rank_n:
     normalized scores shrink as 1/√N, so the raw values would vanish
     under the oracle gate's float rounding on big graphs).
 
@@ -1779,8 +1783,9 @@ def hits(edges: rd.Dataset, iters: int = HITS_ITERS) -> rd.Dataset:
                 h /= zh
         n = float(nn)
         return dataset_from_table(
-            pa.table({"node": pa.array(nodes), "hub_n": pa.array(h * n),
-                      "auth_n": pa.array(a * n)})
+            pa.table({"node": pa.array(nodes),
+                      "hub_n": pa.array(round_sql(h * n, 4)),
+                      "auth_n": pa.array(round_sql(a * n, 4))})
         )
 
     if n_edges <= META_FOLD_EDGE_LIMIT:
@@ -1822,8 +1827,9 @@ def hits(edges: rd.Dataset, iters: int = HITS_ITERS) -> rd.Dataset:
 
     n = float(len(nodes))
     return dataset_from_table(
-        pa.table({"node": pa.array(nodes), "hub_n": pa.array(h * n),
-                  "auth_n": pa.array(a * n)})
+        pa.table({"node": pa.array(nodes),
+                  "hub_n": pa.array(round_sql(h * n, 4)),
+                  "auth_n": pa.array(round_sql(a * n, 4))})
     )
 
 
@@ -1911,8 +1917,8 @@ def _hits_shuffle(edges: rd.Dataset, meta: rd.Dataset, iters: int) -> rd.Dataset
     return state.map_batches(
         lambda b: pa.table(
             {"node": b["node"],
-             "hub_n": pc.multiply(b["h"], pa.scalar(n)),
-             "auth_n": pc.multiply(b["a"], pa.scalar(n))}
+             "hub_n": pc.round(pc.multiply(b["h"], pa.scalar(n)), ndigits=4, round_mode="half_towards_infinity"),
+             "auth_n": pc.round(pc.multiply(b["a"], pa.scalar(n)), ndigits=4, round_mode="half_towards_infinity")}
         ) if b.num_rows and "node" in b.column_names
         else pa.table({"node": pa.array([], pa.int64()),
                        "hub_n": pa.array([], pa.float64()),
@@ -1964,8 +1970,8 @@ h{i} AS MATERIALIZED (
   FROM hr{i}, (SELECT sqrt(SUM(s * s)) AS z FROM hr{i}) z
 )"""
     sql += f"""
-SELECT h.node, h.s * (SELECT c FROM nn) AS hub_n,
-       a.s * (SELECT c FROM nn) AS auth_n
+SELECT h.node, round(h.s * (SELECT c FROM nn), 4) AS hub_n,
+       round(a.s * (SELECT c FROM nn), 4) AS auth_n
 FROM h{iters} h JOIN a{iters} a USING (node)"""
     return sql
 

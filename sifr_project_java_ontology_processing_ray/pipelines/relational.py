@@ -26,6 +26,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..functions.numeric import round_sql
 from ..sources import parquet_io as pio
 
 
@@ -38,8 +39,12 @@ def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> "rd.Datas
 
 
 def _round_col(t: pa.Table, col: str, digits: int) -> pa.Table:
+    # half_towards_infinity == DuckDB's ties-away round (functions/numeric)
     i = t.schema.get_field_index(col)
-    return t.set_column(i, col, pc.round(t[col], ndigits=digits))
+    return t.set_column(
+        i, col,
+        pc.round(t[col], ndigits=digits, round_mode="half_towards_infinity"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -376,7 +381,10 @@ def q_events_value_buckets(sf_dir: str):
         v = batch["value"].to_numpy()
         idx = np.searchsorted(bounds, v, side="left")
         labels = [BUCKET_LABELS[i] for i in idx]
-        t = pa.table({"bucket": pa.array(labels, pa.string()), "value": batch["value"]})
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64()
+        )  # exact integer cents (order-independent sums; session 9)
+        t = pa.table({"bucket": pa.array(labels, pa.string()), "value": cents})
         return (
             t.group_by("bucket")
             .aggregate([("value", "sum"), ("value", "count")])
@@ -391,7 +399,9 @@ def q_events_value_buckets(sf_dir: str):
         .groupby("bucket")
         .aggregate(Sum("p_sum", alias_name="sum_value"), Sum("p_n", alias_name="n_events"))
     )
-    return _round_col(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), "sum_value", 2)
+    df = out.to_pandas()
+    df["sum_value"] = df["sum_value"] / 100.0
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 SQL_EVENTS_VALUE_BUCKETS = """
@@ -400,7 +410,8 @@ SELECT CASE WHEN value <= 50 THEN 'lt50'
             WHEN value <= 200 THEN '100to200'
             WHEN value <= 500 THEN '200to500'
             ELSE 'ge500' END AS bucket,
-       round(sum(value), 2) AS sum_value, count(*) AS n_events
+       sum(CAST(round(value * 100.0) AS BIGINT)) / 100.0 AS sum_value,
+       count(*) AS n_events
 FROM events GROUP BY 1
 """
 
@@ -598,7 +609,13 @@ def q_event_windows(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
-        t = pa.table({"user_id": batch["user_id"], "window_start": hour, "value": batch["value"]})
+        # integer CENTS: values are exact 2-dp, so the sum is exact int64
+        # on both sides regardless of summation order (ulp drift in a
+        # float sum flipped the gate at sf0.1 — session 9)
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64()
+        )
+        t = pa.table({"user_id": batch["user_id"], "window_start": hour, "value": cents})
         return (
             t.group_by(["user_id", "window_start"])
             .aggregate([("value", "sum"), ("value", "count")])
@@ -622,13 +639,16 @@ def q_event_windows(sf_dir: str):
         ["user_id", "window_start"],
         combine,
     )
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
-    return _round_col(t, "sum_value", 2)
+    df = out.to_pandas()
+    df["sum_value"] = df["sum_value"] / 100.0  # one exact-int division
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
+# cents on the SQL side too: identical int64 sum -> identical double
 SQL_EVENT_WINDOWS = """
 SELECT user_id, date_trunc('hour', ts) AS window_start,
-       round(sum(value), 2) AS sum_value, count(*) AS n_events
+       sum(CAST(round(value * 100.0) AS BIGINT)) / 100.0 AS sum_value,
+       count(*) AS n_events
 FROM events GROUP BY 1, 2
 """
 
@@ -659,6 +679,10 @@ def q_event_windows_sliding(sf_dir: str):
                           "value": batch["value"]})
             )
         t = pa.concat_tables(parts)
+        t = t.set_column(
+            t.schema.get_field_index("value"), "value",
+            pc.cast(pc.round(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64()),
+        )  # exact integer cents, order-independent sum (session 9)
         return (
             t.group_by(["window_start", "event_type"])
             .aggregate([("value", "sum"), ("value", "count")])
@@ -677,8 +701,9 @@ def q_event_windows_sliding(sf_dir: str):
         ["window_start", "event_type"],
         combine,
     )
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
-    return _round_col(t, "sum_value", 2)
+    df = out.to_pandas()
+    df["sum_value"] = df["sum_value"] / 100.0
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 # epoch arithmetic instead of time_bucket: 86400 % 900 == 0, so flooring
@@ -695,7 +720,8 @@ WITH hopped AS (
   FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
 )
 SELECT window_start, event_type,
-       round(sum(value), 2) AS sum_value, count(*) AS n_events
+       sum(CAST(round(value * 100.0) AS BIGINT)) / 100.0 AS sum_value,
+       count(*) AS n_events
 FROM hopped GROUP BY 1, 2
 """
 
@@ -749,6 +775,7 @@ def q_event_sessions(sf_dir: str):
 
     def sessions_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"])
+        df["cents"] = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
         gap = df.groupby("user_id", sort=False)["ts"].diff() > pd.Timedelta(
             minutes=SESSION_GAP_MIN
         )
@@ -756,10 +783,10 @@ def q_event_sessions(sf_dir: str):
         out = (
             df.assign(session_id=sid)
             .groupby(["user_id", "session_id"], as_index=False, sort=False)
-            .agg(n_events=("event_id", "size"), sum_value=("value", "sum"))
+            .agg(n_events=("event_id", "size"), sum_value=("cents", "sum"))
         )
         out["user_id"] = out["user_id"].astype("int64")
-        out["sum_value"] = out["sum_value"].round(2)
+        out["sum_value"] = out["sum_value"] / 100.0  # exact int cents
         return out[["user_id", "session_id", "n_events", "sum_value"]]
 
     return bucketed_map_groups(
@@ -781,7 +808,8 @@ WITH d AS (
                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM d
 )
-SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+SELECT user_id, session_id, count(*) AS n_events,
+       sum(CAST(round(value * 100.0) AS BIGINT)) / 100.0 AS sum_value
 FROM s GROUP BY user_id, session_id
 """
 
@@ -860,7 +888,7 @@ def q_approx_distinct_users(sf_dir: str):
     # the query (VERDICT r1 'What's wrong' 8)
     exact = q_exact_distinct_users(sf_dir).to_pandas()
     out = approx.merge(exact, on="event_type").sort_values("event_type").reset_index(drop=True)
-    out["rel_error"] = ((out["approx_users"] - out["exact_users"]).abs() / out["exact_users"]).round(4)
+    out["rel_error"] = round_sql((out["approx_users"] - out["exact_users"]).abs() / out["exact_users"], 4)
     return out
 
 
@@ -1140,7 +1168,7 @@ def q_user_value_median(sf_dir: str):
         g = df.groupby("user_id", as_index=False).agg(
             n_events=("value", "size"), median_value=("value", "median")
         )
-        g["median_value"] = g["median_value"].round(3)
+        g["median_value"] = round_sql(g["median_value"], 3)
         return g
 
     out = bucketed_map_groups(
@@ -1269,7 +1297,7 @@ def q_rollup_revenue(sf_dir: str):
     out = pd.concat([finest, lvl1, lvl0], ignore_index=True)[
         ["o_orderstatus", "o_orderpriority", "rev", "n_orders"]
     ]
-    out["revenue"] = out.pop("rev").round(2)
+    out["revenue"] = round_sql(out.pop("rev"), 2)
     out["n_orders"] = out["n_orders"].astype("int64")
     return out[["o_orderstatus", "o_orderpriority", "revenue", "n_orders"]]
 
@@ -1492,7 +1520,7 @@ def q_cube_revenue(sf_dir: str):
     out = pd.concat([finest, by_flag, by_status, total], ignore_index=True)[
         ["l_returnflag", "l_linestatus", "rev", "n_rows"]
     ]
-    out["revenue"] = out.pop("rev").round(2)
+    out["revenue"] = round_sql(out.pop("rev"), 2)
     out["n_rows"] = out["n_rows"].astype("int64")
     return out[["l_returnflag", "l_linestatus", "revenue", "n_rows"]]
 
@@ -1800,7 +1828,7 @@ def q_shipping_priority(sf_dir: str):
         .aggregate(Sum("p_rev", alias_name="revenue"))
         .to_pandas()
     )
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = round_sql(out["revenue"], 2)
     out = out.sort_values(
         ["revenue", "l_orderkey"], ascending=[False, True], kind="mergesort"
     ).head(10)

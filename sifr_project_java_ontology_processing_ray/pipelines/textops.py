@@ -21,6 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ..functions.numeric import round_sql
 from ..sources import parquet_io as pio
 from ..functions.hashing import MinHasher, hamming64, rolling_fingerprints, shingles, simhash
 from ..functions.quality import detect_lang, quality_score
@@ -221,7 +222,7 @@ def q_repetition_stats(sf_dir: str):
                    Sum("p_n", alias_name="n_docs"))
     )
     df = out.to_pandas()
-    df["mean_dup_ratio"] = (df["sum_r"] / df["n_docs"]).round(4)
+    df["mean_dup_ratio"] = round_sql(df["sum_r"] / df["n_docs"], 4)
     return df[["source", "n_docs", "n_high_rep", "mean_dup_ratio"]]
 
 
@@ -1307,7 +1308,7 @@ def q_quality_scores(sf_dir: str):
         .aggregate(Sum("p_q", alias_name="sum_q"), Sum("p_n", alias_name="n_docs"))
     )
     df = out.to_pandas()
-    df["mean_quality"] = (df["sum_q"] / df["n_docs"]).round(4)
+    df["mean_quality"] = round_sql(df["sum_q"] / df["n_docs"], 4)
     return df[["source", "n_docs", "mean_quality"]]
 
 
