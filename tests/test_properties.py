@@ -286,3 +286,50 @@ def test_kth_value_modal_heavy_value_never_collects_rows(ray_session, monkeypatc
     # multi-rank path shares scans and agrees with single-rank
     ks = [0, n // 4, n // 2, n - 1]
     assert relational.distributed_kth_values(ds, "v", ks) == [sorted(vals)[k] for k in ks]
+
+
+class TestRoundSql:
+    """round_sql must stay bit-identical to DuckDB round() — the session-9
+    tie-rule mismatch (numpy half-even vs SQL half-away) produced 4 of the
+    5 sf0.1 gate failures; this pins the kernel against both DuckDB and
+    pyarrow's half_towards_infinity mode."""
+
+    @given(
+        vals=st.lists(
+            st.one_of(
+                st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                # exact ties at the rounding grid
+                st.integers(min_value=-10**9, max_value=10**9).map(
+                    lambda k: (k + 0.5) / 1e6
+                ),
+                st.integers(min_value=-10**7, max_value=10**7).map(
+                    lambda k: (k + 0.5) / 1e2
+                ),
+            ),
+            min_size=1, max_size=200,
+        ),
+        nd=st.sampled_from([2, 3, 4, 6, 9]),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_matches_duckdb_and_arrow(self, vals, nd):
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from sifr_project_java_ontology_processing_ray.functions.numeric import round_sql
+
+        got = round_sql(np.array(vals), nd)
+        duck = np.array(
+            [r[0] for r in duckdb.sql(
+                f"SELECT round(v, {nd}) FROM (SELECT unnest(?::DOUBLE[]) AS v)",
+                params=[vals],
+            ).fetchall()]
+        )
+        arrow = pc.round(
+            pa.array(vals, pa.float64()), ndigits=nd,
+            round_mode="half_towards_infinity",
+        ).to_numpy()
+        assert (got == duck).all()
+        assert (got == arrow).all()
