@@ -174,7 +174,7 @@ def q_value_variance(sf_dir: str):
         # python ints: no int64 overflow at any scale (n·Σc² − (Σc)²)
         n, s, s2 = int(r["p_n"]), int(r["p_s"]), int(r["p_s2"])
         var = float(n * s2 - s * s) / float(n * n) / 10000.0
-        rows.append((r["event_type"], n, round(var, 6)))
+        rows.append((r["event_type"], n, float(round_sql(var, 6))))
     return pd.DataFrame(rows, columns=["event_type", "n", "variance_value"]).sort_values(
         "event_type"
     ).reset_index(drop=True)
@@ -614,7 +614,7 @@ def q_value_p90(sf_dir: str):
         # overshoot (0.9*60 → 54.0000000000000013 → ceil 55)
         cum = g["n"].cumsum().to_numpy()
         cv = int(g["cv"].to_numpy()[np.searchsorted(cum, target)])
-        rows.append((et, n, round(cv / 100.0, 2)))
+        rows.append((et, n, float(round_sql(cv / 100.0, 2))))
     return pd.DataFrame(rows, columns=["event_type", "n", "p90_value"])
 
 
@@ -826,7 +826,7 @@ def q_value_mad(sf_dir: str):
         dev = np.abs(cv - med)
         order = np.argsort(dev, kind="stable")
         mad = int(dev[order][np.searchsorted(np.cumsum(cnt[order]), target)])
-        rows.append((et, n, round(mad / 100.0, 2)))
+        rows.append((et, n, float(round_sql(mad / 100.0, 2))))
     return pd.DataFrame(rows, columns=["event_type", "n", "mad_value"])
 
 
@@ -1166,7 +1166,7 @@ def q_user_value_trend(sf_dir: str):
         sxx, sxy = int(r["p_xx"]), int(r["p_xy"])
         num = n * sxy - sx * sy
         den = n * sxx - sx * sx
-        slope = None if den == 0 else round(float(num) / float(den), 9)
+        slope = None if den == 0 else float(round_sql(float(num) / float(den), 9))
         rows.append((r["user_id"], n, slope))
     return (
         pd.DataFrame(rows, columns=["user_id", "n", "slope"])
