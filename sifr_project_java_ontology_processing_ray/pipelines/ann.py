@@ -175,15 +175,22 @@ def ivf_build_centroids(sf_dir: str, n_centroids: int = 16, seed: int = 42) -> n
     hash64(vec_id, seed) % K == 0 are kept inside map_batches (stable across
     any block layout — no seeded-RNG/block-order coupling), only the
     dimension-sized sample reaches the driver for a few Lloyd iterations.
-    No full-table read (VERDICT r1); row count comes from parquet metadata."""
-    from ..functions.hashing import hash64
+    No full-table read (VERDICT r1); row count comes from parquet metadata.
+    The sample predicate is polars' seeded vectorized hash (process-stable
+    for a fixed build — the same contract as grouped.bucket_ids), not a
+    per-row Python digest: the sampler is a full-corpus pass at build
+    time, so a row loop here would be the hot-loop anti-pattern."""
+    import pyarrow.compute as pc
 
     n_rows = pq.read_metadata(_emb_path(sf_dir)).num_rows
     target = n_centroids * 20
     k_mod = max(1, n_rows // target)
 
     def hash_sample(batch: pa.Table) -> pa.Table:
-        keep = [hash64(str(v), seed=seed) % k_mod == 0 for v in batch["vec_id"].to_pylist()]
+        import polars as pl
+
+        ids = pc.cast(batch["vec_id"], pa.string()).combine_chunks()
+        keep = (pl.from_arrow(ids).hash(seed=seed) % k_mod == 0).to_numpy()
         return batch.filter(pa.array(keep, pa.bool_()))
 
     sample_df = (
@@ -254,8 +261,10 @@ def ensure_ivf_index(sf_dir: str, n_centroids: int = 16, seed: int = 42) -> str:
 
     p = _emb_path(sf_dir)
     st = os.stat(p)
+    # "v2": sampler revision — bumping invalidates caches built by an
+    # older sampler (the hash family is part of the index definition)
     fp = _hl.blake2b(
-        f"{os.path.abspath(p)}|{st.st_size}|{st.st_mtime_ns}|{n_centroids}|{seed}".encode(),
+        f"v2|{os.path.abspath(p)}|{st.st_size}|{st.st_mtime_ns}|{n_centroids}|{seed}".encode(),
         digest_size=8,
     ).hexdigest()
     out_dir = os.path.join("/tmp/sifr_ivf", fp)
