@@ -701,14 +701,18 @@ def pq_build_codebooks(
     centroids (deterministic across any block layout; only the
     sample — ~n_codes·20 rows — reaches the driver). Corpus vectors are
     L2-normalized BEFORE subspace split so ADC inner products approximate
-    cosine."""
-    from ..functions.hashing import hash64
+    cosine. Vectorized sampler (polars seeded hash) — same rationale and
+    hash family as ``ivf_build_centroids``."""
+    import pyarrow.compute as pc
 
     n_rows = pq.read_metadata(_emb_path(sf_dir)).num_rows
     k_mod = max(1, n_rows // (n_codes * 20))
 
     def hash_sample(batch: pa.Table) -> pa.Table:
-        keep = [hash64(str(v), seed=seed) % k_mod == 0 for v in batch["vec_id"].to_pylist()]
+        import polars as pl
+
+        ids = pc.cast(batch["vec_id"], pa.string()).combine_chunks()
+        keep = (pl.from_arrow(ids).hash(seed=seed) % k_mod == 0).to_numpy()
         return batch.filter(pa.array(keep, pa.bool_()))
 
     sample_df = (
