@@ -145,8 +145,7 @@ def curate(
 
         def partial_bloom(batch: pa.Table) -> pa.Table:
             bf = BloomFilter(cap)
-            for h in batch["content_hash"].to_pylist():
-                bf.add(h)
+            bf.add_many(batch["content_hash"].to_pylist())
             return pa.table({"blob": pa.array([bf.dumps()], pa.binary())})
 
         bloom = BloomFilter(cap)

@@ -80,8 +80,7 @@ def merged_bloom(ds, col: str, capacity: int) -> bytes:
 
     def partial(batch: pa.Table) -> pa.Table:
         bf = BloomFilter(capacity)
-        for v in batch[col].to_pylist():
-            bf.add(str(v))
+        bf.add_many([str(v) for v in batch[col].to_pylist()])
         return pa.table({"blob": pa.array([bf.dumps()], pa.binary())})
 
     bloom = BloomFilter(capacity)
